@@ -1,13 +1,182 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7.
+  *
+  * Every `queries` key is one operator from the SURVEY §2 inventory;
+  * `oracleSql` holds the DuckDB-equivalent SQL for the hash compare.
+  * Column names and ordering are aligned pairwise (the driver sorts
+  * columns by name before hashing). Float aggregate outputs are
+  * rounded on both sides; raw passthrough floats are left exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Dedup.dedupFirst(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 dedup core
+    "dedup_first" -> ((s, d) => withTsMs(Dedup.dedupFirst(s, d))),
+    "dedup_passthrough" -> ((s, d) => withTsMs(Dedup.dedupPassthrough(s, d))),
+    "dedup_stats" -> ((s, d) => Dedup.dedupStats(s, d)
+      .withColumn("window_start", unix_millis(col("window_start")))),
+    "dedup_ttl_bucket" -> ((s, d) => Dedup.dedupTtlBucket(s, d)),
+    "dedup_multi_topic" -> ((s, d) => Dedup.dedupMultiTopic(s, d)),
+    // §2.2 parsing
+    "parse_props_json" -> ((s, d) => Parse.parsePropsJson(s, d)),
+    "parse_topic" -> ((s, d) => Parse.parseTopic(s, d)),
+    // §2.3 relational
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_join" -> ((s, d) => Relational.q3Join(s, d)
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))),
+    "q5_multijoin" -> ((s, d) => Relational.q5MultiJoin(s, d)),
+    "q6_filter" -> ((s, d) => Relational.q6Filter(s, d)),
+    "q_window" -> ((s, d) => Relational.qWindow(s, d)),
+    "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    "q_topk" -> ((s, d) => Relational.qTopK(s, d)),
+    "q_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
+    "q_percentile" -> ((s, d) => Relational.qPercentile(s, d)),
+    "q_asof_join" -> ((s, d) => qAsOf(s, d)),
+  )
+
+  private def withTsMs(df: DataFrame): DataFrame =
+    df.withColumn("ts", unix_millis(col("ts"))).withColumnRenamed("ts", "ts_ms")
+
+  private def qAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "p_id", "c_id")
+      .select("p_id", "c_id")
+      .orderBy("p_id")
+  }
+
+  /** DuckDB-equivalent SQL per query (driver runs these on the same
+    * parquet tables and hash-compares). */
+  def oracleSql: Map[String, String] = Map(
+    "dedup_first" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, value, props ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "dedup_passthrough" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props, n_copies
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, value, props ORDER BY ts, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY user_id, event_type, value, props) AS n_copies
+        |      FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "dedup_stats" ->
+      """WITH h AS (
+        |  SELECT ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type, value, props ORDER BY ts, event_id) AS rn,
+        |         min(ts) OVER (PARTITION BY user_id, event_type, value, props) AS first_ts
+        |  FROM events)
+        |SELECT epoch_ms(date_trunc('minute', ts)) AS window_start,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS primes,
+        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
+        |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0), 4) AS dup_ratio,
+        |       round(avg(CASE WHEN rn > 1 THEN epoch_ms(ts) - epoch_ms(first_ts) END), 2) AS avg_delay_ms
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ttl_bucket" ->
+      """SELECT event_id
+        |FROM (SELECT event_id,
+        |             row_number() OVER (PARTITION BY user_id, event_type, value, props, floor(epoch_ms(ts) / 600000)
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "dedup_multi_topic" ->
+      """WITH merged AS (
+        |  SELECT * FROM events WHERE user_id < 100
+        |  UNION ALL
+        |  SELECT * FROM events WHERE user_id >= 50)
+        |SELECT event_id
+        |FROM (SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type, value, props ORDER BY ts, event_id) AS rn
+        |      FROM merged) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "parse_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parse_topic" ->
+      """WITH t AS (SELECT event_id, concat('/hfp/v1/', event_type, '/', user_id) AS topic FROM events),
+        |     p AS (SELECT event_id, string_split(topic, '/') AS parts FROM t)
+        |SELECT parts[4] AS topic_type, count(*) AS n,
+        |       CAST(sum(CAST(parts[5] AS BIGINT)) AS BIGINT) AS sum_user
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_topk" ->
+      """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "q_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, c.c_id,
+        |                  row_number() OVER (PARTITION BY p.p_id ORDER BY c.ts DESC, c.c_id DESC) AS rn
+        |           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT p.p_id, j.c_id
+        |FROM p LEFT JOIN (SELECT p_id, c_id FROM j WHERE rn = 1) j ON p.p_id = j.p_id
+        |ORDER BY p.p_id""".stripMargin,
+  )
 }

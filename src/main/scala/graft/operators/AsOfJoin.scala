@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, the most recent right row with
+  * rightTime <= leftTime, per key.
+  *
+  * Implemented with the union + last-carried-forward trick instead of
+  * an O(n·m) range join: tag both sides, union, sort within each key
+  * partition by (time, tag, tiebreak) and carry the last right-side id
+  * forward. One shuffle on the key, no join blow-up — this is the
+  * shape that survives 100 TB (a naive theta-join on key + time range
+  * explodes; this is linear in rows after a single hash partition).
+  *
+  * Ties: a right row at exactly leftTime is visible (tag orders right
+  * before left at equal times); among equal right times the largest
+  * tiebreak wins, matching `ORDER BY ts DESC, id DESC LIMIT 1`.
+  */
+object AsOfJoin {
+
+  /** @param left    rows to enrich
+    * @param right   rows to look up as-of
+    * @param key     equi-join key column name (same name both sides)
+    * @param time    event-time column name (same name both sides)
+    * @param leftId  unique left id column
+    * @param rightId unique right id column
+    * @return (leftId, key, time, rightId) — rightId null when no right
+    *         row precedes the left row (left-outer as-of semantics)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
+           leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(time), col(leftId).as("_lid"))
+      .withColumn("_rid", lit(null).cast("long")).withColumn("_tag", lit(1))
+    val r = right.select(col(key), col(time), col(rightId).cast("long").as("_rid"))
+      .withColumn("_lid", lit(null).cast("long")).withColumn("_tag", lit(0))
+      .select(col(key), col(time), col("_lid"), col("_rid"), col("_tag"))
+    val unioned = l.select(col(key), col(time), col("_lid"), col("_rid"), col("_tag")).union(r)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time), col("_tag"), col("_rid").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last("_rid", ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_lid").as(leftId), col(key), col(time), col("_asof").as(rightId))
+  }
+}
