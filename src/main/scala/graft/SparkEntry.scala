@@ -26,6 +26,7 @@ object SparkEntry {
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(s, d)
       .withColumn("window_start", unix_millis(col("window_start")))),
     "dedup_ttl_bucket" -> ((s, d) => Dedup.dedupTtlBucket(s, d)),
+    "dedup_ttl_chain" -> ((s, d) => Dedup.dedupTtlChain(s, d)),
     "dedup_multi_topic" -> ((s, d) => Dedup.dedupMultiTopic(s, d)),
     // §2.2 parsing
     "parse_props_json" -> ((s, d) => Parse.parsePropsJson(s, d)),
@@ -42,6 +43,22 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
     "q_percentile" -> ((s, d) => Relational.qPercentile(s, d)),
     "q_asof_join" -> ((s, d) => qAsOf(s, d)),
+    // §2.4 dedup family
+    "docs_dedup_exact" -> ((s, d) => NearDup.docsDedupExact(s, d)),
+    "docs_jaccard_pairs" -> ((s, d) => NearDup.jaccardPairs(s, d)),
+    "docs_minhash_lsh" -> ((s, d) => NearDup.minhashLshPairs(s, d)),
+    "docs_simhash" -> ((s, d) => NearDup.simhashPairs(s, d)),
+    "emb_cosine_dedup" -> ((s, d) => NearDup.embCosineDedup(s, d)),
+    // §2.5 similarity search
+    "ann_bruteforce" -> ((s, d) => Ann.annBruteForce(s, d)),
+    "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
+    // §2.6 text analysis
+    "text_tokens" -> ((s, d) => TextAnalysis.textTokens(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.textLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(s, d)),
+    // §2.7 multimodal
+    "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)),
   )
 
   private def withTsMs(df: DataFrame): DataFrame =
@@ -178,5 +195,104 @@ object SparkEntry {
         |SELECT p.p_id, j.c_id
         |FROM p LEFT JOIN (SELECT p_id, c_id FROM j WHERE rn = 1) j ON p.p_id = j.p_id
         |ORDER BY p.p_id""".stripMargin,
+    "docs_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |it AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "emb_cosine_dedup" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |               / nullif(sqrt(a.n2) * sqrt(b.n2), 0.0) AS sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |             list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |               i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / nullif(sqrt(q.n2) * sqrt(e.n2), 0.0) AS sim
+        |      FROM n q JOIN n e ON q.vec_id < 10 AND q.vec_id <> e.vec_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+        |      FROM p)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, length(text) AS n_chars, CAST(len(toks) AS DOUBLE) AS n_toks,
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
+        |        CAST(len(list_filter(toks, x -> x IN ('a','the','is','of','and'))) AS DOUBLE)
+        |          / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS stop_ratio,
+        |        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |          / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS mwl
+        |      FROM t)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_toks AS BIGINT) AS n_tokens,
+        |       round(punct_ratio, 4) AS punct_ratio, round(stop_ratio, 4) AS stop_ratio,
+        |       round(mwl, 4) AS mean_word_len,
+        |       round(least(n_toks / 100.0, 1.0) * (1.0 - punct_ratio) * (1.0 - 0.5 * stop_ratio), 4) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |        len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS s_fr,
+        |        len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+        |      FROM t),
+        |p AS (SELECT doc_id, lang,
+        |        CASE WHEN s_zh > 0 THEN 'zh'
+        |             WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |             WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |             WHEN s_es >= s_fr THEN 'es'
+        |             ELSE 'fr' END AS lang_pred
+        |      FROM s)
+        |SELECT doc_id, lang_pred, (lang_pred = lang) AS matches_label
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 5), i ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 7),
+        |             j -> CAST(ascii(substring(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+        |             (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+        |  FROM documents WHERE length(text) >= 7),
+        |w AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fps
+        |      FROM h WHERE len(hs) >= 4)
+        |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS sha256,
+        |       lower(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

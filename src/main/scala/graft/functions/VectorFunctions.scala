@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely
+  * from codegen'd higher-order functions — no UDFs, so whole-stage
+  * codegen spans the hot loops and the expressions survive Catalyst
+  * pushdown/pruning at 100 TB.
+  *
+  * All arithmetic casts elements to double BEFORE multiplying and
+  * folds left-to-right, which matches DuckDB's sequential list math —
+  * keeping oracle results bit-identical (sqrt and IEEE division are
+  * correctly rounded everywhere).
+  */
+object VectorFunctions {
+
+  /** Left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; null-safe on zero vectors via nullif. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(sqrt(normSq(a)) * sqrt(normSq(b)), lit(0.0))
+
+  /** Cosine from precomputed squared norms (avoids recomputing norms
+    * inside an n² pair join — compute once per row, join, divide).
+    */
+  def cosineWithNorms(dotAb: Column, normSqA: Column, normSqB: Column): Column =
+    dotAb / nullif(sqrt(normSqA) * sqrt(normSqB), lit(0.0))
+}

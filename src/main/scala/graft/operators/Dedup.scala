@@ -103,6 +103,28 @@ object Dedup {
       .orderBy("event_id")
   }
 
+  /** Exact reference TTL-chain dedup in batch form: per content key,
+    * walk arrivals in order; an event is a duplicate iff the last
+    * PRIME is within ttl (duplicates never refresh the anchor —
+    * cache.put only on miss, Deduplicator.java:51); an expired anchor
+    * readmits. Inherently sequential per key → one shuffle on the
+    * content key, then a linear typed walk via flatMapGroups sharing
+    * the streaming operator's chain logic.
+    */
+  def dedupTtlChain(spark: SparkSession, dir: String, ttlMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[DedupStream.Ev]
+      .groupByKey(DedupStream.contentKeyOf)
+      .flatMapGroups { (_: String, it: Iterator[DedupStream.Ev]) =>
+        DedupStream.chainPrimes(it.toSeq, ttlMinutes * 60L * 1000L, None)._1.iterator
+      }
+      .select(col("event_id"))
+      .orderBy("event_id")
+  }
+
   /** Multi-topic merge then dedup (environment.conf multipleTopics):
     * two overlapping "topics" union-all'd into one logical stream,
     * then global first-wins dedup. The union is free (no shuffle);

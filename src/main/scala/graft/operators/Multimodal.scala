@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.7): media payloads as
+  * opaque binary columns with typed metadata. The decode step is a
+  * deterministic stub (image/audio codecs are intentionally absent
+  * here); everything Spark-side — schema, batching, partitioning —
+  * is real.
+  */
+object Multimodal {
+
+  /** Binary payload + metadata columns, all codegen'd built-ins:
+    * byte length, sha256 content address, hex magic prefix. This is
+    * the ingest shape for any media table: derive the cheap typed
+    * metadata once, scan-side, so downstream filters prune on
+    * metadata without touching payload bytes.
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic"))
+      .orderBy("doc_id")
+
+  /** One media row: payload + metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features from a "decoded" payload. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+                           width: Int, height: Int)
+
+  /** Deterministic stand-in for a real media decoder (the real one
+    * would wrap an image/audio codec over the same byte-array
+    * batches; libs are absent in this environment by design).
+    */
+  private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
+    var cksum = 0L
+    var i = 0
+    while (i < payload.length) { cksum = cksum * 31 + (payload(i) & 0xFF); i += 1 }
+    val w = 16 + (math.abs(cksum) % 1024).toInt
+    val h = 16 + (math.abs(cksum / 1024) % 1024).toInt
+    (w, h, cksum)
+  }
+
+  /** Batched decode/feature-extract over binary columns via typed
+    * mapPartitions: the per-partition iterator is where a real
+    * decoder would amortize codec init across a whole batch — the
+    * Spark-side shape (encoders, partition batching, no driver
+    * collect) is the point.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // codec/session init would happen here, once per partition
+      rows.map { r =>
+        val (w, h, cksum) = stubDecode(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, cksum, w, h)
+      }
+    }
+  }
+
+  /** documents → MediaRow dataset (text bytes as stand-in payloads). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the documents/embeddings tables
+  * (SURVEY.md §2.4) — the reference's exact-hash dedup
+  * (Deduplicator.java:46-52) generalized to the near-dup sketches a
+  * training-data pipeline needs.
+  *
+  * Scale posture: exact dedup and MinHash both reduce to
+  * groupBy(hash-ish key) — one map-combinable shuffle. Candidate
+  * generation (LSH bands / SimHash bands) replaces the O(n²) pair
+  * space with bucket-local joins; exact verification runs only on
+  * candidates.
+  */
+object NearDup {
+
+  val SHINGLE_K = 3
+  val MINHASH_PERMS = 128
+  val LSH_BANDS = 32 // 32 bands x 4 rows: P(catch | j=0.5) ≈ 0.87, j=0.7 ≈ 0.9996
+
+  /** Exact text dedup by md5 content hash, min doc_id kept —
+    * hash-groupBy, the canonical exact-dedup shape.
+    */
+  def docsDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  /** Documents with their distinct word-3-shingle sets. The
+    * repartition spreads per-doc shingling/hashing across cores —
+    * the test tables arrive as one parquet file (one input split),
+    * and at scale it guards against few-large-files skew ahead of
+    * the CPU-heavy sketch work.
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), T.wordShingles(col("text"), SHINGLE_K).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs (≥ threshold). Pairs are
+    * generated only for docs sharing ≥1 shingle (inverted-index join
+    * on shingle), never a cross join.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
+      .filter(jac >= threshold)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash signatures: 128 permutations via murmur3(shingle, i),
+    * computed as 128 map-combinable `min` aggregates over the
+    * exploded shingle index — one shuffle on doc_id.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until MINHASH_PERMS).map(i => min(H.permHash(col("sh"), i)).as(s"m$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the 128-wide signature into
+    * 32 x 4, bucket-join per band, then verify candidates with exact
+    * shingle Jaccard (≥ threshold). Deterministic given the fixed
+    * murmur3 seed — signatures are stable across runs and cluster
+    * layouts. Verified output ⊆ jaccardPairs, missing only pairs all
+    * 32 bands miss (P ≈ 0.13 at j=0.5, → 0 as j→1).
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sig = minhashSignatures(docs)
+    val rowsPerBand = MINHASH_PERMS / LSH_BANDS
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until LSH_BANDS).map { b =>
+        struct(lit(b).as("band"),
+          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val jac = inter / (size(col("sa")) + size(col("sb")) - inter).cast("double")
+    withSets
+      .filter(jac >= threshold)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash per doc: 64 signed bit-sums over xxhash64(token)
+    * (token frequency weights fall out of summation), sign → bit.
+    */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+    val sums = (0 until 64).map(j => sum(H.simhashBitTerm(col("tok"), j)).as(s"b$j"))
+    ex.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), H.simhashFromBitSums(j => col(s"b$j")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ 3, found by
+    * banding the 64-bit fingerprint into 4 x 16-bit blocks: by
+    * pigeonhole any pair at distance ≤ 3 shares ≥1 exact block, so
+    * the band join is COMPLETE for d ≤ 3 (not probabilistic).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(spark, dir)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("block"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.block").as("block"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (sim ≥ threshold). Norms are
+    * precomputed per row; the pair join is the brute-force correctness
+    * baseline (the LSH-bucketed scale path is Ann.annLsh).
+    */
+  def embCosineDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val sim = V.cosineWithNorms(
+      V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -89,7 +89,8 @@ object Relational {
     Tables.orders(spark, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rnk")
   }
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over documents (SURVEY.md §2.6): token counting,
+  * quality scoring, language ID, rolling-hash fingerprints. Pure
+  * map-side column work — no shuffle except final presentation order,
+  * so these run at scan speed on 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace + BPE-ish regex token counts, and a chars/4 BPE
+    * budget estimate.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        T.regexTokenCount(col("text")).cast("long").as("n_re_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality features + a deterministic rational score in [0,1]:
+    * length saturation x (1 - punct ratio) x (1 - stopword damp).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(T.tokens(col("text"))).cast("double")
+    val punctRatio = T.punctCount(col("text")).cast("double") /
+      nullif(length(col("text")).cast("double"), lit(0.0))
+    val stopRatio = T.stopwordCount(col("text")).cast("double") / nullif(nToks, lit(0.0))
+    val score = least(nToks / 100.0, lit(1.0)) * (lit(1.0) - punctRatio) *
+      (lit(1.0) - lit(0.5) * stopRatio)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nToks.cast("long").as("n_tokens"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(T.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(score, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID: marker-word counts per language,
+    * CJK codepoints trump, deterministic tie order en>de>es>fr.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = T.langMarkers.map { case (l, ms) => l -> T.markerScore(col("text"), ms) }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    val pred = when(T.cjkCount(col("text")) > 0, "zh")
+      .when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("lang_pred"),
+        (pred === col("lang")).as("matches_label"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
+    * exploded to (doc_id, fp) rows — the join-able shape for
+    * fingerprint-overlap dedup at scale. Typed flatMap: map-only,
+    * shuffle-free (see HashFunctions.winnowedFingerprints for why
+    * this is not a Column expression).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        H.winnowedFingerprints(text, 7, 4).map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+  }
+}

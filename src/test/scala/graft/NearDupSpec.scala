@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Ann, NearDup}
+import graft.functions.{HashFunctions => H}
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs, with high recall") {
+    val exact = NearDup.jaccardPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-verified pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall too low (32x4 bands @ j>=0.5)")
+    }
+  }
+
+  test("simhash band join finds EXACTLY the hamming<=3 pairs (pigeonhole completeness)") {
+    val fp = NearDup.simhashFingerprints(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    val banded = NearDup.simhashPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
+  test("ann_lsh neighbors are real corpus vectors with sane recall vs brute force") {
+    val bf = Ann.annBruteForce(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.annLsh(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multi-probe 8-bit LSH: not exact, but must overlap ground truth
+    val recall = (lsh & bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"ANN-LSH recall@5 $recall vs brute force")
+  }
+
+  test("winnowed fingerprints: deterministic, shift-invariant selection") {
+    val a = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
+    val b = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.sorted.sameElements(a))
+    // identical substring in a different context shares fingerprints
+    val c = H.winnowedFingerprints("XXXX the quick brown fox jumps over the lazy dog YYYY", 7, 4)
+    assert((a.toSet & c.toSet).nonEmpty)
+    assert(H.winnowedFingerprints("short", 7, 4).isEmpty)
+  }
+
+  test("exact dedup groups all copies under one hash") {
+    val n = Tables.documents(spark, sf).count()
+    val d = NearDup.docsDedupExact(spark, sf)
+    assert(d.agg(sum("n_copies")).collect()(0).getLong(0) === n)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AsOfJoin, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+
+  test("as-of join picks the most recent right row at or before left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_millis(col("t")).as("t"), col("lid"))
+    val right = Seq((1L, 90L, 20L), (1L, 100L, 21L), (1L, 200L, 22L), (3L, 10L, 23L))
+      .toDF("k", "t", "rid")
+      .select(col("k"), timestamp_millis(col("t")).as("t"), col("rid"))
+    val got = AsOfJoin.asOf(left, right, "k", "t", "lid", "rid")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // lid 10 (t=100): right 21 at t=100 (equal time visible, max id among ties/earlier)
+    // lid 11 (t=250): right 22 at t=200
+    // lid 12 (k=2): no right rows → null
+    assert(got === Map(10L -> 21L, 11L -> 22L, 12L -> -1L))
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val feats = Multimodal.decodeFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === media.count().toInt)
+    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.n_bytes > 0))
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(rows.sortBy(_.doc_id).map(_.checksum).sameElements(again.sortBy(_.doc_id).map(_.checksum)))
+  }
+
+  test("quality scores stay in [0,1] and langid emits known labels") {
+    val q = TextAnalysis.textQuality(spark, sf).collect()
+    assert(q.forall { r =>
+      val s = r.getDouble(r.fieldIndex("quality_score")); s >= 0.0 && s <= 1.0
+    })
+    val langs = TextAnalysis.textLangId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is documented rows-only") {
+    val rowsOnly = Set("docs_minhash_lsh", "docs_simhash", "ann_lsh", "dedup_ttl_chain")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle nor rows-only note: $missing")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.DedupStream
+import graft.streaming.DedupStream.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, tMs: Long, user: Long = 1L, props: String = "{}") =
+    Ev(id, new java.sql.Timestamp(tMs), user, "x", 1.0, props)
+
+  test("streaming ttl-chain dedup across micro-batches matches batch chain replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val ttl = 60000L
+    val batch1 = Seq(ev(1, base), ev(2, base + 1000), ev(10, base, user = 2))
+    val batch2 = Seq(ev(3, base + 30000), // dup of 1 (within ttl)
+      ev(4, base + 70000), // prime (anchor base, 70s > ttl)
+      ev(11, base + 5000, user = 2)) // dup of 10
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupTtlChain(input.toDS(), ttl)
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("ttl_out").collect().map(_.getLong(0)).toSet
+      val (expect, _) = DedupStream.chainPrimes(batch1 ++ batch2, ttl, None)
+      // per-key replay (chainPrimes is per-key; apply per group)
+      val expectIds = (batch1 ++ batch2).groupBy(DedupStream.contentKeyOf)
+        .values.flatMap(g => DedupStream.chainPrimes(g, ttl, None)._1.map(_.event_id)).toSet
+      assert(got === expectIds)
+      assert(got === Set(1L, 4L, 10L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupWithinWatermark(input.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, base), ev(2, base + 1000))
+      q.processAllAvailable()
+      // same content arrives again in a later micro-batch
+      input.addData(ev(3, base + 2000), ev(4, base + 3000, props = "{\"k\":1}"))
+      q.processAllAvailable()
+      val got = spark.table("wm_out").select("event_id").collect().map(_.getLong(0)).toSet
+      // 1,2,3 share content (user 1, x, 1.0, {}) → only the first survives; 4 differs
+      assert(got === Set(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming windowed analytics counts primes/dups with delays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Ev]
+    val annotated = DedupStream.annotate(input.toDS(), ttlMs = 600000L)
+    val q = annotated.writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, base), ev(2, base + 5000), ev(3, base + 8000, user = 3))
+      q.processAllAvailable()
+      val rows = spark.table("ann_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).sortBy(_._1)
+      assert(rows === Array((1L, false, 0L), (2L, true, 5000L), (3L, false, 0L)))
+    } finally q.stop()
+  }
+}
