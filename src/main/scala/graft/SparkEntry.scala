@@ -18,48 +18,69 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Dedup.dedupFirst(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Operators return UNORDERED relational results; the deterministic
+    * output order the oracle compare needs is applied here at the
+    * presentation edge via `present` (single-partition sort of the
+    * final, already-small result). A global `orderBy` inside each
+    * operator would add a range-partitioning sampling job that
+    * re-executes the operator's whole DAG a second time. q3/q_topk
+    * keep their internal orderBy+limit — that's top-k semantics and
+    * compiles to a single-pass TakeOrderedAndProject.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 dedup core
-    "dedup_first" -> ((s, d) => withTsMs(Dedup.dedupFirst(s, d))),
-    "dedup_passthrough" -> ((s, d) => withTsMs(Dedup.dedupPassthrough(s, d))),
-    "dedup_stats" -> ((s, d) => Dedup.dedupStats(s, d)
-      .withColumn("window_start", unix_millis(col("window_start")))),
-    "dedup_ttl_bucket" -> ((s, d) => Dedup.dedupTtlBucket(s, d)),
-    "dedup_ttl_chain" -> ((s, d) => Dedup.dedupTtlChain(s, d)),
-    "dedup_multi_topic" -> ((s, d) => Dedup.dedupMultiTopic(s, d)),
+    "dedup_first" -> ((s, d) => present(withTsMs(Dedup.dedupFirst(s, d)), "event_id")),
+    "dedup_passthrough" -> ((s, d) => present(withTsMs(Dedup.dedupPassthrough(s, d)), "event_id")),
+    "dedup_stats" -> ((s, d) => present(Dedup.dedupStats(s, d)
+      .withColumn("window_start", unix_millis(col("window_start"))), "window_start")),
+    "dedup_ttl_bucket" -> ((s, d) => present(Dedup.dedupTtlBucket(s, d), "event_id")),
+    "dedup_ttl_chain" -> ((s, d) => present(Dedup.dedupTtlChain(s, d), "event_id")),
+    "dedup_multi_topic" -> ((s, d) => present(Dedup.dedupMultiTopic(s, d), "event_id")),
     // §2.2 parsing
-    "parse_props_json" -> ((s, d) => Parse.parsePropsJson(s, d)),
-    "parse_topic" -> ((s, d) => Parse.parseTopic(s, d)),
+    "parse_props_json" -> ((s, d) => present(Parse.parsePropsJson(s, d), "k_bucket")),
+    "parse_topic" -> ((s, d) => present(Parse.parseTopic(s, d), "topic_type")),
     // §2.3 relational
-    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q1_agg" -> ((s, d) => present(Relational.q1Agg(s, d), "l_returnflag", "l_linestatus")),
     "q3_join" -> ((s, d) => Relational.q3Join(s, d)
       .withColumn("o_orderdate", col("o_orderdate").cast("date"))),
-    "q5_multijoin" -> ((s, d) => Relational.q5MultiJoin(s, d)),
+    "q5_multijoin" -> ((s, d) => presentBy(Relational.q5MultiJoin(s, d),
+      col("revenue").desc, col("n_name"))),
     "q6_filter" -> ((s, d) => Relational.q6Filter(s, d)),
-    "q_window" -> ((s, d) => Relational.qWindow(s, d)),
-    "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    "q_window" -> ((s, d) => present(Relational.qWindow(s, d), "o_custkey", "rnk")),
+    "q_rollup" -> ((s, d) => presentBy(Relational.qRollup(s, d),
+      asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     "q_topk" -> ((s, d) => Relational.qTopK(s, d)),
-    "q_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
-    "q_percentile" -> ((s, d) => Relational.qPercentile(s, d)),
-    "q_asof_join" -> ((s, d) => qAsOf(s, d)),
+    "q_sessionize" -> ((s, d) => present(Relational.qSessionize(s, d), "user_id")),
+    "q_percentile" -> ((s, d) => present(Relational.qPercentile(s, d), "event_type")),
+    "q_asof_join" -> ((s, d) => present(qAsOf(s, d), "p_id")),
     // §2.4 dedup family
-    "docs_dedup_exact" -> ((s, d) => NearDup.docsDedupExact(s, d)),
-    "docs_jaccard_pairs" -> ((s, d) => NearDup.jaccardPairs(s, d)),
-    "docs_minhash_lsh" -> ((s, d) => NearDup.minhashLshPairs(s, d)),
-    "docs_simhash" -> ((s, d) => NearDup.simhashPairs(s, d)),
-    "emb_cosine_dedup" -> ((s, d) => NearDup.embCosineDedup(s, d)),
+    "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
+    "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
+    "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
+    "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
+    "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
-    "ann_bruteforce" -> ((s, d) => Ann.annBruteForce(s, d)),
-    "ann_lsh" -> ((s, d) => Ann.annLsh(s, d)),
+    "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
+    "ann_lsh" -> ((s, d) => present(Ann.annLsh(s, d), "q_id", "rnk")),
     // §2.6 text analysis
-    "text_tokens" -> ((s, d) => TextAnalysis.textTokens(s, d)),
-    "text_quality" -> ((s, d) => TextAnalysis.textQuality(s, d)),
-    "text_langid" -> ((s, d) => TextAnalysis.textLangId(s, d)),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(s, d)),
+    "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
+    "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
+    "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
+    "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     // §2.7 multimodal
-    "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)),
+    "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
   )
+
+  /** Presentation order: shuffle the (small) final result to one
+    * partition and sort there — no range-sampling re-execution.
+    */
+  private def presentBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  private def present(df: DataFrame, cols: String*): DataFrame =
+    presentBy(df, cols.map(col): _*)
 
   private def withTsMs(df: DataFrame): DataFrame =
     df.withColumn("ts", unix_millis(col("ts"))).withColumnRenamed("ts", "ts_ms")
@@ -72,7 +93,6 @@ object SparkEntry {
       .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
     AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "p_id", "c_id")
       .select("p_id", "c_id")
-      .orderBy("p_id")
   }
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same

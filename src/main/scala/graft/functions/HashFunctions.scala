@@ -18,9 +18,11 @@ object HashFunctions {
   /** i-th MinHash permutation value of one shingle: murmur3(shingle, i). */
   def permHash(shingle: Column, perm: Int): Column = hash(shingle, lit(perm))
 
-  /** SimHash bit contribution: +1/-1 for bit `j` of xxhash64(token). */
-  def simhashBitTerm(token: Column, j: Int): Column =
-    when(shiftright(xxhash64(token), j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
+  /** SimHash bit contribution: +1/-1 for bit `j` of a precomputed
+    * 64-bit token hash.
+    */
+  def simhashBitTermFromHash(h: Column, j: Int): Column =
+    when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
 
   /** Assemble a 64-bit fingerprint from 64 signed bit-sums
     * (columns `b0`..`b63`): bit j set iff sum_j > 0.

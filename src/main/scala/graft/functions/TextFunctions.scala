@@ -13,18 +13,13 @@ object TextFunctions {
   /** Whitespace tokens (the documents table is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles: sliding windows of k tokens joined by a
-    * single space. Empty array when the doc has fewer than k tokens
-    * (guards sequence() against a negative bound).
+  /** Distinct word k-shingles: sliding windows of k tokens joined by
+    * a single space; empty array below k tokens. Custom single-pass
+    * expression — see graft.plans.WordShingles for why the
+    * declarative HOF version is quadratic per row.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - lit(k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    graft.plans.WordShingles(text, k)
 
   /** BPE-ish regex token stream: letter runs, single digits, or single
     * non-alphanumeric marks (the shape of byte-level BPE pre-tokenizers).

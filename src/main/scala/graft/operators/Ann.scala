@@ -34,7 +34,6 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
-      .orderBy("q_id", "rnk")
   }
 
   /** Deterministic pseudo-random hyperplanes: component h of plane p
@@ -64,9 +63,7 @@ object Ann {
     def signature(t: Int, emb: org.apache.spark.sql.Column) =
       (0 until bits).map { p =>
         val plane = (0 until dim).map(h => planeComponent(t * bits + p, h))
-        val proj = aggregate(
-          zip_with(emb, typedlit(plane), (x, c) => x.cast("double") * c),
-          lit(0.0), (a, v) => a + v)
+        val proj = graft.plans.VecDot(emb, typedlit(plane))
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
@@ -94,6 +91,5 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
-      .orderBy("q_id", "rnk")
   }
 }

@@ -45,7 +45,6 @@ object Dedup {
   def dedupFirst(spark: SparkSession, dir: String): DataFrame =
     firstSeen(Tables.events(spark, dir))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .orderBy("event_id")
 
   /** Primes with their duplicate count — passthrough of the full
     * original row (reference forwards key/eventTime/properties
@@ -59,7 +58,6 @@ object Dedup {
       .drop("_rn")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), col("n_copies"))
-      .orderBy("event_id")
 
   /** Analytics.calcStats as a windowed batch aggregate: per 1-minute
     * arrival window — primes, duplicates, duplicate/prime ratio, and
@@ -80,7 +78,6 @@ object Dedup {
           nullif(sum(when(col("_rn") === 1, 1).otherwise(0)), lit(0)), 4).as("dup_ratio"),
         round(avg(when(col("_rn") > 1,
           unix_millis(col("ts")) - unix_millis(col("_first_ts")))), 2).as("avg_delay_ms"))
-      .orderBy("window_start")
   }
 
   /** TTL-scoped dedup, bucketed: first-wins within tumbling windows of
@@ -100,7 +97,6 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select("event_id")
-      .orderBy("event_id")
   }
 
   /** Exact reference TTL-chain dedup in batch form: per content key,
@@ -122,7 +118,6 @@ object Dedup {
         DedupStream.chainPrimes(it.toSeq, ttlMinutes * 60L * 1000L, None)._1.iterator
       }
       .select(col("event_id"))
-      .orderBy("event_id")
   }
 
   /** Multi-topic merge then dedup (environment.conf multipleTopics):
@@ -136,6 +131,5 @@ object Dedup {
     val topicB = ev.filter(col("user_id") >= 50)
     firstSeen(topicA.unionAll(topicB))
       .select("event_id")
-      .orderBy("event_id")
   }
 }

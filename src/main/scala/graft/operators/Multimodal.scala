@@ -26,7 +26,6 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         sha2(col("payload"), 256).as("sha256"),
         lower(hex(substring(col("payload"), 1, 4))).as("magic"))
-      .orderBy("doc_id")
 
   /** One media row: payload + metadata. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])

@@ -29,7 +29,6 @@ object NearDup {
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("content_hash")
 
   /** Documents with their distinct word-3-shingle sets. The
     * repartition spreads per-doc shingling/hashing across cores —
@@ -43,44 +42,69 @@ object NearDup {
       .select(col("doc_id"), T.wordShingles(col("text"), SHINGLE_K).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** Exact n-gram Jaccard near-dup pairs (≥ threshold). Pairs are
-    * generated only for docs sharing ≥1 shingle (inverted-index join
-    * on shingle), never a cross join.
+  /** Exact n-gram Jaccard near-dup pairs (≥ threshold) via PREFIX
+    * FILTERING (SSJoin/PPJoin family): under a global shingle order
+    * (document frequency asc, then shingle), two sets with
+    * J ≥ t must share a shingle within their first
+    * n − ⌈t·n⌉ + 1 shingles. Only prefixes are exploded into the
+    * inverted-index join — rare shingles first, so hot-shingle pair
+    * blowup (Σ df² over frequent shingles) never happens; candidates
+    * are then verified with exact Jaccard on the full sets. Output is
+    * identical to the brute-force join.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingled(spark, dir)
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
     val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df").as("d"), col("sh").as("s")))).as("arr"))
+    val n = size(col("arr"))
+    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    val prefixes = ordered
+      .select(col("doc_id"), explode(transform(
+        slice(col("arr"), lit(1), prefixLen), e => e.getField("s"))).as("sh"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter")).cast("double")
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
-      .filter(jac >= threshold)
-      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifiedJaccard(cand, docs, threshold)
   }
 
-  /** MinHash signatures: 128 permutations via murmur3(shingle, i),
-    * computed as 128 map-combinable `min` aggregates over the
-    * exploded shingle index — one shuffle on doc_id.
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    * against the full shingle sets.
+    */
+  private def verifiedJaccard(cand: DataFrame, docs: DataFrame,
+                              threshold: Double): DataFrame = {
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+    val jac = graft.plans.JaccardSim(col("sa"), col("sb"))
+    withSets
+      .filter(jac >= threshold)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: each shingle hashed once (xxhash64), then a
+    * single custom Aggregator (MinHashSigAgg) folds all 128
+    * universal-hash permutation minima per doc in one pass — one
+    * map-combinable shuffle on doc_id carrying one 128-long array
+    * per doc. Deterministic (fixed splitmix constants): signatures
+    * stay stable across runs and cluster layouts.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val mins = (0 until MINHASH_PERMS).map(i => min(H.permHash(col("sh"), i)).as(s"m$i"))
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sigAgg = udaf(new graft.functions.MinHashSigAgg(MINHASH_PERMS))
+    docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(sigAgg(col("h")).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: band the 128-wide signature into
     * 32 x 4, bucket-join per band, then verify candidates with exact
-    * shingle Jaccard (≥ threshold). Deterministic given the fixed
-    * murmur3 seed — signatures are stable across runs and cluster
-    * layouts. Verified output ⊆ jaccardPairs, missing only pairs all
-    * 32 bands miss (P ≈ 0.13 at j=0.5, → 0 as j→1).
+    * shingle Jaccard (≥ threshold). Verified output ⊆ jaccardPairs,
+    * missing only pairs all 32 bands miss (P ≈ 0.13 at j=0.5, → 0 as
+    * j→1).
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingled(spark, dir)
@@ -89,7 +113,8 @@ object NearDup {
     val bands = sig.select(col("doc_id"),
       explode(array((0 until LSH_BANDS).map { b =>
         struct(lit(b).as("band"),
-          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("bh"))
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -97,25 +122,21 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val withSets = cand
-      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val jac = inter / (size(col("sa")) + size(col("sb")) - inter).cast("double")
-    withSets
-      .filter(jac >= threshold)
-      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
+    verifiedJaccard(cand, docs, threshold)
   }
 
   /** 64-bit SimHash per doc: 64 signed bit-sums over xxhash64(token)
     * (token frequency weights fall out of summation), sign → bit.
+    * The token hash is materialized once per row in a child
+    * projection — referencing xxhash64 inside all 64 aggregate
+    * expressions would recompute it 64×.
     */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-    val sums = (0 until 64).map(j => sum(H.simhashBitTerm(col("tok"), j)).as(s"b$j"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val sums = (0 until 64).map(j => sum(H.simhashBitTermFromHash(col("h"), j)).as(s"b$j"))
     ex.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), H.simhashFromBitSums(j => col(s"b$j")).as("simhash"))
@@ -141,7 +162,6 @@ object NearDup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("a_id", "b_id")
   }
 
   /** Embedding-cosine near-dup pairs (sim ≥ threshold). Norms are
@@ -157,6 +177,5 @@ object NearDup {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
-      .orderBy("a_id", "b_id")
   }
 }

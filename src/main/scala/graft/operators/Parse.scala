@@ -22,7 +22,6 @@ object Parse {
       .withColumn("k_bucket", pmod(col("k"), lit(10L)))
       .groupBy("k_bucket")
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
-      .orderBy("k_bucket")
 
   /** Build an HFP-style topic path, then decompose it back into typed
     * columns with split() — the topic-parsing shape of the reference.
@@ -38,5 +37,4 @@ object Parse {
         element_at(col("parts"), 5).cast("long").as("topic_user"))
       .groupBy("topic_type")
       .agg(count(lit(1)).as("n"), sum("topic_user").cast("long").as("sum_user"))
-      .orderBy("topic_type")
 }

@@ -34,7 +34,6 @@ object Relational {
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3 style: customer ⋈ orders ⋈ lineitem, top revenue.
     * customer is small relative to the fact tables → broadcast; the
@@ -67,7 +66,6 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   /** TPC-H Q6 style: selective scan + single aggregate; everything is
@@ -91,7 +89,6 @@ object Relational {
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
         col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_custkey", "rnk")
   }
 
   /** Hierarchical aggregate via ROLLUP (flag → flag+status → total). */
@@ -99,7 +96,6 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Global top-k users by total event value: partial agg per
     * partition, tiny shuffle, then a driver-cheap ordered limit.
@@ -123,7 +119,6 @@ object Relational {
           unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1).otherwise(0))
       .groupBy("user_id")
       .agg(sum("new_session").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy("user_id")
   }
 
   /** Exact interpolated percentiles per event_type (matches DuckDB
@@ -137,5 +132,4 @@ object Relational {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
-      .orderBy("event_type")
 }

@@ -22,7 +22,6 @@ object TextAnalysis {
         size(T.tokens(col("text"))).cast("long").as("n_ws_tokens"),
         T.regexTokenCount(col("text")).cast("long").as("n_re_tokens"),
         ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
-      .orderBy("doc_id")
 
   /** Quality features + a deterministic rational score in [0,1]:
     * length saturation x (1 - punct ratio) x (1 - stopword damp).
@@ -43,7 +42,6 @@ object TextAnalysis {
         round(stopRatio, 4).as("stop_ratio"),
         round(T.meanWordLen(col("text")), 4).as("mean_word_len"),
         round(score, 4).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** Stopword-profile language ID: marker-word counts per language,
@@ -60,7 +58,6 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), pred.as("lang_pred"),
         (pred === col("lang")).as("matches_label"))
-      .orderBy("doc_id")
   }
 
   /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
@@ -77,6 +74,5 @@ object TextAnalysis {
         H.winnowedFingerprints(text, 7, 4).map(fp => (id, fp))
       }
       .toDF("doc_id", "fp")
-      .orderBy("doc_id", "fp")
   }
 }
