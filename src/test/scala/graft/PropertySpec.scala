@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{HashFunctions => H, MinHashSigAgg}
+import graft.streaming.DedupStream
+import graft.streaming.DedupStream.Ev
+import org.apache.spark.sql.functions._
+
+/** Fixed-seed randomized properties for the sketch/dedup kernels. */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randEvents(n: Int, keys: Int, spanMs: Long): Seq[Ev] =
+    (0 until n).map { i =>
+      Ev(i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextLong(spanMs)),
+        rnd.nextInt(keys).toLong, "x", 1.0, "{}")
+    }
+
+  test("chainPrimes: primes within a key are always > ttl apart, and rerun is a fixpoint") {
+    for (_ <- 1 to 25) {
+      val ttl = 1000L + rnd.nextInt(5000)
+      val evs = randEvents(200, 5, 60000L)
+      evs.groupBy(DedupStream.contentKeyOf).values.foreach { g =>
+        val (primes, _) = DedupStream.chainPrimes(g, ttl, None)
+        val times = primes.map(_.ts.getTime)
+        times.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a > ttl, s"primes $a,$b within ttl $ttl")
+          case _ =>
+        }
+        // primes are already >ttl apart → dedup of primes = primes
+        val (again, _) = DedupStream.chainPrimes(primes, ttl, None)
+        assert(again.map(_.event_id) === primes.map(_.event_id))
+      }
+    }
+  }
+
+  test("winnowedFingerprints: every fingerprint is a real window hash; count bounded") {
+    for (_ <- 1 to 25) {
+      val len = 10 + rnd.nextInt(200)
+      val s = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val k = 5; val w = 3
+      val fps = H.winnowedFingerprints(s, k, w)
+      // recompute all window hashes naively
+      val all = (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+      }.toSet
+      assert(fps.toSet.subsetOf(all))
+      assert(fps.length <= math.max(0, s.length - k + 1))
+      assert(fps.sorted.sameElements(fps))
+    }
+  }
+
+  test("minhash signature agreement estimates jaccard") {
+    val agg = new MinHashSigAgg(128)
+    def sig(tokens: Seq[String]): Array[Long] = {
+      val buf = agg.zero
+      tokens.foreach { t =>
+        // same 64-bit input hashing as the operator (xxhash64 of the string)
+        buf.synchronized {}
+        agg.reduce(buf, t.hashCode.toLong * 2654435761L) // any 64-bit spread works for the estimate property
+      }
+      buf
+    }
+    for (_ <- 1 to 10) {
+      val base = (0 until 200).map(i => s"tok$i-${rnd.nextInt(1000000)}")
+      val keep = rnd.nextInt(150) + 25
+      val a = base
+      val b = base.take(keep) ++ (0 until (200 - keep)).map(i => s"other$i-${rnd.nextInt(1000000)}")
+      val trueJac = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+      val sa = sig(a); val sb = sig(b)
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      assert(math.abs(est - trueJac) < 0.2, s"est $est vs true $trueJac")
+    }
+  }
+
+  test("VecDot equals a naive sequential double fold, bit-exactly") {
+    import spark.implicits._
+    val data = (0 until 50).map { _ =>
+      ((0 until 64).map(_ => rnd.nextFloat() * 2 - 1).toArray,
+        (0 until 64).map(_ => rnd.nextFloat() * 2 - 1).toArray)
+    }
+    val df = data.toDF("a", "b")
+      .select(graft.plans.VecDot(col("a"), col("b")).as("d"))
+    val got = df.collect().map(_.getDouble(0))
+    val expect = data.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    }
+    got.zip(expect).foreach { case (g, e) => assert(g === e) }
+  }
+}
