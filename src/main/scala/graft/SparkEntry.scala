@@ -55,6 +55,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => present(Relational.qSessionize(s, d), "user_id")),
     "q_percentile" -> ((s, d) => present(Relational.qPercentile(s, d), "event_type")),
     "q_asof_join" -> ((s, d) => present(qAsOf(s, d), "p_id")),
+    "q_cube" -> ((s, d) => presentBy(Relational.qCube(s, d),
+      asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+    "q_antijoin" -> ((s, d) => present(Relational.qAntiJoin(s, d), "c_custkey")),
+    "q_setops" -> ((s, d) => present(Relational.qSetOps(s, d), "user_id")),
     // §2.4 dedup family
     "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
@@ -215,6 +219,19 @@ object SparkEntry {
         |SELECT p.p_id, j.c_id
         |FROM p LEFT JOIN (SELECT p_id, c_id FROM j WHERE rn = 1) j ON p.p_id = j.p_id
         |ORDER BY p.p_id""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_setops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "docs_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

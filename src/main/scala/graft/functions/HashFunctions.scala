@@ -15,23 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** i-th MinHash permutation value of one shingle: murmur3(shingle, i). */
-  def permHash(shingle: Column, perm: Int): Column = hash(shingle, lit(perm))
-
-  /** SimHash bit contribution: +1/-1 for bit `j` of a precomputed
-    * 64-bit token hash.
-    */
-  def simhashBitTermFromHash(h: Column, j: Int): Column =
-    when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
-
-  /** Assemble a 64-bit fingerprint from 64 signed bit-sums
-    * (columns `b0`..`b63`): bit j set iff sum_j > 0.
-    */
-  def simhashFromBitSums(bitCol: Int => Column): Column =
-    (0 until 64).map { j =>
-      when(bitCol(j) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Winnowed rolling-hash fingerprints (Schleimer et al.'s winnowing
     * over Rabin-Karp k-char window hashes, h = fold(h*31 + code) mod
     * 1e9+7): the sorted distinct minima of every w consecutive window

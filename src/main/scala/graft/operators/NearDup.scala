@@ -127,19 +127,17 @@ object NearDup {
 
   /** 64-bit SimHash per doc: 64 signed bit-sums over xxhash64(token)
     * (token frequency weights fall out of summation), sign → bit.
-    * The token hash is materialized once per row in a child
-    * projection — referencing xxhash64 inside all 64 aggregate
-    * expressions would recompute it 64×.
+    * One custom Aggregator folds all 64 sums per input row
+    * (SimHashAgg) — one shuffle on doc_id carrying a 64-int buffer.
     */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(spark, dir)
+    val simAgg = udaf(new graft.functions.SimHashAgg)
+    Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val sums = (0 until 64).map(j => sum(H.simhashBitTermFromHash(col("h"), j)).as(s"b$j"))
-    ex.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), H.simhashFromBitSums(j => col(s"b$j")).as("simhash"))
+      .groupBy("doc_id")
+      .agg(simAgg(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3, found by

@@ -132,4 +132,29 @@ object Relational {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** CUBE over two dimensions — all 4 grouping combinations in one
+    * pass (partial-agg friendly like rollup).
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+
+  /** Anti join: customers with no orders. Broadcast-able build side
+    * at small SF; at scale a shuffled left-anti on the key.
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Set ops: users seen in 'click' events but never in 'purchase'
+    * events (EXCEPT), via distinct projections.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
 }
