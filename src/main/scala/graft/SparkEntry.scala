@@ -59,6 +59,8 @@ object SparkEntry {
       asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
     "q_antijoin" -> ((s, d) => present(Relational.qAntiJoin(s, d), "c_custkey")),
     "q_setops" -> ((s, d) => present(Relational.qSetOps(s, d), "user_id")),
+    "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
+    "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
     // §2.4 dedup family
     "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
@@ -88,6 +90,28 @@ object SparkEntry {
 
   private def withTsMs(df: DataFrame): DataFrame =
     df.withColumn("ts", unix_millis(col("ts"))).withColumnRenamed("ts", "ts_ms")
+
+  /** The SQL-text surface: same engine, spark.sql entry (views +
+    * registered graft functions).
+    */
+  private def q1Sql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private def sqlShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, CAST(size(word_shingles(text, 3)) AS BIGINT) AS n_shingles
+        |FROM documents""".stripMargin)
+  }
 
   private def qAsOf(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -232,6 +256,20 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "q1_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_shingles" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN len(toks) < 3 THEN 0
+        |                 ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |                        i -> array_to_string(toks[i:i+2], ' ')))) END AS BIGINT) AS n_shingles
+        |FROM tok ORDER BY doc_id""".stripMargin,
     "docs_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration of graft's custom Catalyst kernels, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the
+  * Column API:
+  *
+  *  - `vec_dot(a, b)`        — codegen'd double dot product
+  *  - `word_shingles(s, k)`  — distinct word k-shingles
+  *  - `jaccard_sim(a, b)`    — exact set Jaccard of string arrays
+  *
+  * Two entry points: [[GraftFunctions.register]] installs into an
+  * already-running session (temp functions); [[GraftExtensions]] is a
+  * `SparkSessionExtensions` injector for
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  * build time.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "word_shingles k")) },
+    "jaccard_sim" -> { args => JaccardSim(args(0), args(1)) })
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
+}

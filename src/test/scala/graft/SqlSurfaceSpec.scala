@@ -1,0 +1,33 @@
+package graft
+
+import graft.plans.GraftFunctions
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered graft functions work from spark.sql") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot === 32.0)
+
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+
+    val jac = spark.sql(
+      "SELECT jaccard_sim(array('x','y','z'), array('y','z','w')) AS j")
+      .collect()(0).getDouble(0)
+    assert(jac === 0.5)
+  }
+
+  test("registration is idempotent and mixed float/double vec_dot works") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(2.0 AS FLOAT)), array(3.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 6.0)
+  }
+}
