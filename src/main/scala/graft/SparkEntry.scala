@@ -59,6 +59,9 @@ object SparkEntry {
       asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
     "q_antijoin" -> ((s, d) => present(Relational.qAntiJoin(s, d), "c_custkey")),
     "q_setops" -> ((s, d) => present(Relational.qSetOps(s, d), "user_id")),
+    "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
+    "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
+    "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
     // §2.4 dedup family
@@ -256,6 +259,25 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "q_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT (user_id, event_type)) AS n_user_types,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT event_type,
+        |       round(stddev_samp(value), 4) AS sd_value,
+        |       round(var_samp(value), 4) AS var_value,
+        |       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+        |       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scalar_subq" ->
+      """WITH a AS (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN a ON o_custkey = k
+        |WHERE o_totalprice > cust_avg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
     "q1_sql" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

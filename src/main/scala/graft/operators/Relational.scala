@@ -157,4 +157,42 @@ object Relational {
     ev.filter(col("event_type") === "click").select("user_id")
       .except(ev.filter(col("event_type") === "purchase").select("user_id"))
   }
+
+  /** Exact distinct counts (partial-agg distinct rewrite: Spark
+    * expands to a two-phase aggregate; the scale path for loose
+    * accuracy is approx_count_distinct/HLL, not oracle-comparable).
+    */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_type")).as("n_user_types"),
+        count(lit(1)).as("n_events"))
+
+  /** Statistical aggregates per event_type. Rounded to 4 — stddev /
+    * correlation accumulate differently across engines (Welford
+    * order), unlike plain sums.
+    */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cov_vu"))
+
+  /** Scalar subquery: orders above their customer's average order
+    * value — rewritten by Catalyst into an aggregate + join.
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val avgPerCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(avg("o_totalprice").as("cust_avg"))
+    Tables.orders(spark, dir)
+      .join(avgPerCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
 }
