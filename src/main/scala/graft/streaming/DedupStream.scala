@@ -134,6 +134,13 @@ object DedupStream {
       }
   }
 
+  /** NOTE: chaining a flatMapGroupsWithState with a downstream
+    * windowed aggregate is a multi-stateful-operator pipeline; Spark
+    * blocks it by default (global-watermark late-row risk). Run with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    * false` and keep the watermark ≥ the annotate ttl so annotated
+    * rows can't be late for the window state.
+    */
   def windowedStats(annotated: Dataset[Annotated]): DataFrame =
     annotated
       .withWatermark("ts", "10 minutes")

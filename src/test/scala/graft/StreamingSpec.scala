@@ -56,6 +56,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedStats aggregates annotated stream per minute (Analytics.calcStats shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L - (1700000000000L % 60000L) // minute-aligned
+    // chained stateful ops (see windowedStats scaladoc)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[Ev]
+    val stats = DedupStream.windowedStats(DedupStream.annotate(input.toDS(), ttlMs = 600000L))
+    val q = stats.writeStream.format("memory").queryName("stats_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // minute 0: prime + dup (delay 9s); minute 1: new prime
+      input.addData(ev(1, base), ev(2, base + 9000), ev(3, base + 60000, user = 9))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData(ev(99, base + 3600000, user = 99))
+      q.processAllAvailable()
+      val rows = spark.table("stats_out")
+        .selectExpr("window.start", "primes", "duplicates", "avg_delay_ms")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toList
+      assert(rows.take(2) === List(
+        (base, 1L, 1L, Some(9000.0)),
+        (base + 60000, 1L, 0L, None)))
+    } finally q.stop()
+  }
+
   test("streaming windowed analytics counts primes/dups with delays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
