@@ -62,6 +62,8 @@ object SparkEntry {
     "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
+    "q_salted_agg" -> ((s, d) => present(Relational.qSaltedAgg(s, d), "event_type")),
+    "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
     // §2.4 dedup family
@@ -259,6 +261,9 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,

@@ -92,4 +92,71 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** IVF (inverted-file) ANN: K deterministic centroids (the vectors
+    * with the K smallest vec_ids seed Lloyd; `iters` refinement
+    * rounds as DataFrame aggregates), every vector assigned to its
+    * nearest centroid (inverted lists = a cluster column), queries
+    * scan only their `nprobe` nearest clusters' lists. The centroid
+    * pass is a groupBy average — one small shuffle per iteration; the
+    * query pass joins on cluster id, scanning ~nprobe/K of the
+    * corpus. Deterministic end-to-end (no RNG).
+    */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+
+    // centroids as a local Seq[(cid, Array[Double])]: K·dim doubles —
+    // tiny; refined with Lloyd iterations executed as Spark aggregates
+    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < clusters)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq.sortBy(_._1)
+
+    def nearestCentroid(cs: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+      // argmin over centroids of squared distance == argmax of
+      // (dot - ||c||²/2) for fixed vector norm
+      val scored = cs.map { case (cid, c) =>
+        val score = graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0)
+        struct(score.as("s"), lit(cid).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cid", nearestCentroid(cents))
+      val means = assigned.groupBy("cid")
+        .agg(array((0 until 64).map(i =>
+          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      // keep any centroid that lost all members unchanged
+      val kept = cents.toMap ++ means.toMap
+      cents = kept.toSeq.sortBy(_._1)
+    }
+
+    val assigned = e.withColumn("cid", nearestCentroid(cents))
+    // per-query probe list: nprobe nearest centroids (computed the
+    // same declarative way — a tiny cross of queries x centroids)
+    val centDf = spark.createDataFrame(cents.map { case (cid, c) => (cid, c) })
+      .toDF("cid", "cvec")
+    val qProbes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score", graft.plans.VecDot(col("q_emb"), col("cvec")) -
+        graft.plans.VecDot(col("cvec"), col("cvec")) / 2.0)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("cid"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("cid"))
+    val sim2 = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(qProbes).join(assigned, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim2.as("sim"))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
 }

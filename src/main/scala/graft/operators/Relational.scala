@@ -183,6 +183,20 @@ object Relational {
         round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
         round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cov_vu"))
 
+  /** Skew-safe two-phase aggregation (salting): phase 1 aggregates on
+    * (key, salt) so a hot key's rows spread over `salts` reducers;
+    * phase 2 re-aggregates the per-salt partials on the key alone.
+    * Result is identical to a plain groupBy (sums/counts are
+    * associative) — the oracle checks that.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("_salt", pmod(col("event_id"), lit(salts.toLong)))
+      .groupBy("event_type", "_salt")
+      .agg(sum("value").as("pv"), count(lit(1)).as("pn"))
+      .groupBy("event_type")
+      .agg(round(sum("pv"), 2).as("total_value"), sum("pn").cast("long").as("n_events"))
+
   /** Scalar subquery: orders above their customer's average order
     * value — rewritten by Catalyst into an aggregate + join.
     */

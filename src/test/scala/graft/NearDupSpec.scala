@@ -40,6 +40,15 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN-LSH recall@5 $recall vs brute force")
   }
 
+  test("ann_ivf probes nprobe/clusters of the corpus with sane recall vs brute force") {
+    val bf = Ann.annBruteForce(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.annIvf(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall@5 $recall vs brute force")
+  }
+
   test("winnowed fingerprints: deterministic, shift-invariant selection") {
     val a = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
     val b = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
