@@ -82,6 +82,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     // §2.7 multimodal
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
+    "mm_decode" -> ((s, d) => present(
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d)).toDF(), "doc_id")),
   )
 
   /** Presentation order: shuffle the (small) final result to one

@@ -103,7 +103,7 @@ object Ann {
     * corpus. Deterministic end-to-end (no RNG).
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-             clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+             clusters: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
 

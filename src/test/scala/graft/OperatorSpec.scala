@@ -48,7 +48,8 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is documented rows-only") {
-    val rowsOnly = Set("docs_minhash_lsh", "docs_simhash", "ann_lsh", "ann_ivf", "dedup_ttl_chain")
+    val rowsOnly = Set("docs_minhash_lsh", "docs_simhash", "ann_lsh", "ann_ivf",
+      "dedup_ttl_chain", "mm_decode")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle nor rows-only note: $missing")
   }
