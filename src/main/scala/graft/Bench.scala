@@ -30,10 +30,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // untimed warmup: touch every table + JIT the parquet/codegen path
-    try SparkEntry.queries.get("q1_agg").foreach(f =>
-      f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => }
+    // untimed warmup: full scan of every table (file listing, footers,
+    // parquet read path) + one query for codegen/JIT — so the first
+    // timed query per table doesn't absorb the cold-read cost
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+      }
+      SparkEntry.queries.get("q1_agg").foreach(f =>
+        f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

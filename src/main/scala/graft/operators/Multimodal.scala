@@ -20,12 +20,15 @@ object Multimodal {
     */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         sha2(col("payload"), 256).as("sha256"),
-        lower(hex(substring(col("payload"), 1, 4))).as("magic"))
+        // first 4 CHARS re-encoded (not first 4 payload bytes): keeps
+        // the value well-defined for multibyte-leading documents and
+        // byte-identical with the oracle's substring(text,1,4)::BLOB
+        lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("magic"))
 
   /** One media row: payload + metadata. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])

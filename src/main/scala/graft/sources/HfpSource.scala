@@ -34,16 +34,23 @@ object HfpSource {
   val payloadSchema: StructType = StructType(Seq(StructField("VP", vpSchema)))
 
   /** Parse a DataFrame with a single `line` string column of raw HFP
-    * feed lines into typed columns.
+    * feed lines into typed columns. Defensive against wire garbage —
+    * Spark 4's ANSI mode makes element_at/cast/to_timestamp THROW, so
+    * a single blank or truncated line would otherwise kill the batch
+    * job or permanently fail the streaming query (which re-reads the
+    * same file on restart). Malformed lines are dropped; malformed
+    * numeric/timestamp fields go null via try_* variants.
     */
   def parseLines(lines: DataFrame): DataFrame = {
     val parts = split(col("line"), " ", 3)
     def t(i: Int): Column = element_at(split(col("topic"), "/"), i)
     lines
+      .filter(size(split(col("line"), " ", 3)) >= 3)
       .select(
-        to_timestamp(element_at(parts, 1)).as("recv_ts"),
+        expr("try_to_timestamp(element_at(split(line, ' ', 3), 1))").as("recv_ts"),
         element_at(parts, 2).as("topic"),
         element_at(parts, 3).as("payload"))
+      .filter(size(split(col("topic"), "/")) >= 8)
       .withColumn("vp", from_json(col("payload"), payloadSchema).getField("VP"))
       .select(
         col("recv_ts"),
@@ -51,11 +58,11 @@ object HfpSource {
         t(4).as("journey_type"),
         t(5).as("temporal_type"),
         t(6).as("transport_mode"),
-        t(7).cast("long").as("operator_id"),
-        t(8).cast("long").as("vehicle_number"),
+        t(7).try_cast("long").as("operator_id"),
+        t(8).try_cast("long").as("vehicle_number"),
         col("vp.desi").as("desi"), col("vp.dir").as("dir"),
         col("vp.oper").as("oper"), col("vp.veh").as("veh"),
-        to_timestamp(col("vp.tst")).as("tst"), col("vp.tsi").as("tsi"),
+        expr("try_to_timestamp(vp.tst)").as("tst"), col("vp.tsi").as("tsi"),
         col("vp.spd").as("spd"), col("vp.hdg").as("hdg"),
         col("vp.lat").as("lat"), col("vp.long").as("lon"),
         col("vp.acc").as("acc"), col("vp.dl").as("dl"),

@@ -61,7 +61,7 @@ object DedupStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "value", "props")
+      .dropDuplicatesWithinWatermark(graft.operators.Dedup.contentCols)
 
   /** Streaming exact-chain TTL dedup (reference cache semantics).
     * State per content key = the anchor prime's ts; event-time

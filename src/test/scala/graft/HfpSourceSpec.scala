@@ -30,6 +30,24 @@ class HfpSourceSpec extends SparkSpec {
     assert(r1.getAs[Double]("spd") === 8.53)
   }
 
+  test("wire garbage is dropped or nulled, never a crash (ANSI mode)") {
+    import spark.implicits._
+    val garbage = Seq(
+      "", // blank line
+      "only-one-token",
+      "2018-10-09T04:32:52Z /short/topic {}", // topic < 8 segments
+      // non-numeric operator/vehicle + unparseable timestamps
+      """not-a-ts /hfp/v1/journey/ongoing/bus/XX/YY/extra {"VP":{"tst":"garbage"}}""",
+      sample.head)
+    val df = HfpSource.parseLines(garbage.toDF("line"))
+    val rows = df.collect() // must not throw
+    assert(rows.length === 2) // bad-topic + empty lines dropped
+    val bad = df.filter(col("transport_mode") === "bus").collect()(0)
+    assert(bad.isNullAt(bad.fieldIndex("operator_id")))
+    assert(bad.isNullAt(bad.fieldIndex("recv_ts")))
+    assert(bad.isNullAt(bad.fieldIndex("tst")))
+  }
+
   test("payload content key dedups the duplicated feed line") {
     import spark.implicits._
     val df = HfpSource.parseLines(sample.toDF("line"))

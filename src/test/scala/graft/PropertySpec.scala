@@ -56,7 +56,6 @@ class PropertySpec extends SparkSpec {
       val buf = agg.zero
       tokens.foreach { t =>
         // same 64-bit input hashing as the operator (xxhash64 of the string)
-        buf.synchronized {}
         agg.reduce(buf, t.hashCode.toLong * 2654435761L) // any 64-bit spread works for the estimate property
       }
       buf

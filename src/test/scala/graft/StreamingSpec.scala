@@ -27,7 +27,6 @@ class StreamingSpec extends SparkSpec {
       input.addData(batch1: _*); q.processAllAvailable()
       input.addData(batch2: _*); q.processAllAvailable()
       val got = spark.table("ttl_out").collect().map(_.getLong(0)).toSet
-      val (expect, _) = DedupStream.chainPrimes(batch1 ++ batch2, ttl, None)
       // per-key replay (chainPrimes is per-key; apply per group)
       val expectIds = (batch1 ++ batch2).groupBy(DedupStream.contentKeyOf)
         .values.flatMap(g => DedupStream.chainPrimes(g, ttl, None)._1.map(_.event_id)).toSet
@@ -60,8 +59,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L - (1700000000000L % 60000L) // minute-aligned
-    // chained stateful ops (see windowedStats scaladoc)
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // chained stateful ops (see windowedStats scaladoc); restored below
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
     val input = MemoryStream[Ev]
     val stats = DedupStream.windowedStats(DedupStream.annotate(input.toDS(), ttlMs = 600000L))
     val q = stats.writeStream.format("memory").queryName("stats_out")
@@ -81,7 +82,13 @@ class StreamingSpec extends SparkSpec {
       assert(rows.take(2) === List(
         (base, 1L, 1L, Some(9000.0)),
         (base + 60000, 1L, 0L, None)))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None => spark.conf.unset(ccKey)
+      }
+    }
   }
 
   test("streaming windowed analytics counts primes/dups with delays") {

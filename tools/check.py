@@ -21,7 +21,11 @@ def main(sfdir, outdir):
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d)))
+    # union of produced outputs AND declared oracles: a query that
+    # crashed inside graft.Verify (caught + logged, no output dir)
+    # must count as FAIL, not silently vanish from the gate
+    dirs = set(d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d)))
+    names = sorted(dirs | set(oracle.keys()))
     n_pass = n_fail = 0
     for name in names:
         spark_df = load_spark(outdir, name)
