@@ -41,6 +41,12 @@ object NearDup {
       .repartition(col("doc_id"))
       .select(col("doc_id"), T.wordShingles(col("text"), SHINGLE_K).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      // NOTE: consumed 3-4x downstream (inverted index, verify a/b).
+      // Measured: persist() does NOT pay off here — WordShingles is a
+      // single cheap pass, and InMemoryRelation's columnar write+read
+      // of string arrays costs as much as recomputing from the
+      // (OS-cached) parquet. At corpus scale, checkpoint the shingle
+      // table to storage once instead.
 
   /** Exact n-gram Jaccard near-dup pairs (≥ threshold) via PREFIX
     * FILTERING (SSJoin/PPJoin family): under a global shingle order
