@@ -80,6 +80,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
     "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
     "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
+    "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
     // §2.7 multimodal
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
     "mm_decode" -> ((s, d) => present(
@@ -380,6 +381,19 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, lang_pred, (lang_pred = lang) AS matches_label
         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.term,
+        |             CAST(tf.tf AS DOUBLE) * (SELECT CAST(n_docs AS DOUBLE) FROM n) / CAST(df.df AS DOUBLE) AS weight
+        |      FROM tf JOIN df USING (term)),
+        |k AS (SELECT doc_id, term, weight,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rnk
+        |      FROM r)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(weight, 4) AS weight
+        |FROM k WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_fingerprint" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -60,6 +60,31 @@ object TextAnalysis {
         (pred === col("lang")).as("matches_label"))
   }
 
+  /** Top-3 characteristic terms per doc by tf·(N/df) rarity weight.
+    * Same ranking family as tf-idf but ln-free on purpose: libm log
+    * is not bit-identical across engines, while tf·N/df is exact
+    * integer arithmetic in double — the oracle ranks identically.
+    * Two map-combinable aggregates (term frequency per doc, document
+    * frequency per term) + a broadcast-able df join + one window.
+    */
+  def textTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // tiny metadata-only job; N is a plan literal
+    val terms = docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val weight = col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("weight", weight)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), round(col("weight"), 4).as("weight"))
+  }
+
   /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
     * exploded to (doc_id, fp) rows — the join-able shape for
     * fingerprint-overlap dedup at scale. Typed flatMap: map-only,
