@@ -22,32 +22,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A failed query must be VISIBLE: it is reported in "failed", its
+    // per-query slot reads -1 (never summed into total), and the
+    // process exits nonzero — a broken query must not make the bench
+    // look faster or the JSON look complete.
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     // untimed warmup: full scan of every table (file listing, footers,
     // parquet read path) + one query for codegen/JIT — so the first
-    // timed query per table doesn't absorb the cold-read cost
-    try {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .write.format("noop").mode("overwrite").save()
-      }
-      SparkEntry.queries.get("q1_agg").foreach(f =>
-        f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    } catch { case _: Throwable => }
+    // timed query per table doesn't absorb the cold-read cost. Read
+    // through Tables.* (events is TIMESTAMP(NANOS) parquet and needs
+    // its reader's legacy conf); each table warms in its own try so
+    // one failure can't skip the rest.
+    val warmReaders: Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame] = Seq(
+      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+      Tables.part, Tables.orders, Tables.lineitem, Tables.events,
+      Tables.documents, Tables.embeddings)
+    warmReaders.foreach { rd =>
+      try rd(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    }
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup q1: ${e.getMessage}") }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

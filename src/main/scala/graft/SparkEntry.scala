@@ -36,7 +36,11 @@ object SparkEntry {
     "dedup_stats" -> ((s, d) => present(Dedup.dedupStats(s, d)
       .withColumn("window_start", unix_millis(col("window_start"))), "window_start")),
     "dedup_ttl_bucket" -> ((s, d) => present(Dedup.dedupTtlBucket(s, d), "event_id")),
-    "dedup_ttl_chain" -> ((s, d) => present(Dedup.dedupTtlChain(s, d), "event_id")),
+    // coarse (user_id, event_type) key + the reference's real 4h TTL:
+    // the content key has one duplicate pair in the test data, which
+    // would make the chain oracle vacuous — see Dedup.dedupTtlChain.
+    "dedup_ttl_chain" -> ((s, d) => present(Dedup.dedupTtlChain(s, d, ttlMinutes = 240,
+      keyOf = e => s"${e.user_id}|${e.event_type}"), "event_id")),
     "dedup_multi_topic" -> ((s, d) => present(Dedup.dedupMultiTopic(s, d), "event_id")),
     // §2.2 parsing
     "parse_props_json" -> ((s, d) => present(Parse.parsePropsJson(s, d), "k_bucket")),
@@ -131,6 +135,98 @@ object SparkEntry {
       .select("p_id", "c_id")
   }
 
+  /** Exact cosine top-k (k=5, queries = vec_id < 10) — the oracle for
+    * ann_bruteforce and, by exact-recall contract, ann_lsh/ann_ivf.
+    */
+  private val annExactTopKSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+      |           FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |             list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |               i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |               / nullif(sqrt(q.n2) * sqrt(e.n2), 0.0) AS sim
+      |      FROM n q JOIN n e ON q.vec_id < 10 AND q.vec_id <> e.vec_id),
+      |r AS (SELECT q_id, n_id, sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      |      FROM p)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+      |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** ann_lsh oracle: full DuckDB replication of Ann.annLsh — the
+    * hyperplane components (deterministic integer mixing, data-
+    * independent) are inlined as double literals; signatures, the
+    * multi-probe candidate union, and the exact-cosine rerank are
+    * recomputed from the raw embeddings table.
+    */
+  private def annLshOracleSql: String = {
+    val planes = (for { t <- 0 until Ann.LSH_TABLES; p <- 0 until Ann.LSH_BITS } yield {
+      val comps = (0 until Ann.DIM)
+        .map(h => Ann.planeComponent(t * Ann.LSH_BITS + p, h))
+      s"($t, $p, [${comps.mkString(", ")}])"
+    }).mkString(",\n")
+    val flips = (0 until Ann.LSH_BITS).map(b => s"(${1L << b})").mkString(",")
+    s"""WITH planes(t, p, v) AS (VALUES
+       |$planes),
+       |n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
+       |sig AS (SELECT e.vec_id, pl.t,
+       |          CAST(sum(CASE WHEN list_sum(list_transform(range(1, ${Ann.DIM + 1}), i -> e.embedding[i]::DOUBLE * pl.v[i])) >= 0
+       |                        THEN CAST(1 AS BIGINT) << CAST(pl.p AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |        FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+       |flips(f) AS (VALUES (0),$flips),
+       |qp AS (SELECT s.vec_id AS q_id, s.t, xor(s.sig, CAST(f.f AS BIGINT)) AS probe
+       |       FROM sig s CROSS JOIN flips f WHERE s.vec_id < 10),
+       |cand AS (SELECT DISTINCT qp.q_id, s2.vec_id AS n_id
+       |         FROM qp JOIN sig s2 ON s2.t = qp.t AND s2.sig = qp.probe AND s2.vec_id <> qp.q_id),
+       |sims AS (SELECT c.q_id, c.n_id,
+       |           list_sum(list_transform(range(1, ${Ann.DIM + 1}), i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |             / nullif(sqrt(q.n2) * sqrt(e.n2), 0.0) AS sim
+       |         FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n e ON e.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM sims)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
+    * centroids (vec_id < 16), one Lloyd refinement as SQL aggregates
+    * (empty clusters keep their seed), nearest-centroid assignment
+    * with the same argmax tie-break as Spark's greatest(struct)
+    * (score DESC, cid DESC — probe ranking ties break cid ASC like
+    * the Window), nprobe=4 cluster scan, exact-cosine rerank.
+    */
+  private def annIvfOracleSql: String = {
+    def score(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> $v.embedding[i]::DOUBLE * $c.c[i]))
+         |                   - list_sum(list_transform($c.c, x -> x*x)) / 2""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < 16),
+       |a0 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM e v CROSS JOIN c0 c) WHERE rn = 1),
+       |m AS (SELECT a0.cid, i, avg(v.embedding[i]::DOUBLE) AS mv
+       |      FROM a0 JOIN e v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |c1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM e v CROSS JOIN c1 c) WHERE rn = 1),
+       |qp AS (SELECT q_id, cid FROM (
+       |         SELECT v.vec_id AS q_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid ASC) AS crnk
+       |         FROM e v CROSS JOIN c1 c WHERE v.vec_id < 10) WHERE crnk <= 4),
+       |cand AS (SELECT DISTINCT qp.q_id, a1.vec_id AS n_id FROM qp JOIN a1 USING (cid) WHERE qp.q_id <> a1.vec_id),
+       |sims AS (SELECT c.q_id, c.n_id,
+       |           list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+       |             / nullif(sqrt(q.n2) * sqrt(x.n2), 0.0) AS sim
+       |         FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n x ON x.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM sims)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet tables and hash-compares). */
   def oracleSql: Map[String, String] = Map(
@@ -148,19 +244,41 @@ object SparkEntry {
         |  SELECT ts,
         |         row_number() OVER (PARTITION BY user_id, event_type, value, props ORDER BY ts, event_id) AS rn,
         |         min(ts) OVER (PARTITION BY user_id, event_type, value, props) AS first_ts
-        |  FROM events)
-        |SELECT epoch_ms(date_trunc('minute', ts)) AS window_start,
-        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS primes,
-        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
-        |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0), 4) AS dup_ratio,
-        |       round(avg(CASE WHEN rn > 1 THEN epoch_ms(ts) - epoch_ms(first_ts) END), 2) AS avg_delay_ms
-        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM events),
+        |agg AS (
+        |  SELECT epoch_ms(date_trunc('minute', ts)) AS window_start,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS primes,
+        |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
+        |         round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0), 4) AS dup_ratio,
+        |         round(avg(CASE WHEN rn > 1 THEN epoch_ms(ts) - epoch_ms(first_ts) END), 2) AS avg_delay_ms
+        |  FROM h GROUP BY 1)
+        |SELECT window_start, primes, duplicates, dup_ratio, avg_delay_ms,
+        |       dup_ratio > 1.0 AS alert_high_dup,
+        |       NOT (dup_ratio > 1.0) AND dup_ratio < 0.97 AS alert_feed_down
+        |FROM agg ORDER BY window_start""".stripMargin,
     "dedup_ttl_bucket" ->
       """SELECT event_id
         |FROM (SELECT event_id,
         |             row_number() OVER (PARTITION BY user_id, event_type, value, props, floor(epoch_ms(ts) / 600000)
         |                                ORDER BY ts, event_id) AS rn
         |      FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // exact chain replay: recursive CTE steps one event at a time per
+    // key, carrying the anchor; ordering by epoch_ms matches the Spark
+    // kernel's millisecond comparison (Timestamp.getTime)
+    "dedup_ttl_chain" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, rn, event_id, ts AS anchor_ts, true AS is_prime
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn, e.event_id,
+        |         CASE WHEN epoch_ms(e.ts) - epoch_ms(r.anchor_ts) <= 14400000 THEN r.anchor_ts ELSE e.ts END,
+        |         epoch_ms(e.ts) - epoch_ms(r.anchor_ts) > 14400000
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.event_type = r.event_type AND e.rn = r.rn + 1)
+        |SELECT event_id FROM r WHERE is_prime ORDER BY event_id""".stripMargin,
     "dedup_multi_topic" ->
       """WITH merged AS (
         |  SELECT * FROM events WHERE user_id < 100
@@ -317,6 +435,50 @@ object SparkEntry {
         |FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // LSH emits exact-verified (a_id, b_id, jaccard) — identical SQL
+    // to docs_jaccard_pairs. Both sides are fully deterministic
+    // (fixed splitmix permutation constants), and the 32×4 banding's
+    // candidate recall covers every ≥0.5 pair in the test corpora
+    // (validated at sf0.001/0.01/0.1), so equality is stable, not
+    // probabilistic luck per run. NearDupSpec keeps the structural
+    // guarantee (emitted ⊆ exact; high-sim pairs present).
+    "docs_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |it AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // full fingerprint replay: token hash = first 16 hex digits of
+    // md5 parsed big-endian (bit j = bit j%4 of hex digit 15 - j/4),
+    // 64 signed bit-sums per doc, bit set iff sum > 0; fingerprints
+    // assembled as two 32-bit halves so xor/bit_count never overflow;
+    // pairs = brute-force Hamming ≤ 3 (the banding is complete for
+    // d ≤ 3, so bucketed output == brute force)
+    "docs_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+        |bits AS (SELECT doc_id, k,
+        |           CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(16 - (k // 4) AS INT), 1)) - 1) >> (k % 4)) & 1 = 1
+        |                THEN 1 ELSE -1 END AS c
+        |         FROM hx CROSS JOIN (SELECT unnest(range(64)) AS k)),
+        |s AS (SELECT doc_id, k, sum(c) AS bsum FROM bits GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN k < 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(sum(CASE WHEN k >= 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+        |       FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "emb_cosine_dedup" ->
       """WITH n AS (SELECT vec_id, embedding,
         |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
@@ -328,20 +490,35 @@ object SparkEntry {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(sim, 6) AS sim FROM p WHERE sim >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
-    "ann_bruteforce" ->
-      """WITH n AS (SELECT vec_id, embedding,
-        |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
-        |           FROM embeddings),
-        |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-        |             list_sum(list_transform(range(1, len(q.embedding) + 1),
-        |               i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
-        |               / nullif(sqrt(q.n2) * sqrt(e.n2), 0.0) AS sim
-        |      FROM n q JOIN n e ON q.vec_id < 10 AND q.vec_id <> e.vec_id),
-        |r AS (SELECT q_id, n_id, sim,
-        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
-        |      FROM p)
-        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_bruteforce" -> annExactTopKSql,
+    // ann_lsh / ann_ivf oracles REPLICATE the approximate algorithms
+    // end-to-end in DuckDB (not the exact top-k: on this isotropic
+    // corpus the strongest neighbor sits at sim ≈ 0.5, so no bounded
+    // probe budget can guarantee exact recall — and silently grading
+    // an approximate operator against the exact answer would only
+    // pass by luck). The hyperplanes are data-independent constants
+    // inlined as literals; IVF's Lloyd pass is plain SQL aggregates.
+    // The oracle independently recomputes bucketing, candidates, and
+    // the exact-cosine rerank from the raw table.
+    "ann_lsh" -> annLshOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
+    // replay of Multimodal.stubDecode: payload = UTF-8 bytes of text,
+    // checksum = polynomial rolling hash mod 1e9+7 over bytes
+    // (byte i parsed from the hex dump two digits at a time)
+    "mm_decode" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(CAST(n AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS cksum
+        |      FROM b)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes, cksum AS checksum,
+        |       CAST(16 + cksum % 1024 AS INTEGER) AS width,
+        |       CAST(16 + (cksum // 1024) % 1024 AS INTEGER) AS height
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -17,6 +17,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  /** Embedding dimensionality and the default LSH geometry — shared
+    * with the DuckDB oracle generator (SparkEntry inlines the exact
+    * plane components into the ann_lsh oracle SQL, so oracle and
+    * operator always hash the same hyperplanes).
+    */
+  val DIM = 64
+  val LSH_BITS = 8
+  val LSH_TABLES = 4
+
   /** Exact cosine top-k for queries (vec_id < nQueries), self-matches
     * excluded. Query side is broadcast — no corpus shuffle before the
     * top-k; row_number picks k with a vec_id tiebreak.
@@ -40,7 +49,7 @@ object Ann {
     * is a fixed rational derived from murmur-style integer mixing —
     * reproducible across runs with no RNG state.
     */
-  private def planeComponent(p: Int, h: Int): Double = {
+  private[graft] def planeComponent(p: Int, h: Int): Double = {
     var x = p.toLong * 2654435761L + h.toLong * 40503L + 42L
     x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
@@ -58,8 +67,8 @@ object Ann {
     * [[annBruteForce]]; recall/cost tunes via (tables, bits).
     */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10,
-             k: Int = 5, bits: Int = 8, tables: Int = 4): DataFrame = {
-    val dim = 64
+             k: Int = 5, bits: Int = LSH_BITS, tables: Int = LSH_TABLES): DataFrame = {
+    val dim = DIM
     def signature(t: Int, emb: org.apache.spark.sql.Column) =
       (0 until bits).map { p =>
         val plane = (0 until dim).map(h => planeComponent(t * bits + p, h))

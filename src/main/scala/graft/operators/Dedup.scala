@@ -28,6 +28,26 @@ object Dedup {
 
   private def contentKey: Seq[Column] = contentCols.map(col)
 
+  /** Canonical re-serialization of a flat JSON column: parse to a
+    * map, sort entries by key, serialize back — the events-side analog
+    * of the reference's re-serialize-before-hash
+    * (Deduplicator.java:71-106; see also
+    * HfpSource.canonicalContentKey). Two props payloads that differ
+    * only in key order or whitespace become one content identity.
+    * Unparseable JSON → null (from_json is lenient, never throws).
+    */
+  def canonicalJson(c: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(
+      from_json(c, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))))))
+
+  /** Events with `props` canonicalized — run dedup on this frame when
+    * the feed's JSON formatting is not byte-stable.
+    */
+  def canonicalizeProps(events: DataFrame): DataFrame =
+    events.withColumn("props", canonicalJson(col("props")))
+
   /** Arrival order within a content group: reference processes in
     * message order; (ts, event_id) is the deterministic batch analog.
     */
@@ -64,8 +84,16 @@ object Dedup {
     * the mean delay (ms) between a duplicate and its prime
     * (elapsedSinceHit, Deduplicator.java:56). Map-side combinable:
     * after the window pass, the aggregate is plain sums/counts.
+    *
+    * Alert flags mirror Analytics.calcStats (Analytics.java:50-61):
+    * `alert_high_dup` when ratio > 1.0 (more duplicates than primes —
+    * hashing or feed anomaly), ELSE `alert_feed_down` when ratio <
+    * threshold (one of the redundant feeds likely down; reference
+    * default `duplicateRatioThreshold = 0.97`, environment.conf).
+    * Null ratio (no primes in the window) → null flags.
     */
-  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+  def dedupStats(spark: SparkSession, dir: String,
+                 alertThreshold: Double = 0.97): DataFrame = {
     val firstTs = Window.partitionBy(contentKey: _*)
     Tables.events(spark, dir)
       .withColumn("_rn", row_number().over(arrival))
@@ -78,6 +106,9 @@ object Dedup {
           nullif(sum(when(col("_rn") === 1, 1).otherwise(0)), lit(0)), 4).as("dup_ratio"),
         round(avg(when(col("_rn") > 1,
           unix_millis(col("ts")) - unix_millis(col("_first_ts")))), 2).as("avg_delay_ms"))
+      .withColumn("alert_high_dup", col("dup_ratio") > 1.0)
+      .withColumn("alert_feed_down",
+        !(col("dup_ratio") > 1.0) && col("dup_ratio") < alertThreshold)
   }
 
   /** TTL-scoped dedup, bucketed: first-wins within tumbling windows of
@@ -104,16 +135,25 @@ object Dedup {
     * PRIME is within ttl (duplicates never refresh the anchor —
     * cache.put only on miss, Deduplicator.java:51); an expired anchor
     * readmits. Inherently sequential per key → one shuffle on the
-    * content key, then a linear typed walk via flatMapGroups sharing
+    * dedup key, then a linear typed walk via flatMapGroups sharing
     * the streaming operator's chain logic.
+    *
+    * `keyOf` defaults to the full content key (reference semantics);
+    * the driver-contract query passes the coarser (user_id,
+    * event_type) key because exact-content duplicates in the test
+    * data are a single pair — chains keyed that way would never
+    * exercise the anchor logic, while the coarse key yields real
+    * multi-event chains the DuckDB recursive-CTE oracle replays.
     */
-  def dedupTtlChain(spark: SparkSession, dir: String, ttlMinutes: Int = 10): DataFrame = {
+  def dedupTtlChain(spark: SparkSession, dir: String, ttlMinutes: Int = 10,
+                    keyOf: graft.streaming.DedupStream.Ev => String =
+                      graft.streaming.DedupStream.contentKeyOf): DataFrame = {
     import spark.implicits._
     import graft.streaming.DedupStream
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[DedupStream.Ev]
-      .groupByKey(DedupStream.contentKeyOf)
+      .groupByKey(keyOf)
       .flatMapGroups { (_: String, it: Iterator[DedupStream.Ev]) =>
         DedupStream.chainPrimes(it.toSeq, ttlMinutes * 60L * 1000L, None)._1.iterator
       }

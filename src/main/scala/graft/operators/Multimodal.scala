@@ -40,13 +40,17 @@ object Multimodal {
   /** Deterministic stand-in for a real media decoder (the real one
     * would wrap an image/audio codec over the same byte-array
     * batches; libs are absent in this environment by design).
+    * The checksum is a polynomial rolling hash over the payload bytes
+    * mod 1e9+7 — kept overflow-free on purpose so an external oracle
+    * (DuckDB) can replay it with plain checked integer arithmetic.
     */
   private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
+    val P = 1000000007L
     var cksum = 0L
     var i = 0
-    while (i < payload.length) { cksum = cksum * 31 + (payload(i) & 0xFF); i += 1 }
-    val w = 16 + (math.abs(cksum) % 1024).toInt
-    val h = 16 + (math.abs(cksum / 1024) % 1024).toInt
+    while (i < payload.length) { cksum = (cksum * 31 + (payload(i) & 0xFF)) % P; i += 1 }
+    val w = 16 + (cksum % 1024).toInt
+    val h = 16 + (cksum / 1024 % 1024).toInt
     (w, h, cksum)
   }
 

@@ -65,7 +65,10 @@ object TextAnalysis {
     * is not bit-identical across engines, while tf·N/df is exact
     * integer arithmetic in double — the oracle ranks identically.
     * Two map-combinable aggregates (term frequency per doc, document
-    * frequency per term) + a broadcast-able df join + one window.
+    * frequency per term) + a tf⋈df join + one window. The df side is
+    * NOT broadcast-hinted: vocabulary grows with the corpus (at 100 TB
+    * it far exceeds any broadcast limit), so the join is declared
+    * plain and AQE still picks broadcast when df happens to be small.
     */
   def textTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -77,7 +80,7 @@ object TextAnalysis {
     val weight = col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("weight", weight)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -72,20 +72,47 @@ object HfpSource {
         col("payload"))
   }
 
-  /** Content identity of an HFP message for dedup: the payload bytes
-    * (the reference hashes the re-serialized payload,
-    * Deduplicator.java:46 — topic/receive-time are delivery metadata).
+  /** Content identity of an HFP message for dedup: the raw payload
+    * bytes. Sensitive to JSON key order / whitespace — prefer
+    * [[canonicalContentKey]], the analog of the reference's
+    * re-serialization.
     */
   def contentKey: Column = col("payload")
 
+  /** CANONICAL content identity: the payload re-serialized from its
+    * parsed form with a fixed field order — the direct analog of the
+    * reference's protobuf re-serialize-before-hash
+    * (Deduplicator.java:71-106, "the rawHash differs in the order of
+    * bytes"). Two wire payloads that differ only in JSON key order,
+    * whitespace, or numeric spelling ("8.5" vs "8.50") canonicalize
+    * to one string, so delivery-side formatting variance cannot
+    * defeat dedup. Codegen'd to_json over the already-parsed struct —
+    * no second parse.
+    */
+  def canonicalContentKey: Column =
+    to_json(struct(
+      col("desi"), col("dir"), col("oper"), col("veh"),
+      col("tst"), col("tsi"), col("spd"), col("hdg"),
+      col("lat"), col("lon"), col("acc"), col("dl"),
+      col("odo"), col("drst"), col("oday"), col("jrn"),
+      col("line"), col("start")))
+
   /** Batch read of an HFP text feed (one message per line). */
   def readFeed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    parseLines(spark.read.text(path).withColumnRenamed("value", "line"))
+    readVia(spark, FileFeed(path))
 
   /** Streaming read of an HFP text feed directory — the file-source
     * analog of the reference's Pulsar consumer (new files = new
     * messages; downstream dedup/analytics are identical).
     */
   def readFeedStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    parseLines(spark.readStream.text(path).withColumnRenamed("value", "line"))
+    readStreamVia(spark, FileFeed(path))
+
+  /** Parse any [[FeedSource]] (batch). */
+  def readVia(spark: org.apache.spark.sql.SparkSession, src: FeedSource): DataFrame =
+    parseLines(src.read(spark))
+
+  /** Parse any [[FeedSource]] (streaming). */
+  def readStreamVia(spark: org.apache.spark.sql.SparkSession, src: FeedSource): DataFrame =
+    parseLines(src.readStream(spark))
 }

@@ -91,6 +91,73 @@ object DedupStream {
       }
   }
 
+  /** State for one bounded-cache slot: the occupant content key's
+    * hash and its anchor prime's event-time millis.
+    */
+  case class SlotState(keyHash: Long, primeTsMs: Long)
+
+  /** Deterministic 64-bit content-key hash for slot assignment. */
+  private def contentKeyHash(e: Ev): Long = {
+    val s = contentKeyOf(e)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** SIZE-BOUNDED streaming TTL dedup — the analog of the reference
+    * cache's `maximumSize(250000)` (Deduplicator.java:39) on top of
+    * the TTL. State is keyed by cache slot = hash(contentKey) mod
+    * maxEntries, so total state entries are ≤ maxEntries BY
+    * CONSTRUCTION regardless of key churn (the watermark/TTL timeout
+    * still reclaims idle slots). A new content key landing on an
+    * occupied slot evicts the previous occupant — the analog of a
+    * full cache dropping an entry; evicted content re-arriving is
+    * re-admitted as a prime, exactly the reference's behavior when a
+    * message outlives its cache residency. Guava's eviction picks a
+    * coldest-ish entry where this picks a hash collision; both are
+    * "bounded cache forgets under pressure", which is the semantics a
+    * user observes.
+    *
+    * Slot-keyed grouping serializes per-slot work, so size maxEntries
+    * ≥ expected-parallelism × some headroom (the reference's 250k
+    * default is far past that; tiny bounds are for tests).
+    */
+  def dedupBounded(events: Dataset[Ev], ttlMs: Long, maxEntries: Int,
+                   watermark: String = "10 minutes"): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => math.floorMod(contentKeyHash(e), maxEntries.toLong))
+      .flatMapGroupsWithState[SlotState, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[Ev], state: GroupState[SlotState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            val out = Seq.newBuilder[Ev]
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val kh = contentKeyHash(e)
+              val t = e.ts.getTime
+              st match {
+                case Some(SlotState(h, p)) if h == kh && t - p <= ttlMs =>
+                // duplicate of the slot occupant: dropped, anchor kept
+                case _ =>
+                  st = Some(SlotState(kh, t)) // prime; claims (or evicts) the slot
+                  out += e
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.primeTsMs + ttlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming dedup analytics (Analytics.java:47-79): per 1-minute
     * event-time window — primes, duplicates, ratio, mean dup delay.
     * The stateful pass annotates each event (is_dup, delay vs the
@@ -141,7 +208,8 @@ object DedupStream {
     * false` and keep the watermark ≥ the annotate ttl so annotated
     * rows can't be late for the window state.
     */
-  def windowedStats(annotated: Dataset[Annotated]): DataFrame =
+  def windowedStats(annotated: Dataset[Annotated],
+                    alertThreshold: Double = 0.97): DataFrame =
     annotated
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"))
@@ -149,4 +217,12 @@ object DedupStream {
         sum(when(!col("is_dup"), 1).otherwise(0)).cast("long").as("primes"),
         sum(when(col("is_dup"), 1).otherwise(0)).cast("long").as("duplicates"),
         avg(when(col("is_dup"), col("delay_ms"))).as("avg_delay_ms"))
+      // Analytics.java:50-61 alert semantics: high-dup when ratio >
+      // 1.0, ELSE feed-down when below the configured threshold
+      // (duplicateRatioThreshold = 0.97, environment.conf)
+      .withColumn("dup_ratio",
+        col("duplicates").cast("double") / nullif(col("primes"), lit(0)))
+      .withColumn("alert_high_dup", col("dup_ratio") > 1.0)
+      .withColumn("alert_feed_down",
+        !(col("dup_ratio") > 1.0) && col("dup_ratio") < alertThreshold)
 }

@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("canonicalJson collapses key-reordered props (re-serialize analog)") {
+    import spark.implicits._
+    val df = Seq("""{"a":1,"b":2}""", """{ "b":2, "a":1 }""", """{"a":1,"b":3}""")
+      .toDF("props")
+    val c = df.select(Dedup.canonicalJson(col("props")).as("c"))
+      .collect().map(_.getString(0))
+    assert(c(0) === c(1), "key order / whitespace must not change identity")
+    assert(c(0) !== c(2), "different values must stay distinct")
+  }
+
   test("chainPrimes: duplicate does not refresh the anchor; expiry readmits") {
     def ev(id: Long, tMs: Long) =
       DedupStream.Ev(id, new java.sql.Timestamp(tMs), 1L, "x", 1.0, "{}")

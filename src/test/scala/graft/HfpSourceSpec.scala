@@ -55,6 +55,32 @@ class HfpSourceSpec extends SparkSpec {
     assert(df.select(HfpSource.contentKey).distinct().count() === 2)
   }
 
+  test("canonical content key collapses key-reordered JSON payloads (re-serialize analog)") {
+    import spark.implicits._
+    val a = """2018-10-09T04:32:52.549043+0000 /hfp/v1/journey/ongoing/bus/0018/00640/x {"VP":{"desi":"57","dir":"1","veh":640,"spd":8.53}}"""
+    val b = """2018-10-09T04:32:53.000000+0000 /hfp/v1/journey/ongoing/bus/0018/00640/x {"VP":{"veh":640,  "spd":8.53,"desi":"57","dir":"1"}}"""
+    val df = HfpSource.parseLines(Seq(a, b).toDF("line"))
+    // raw payload strings differ (key order + whitespace)...
+    assert(df.select(HfpSource.contentKey).distinct().count() === 2)
+    // ...but the canonical re-serialized key collapses them to one prime
+    assert(df.select(HfpSource.canonicalContentKey).distinct().count() === 1)
+  }
+
+  test("batch + streaming reads go through the FeedSource seam unchanged") {
+    import graft.sources.{FileFeed, MemoryFeed}
+    val viaMemory = HfpSource.readVia(spark, MemoryFeed(sample))
+    assert(viaMemory.count() === 3)
+    val dir = java.nio.file.Files.createTempDirectory("hfp_seam").toFile
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir.getAbsolutePath, "feed.txt"),
+        sample.mkString("\n").getBytes("UTF-8"))
+      assert(HfpSource.readVia(spark, FileFeed(dir.getAbsolutePath)).count() === 3)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming feed: files -> parse -> dedup, end to end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hfp_feed").toFile

@@ -47,10 +47,10 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is documented rows-only") {
-    val rowsOnly = Set("docs_minhash_lsh", "docs_simhash", "ann_lsh", "ann_ivf",
-      "dedup_ttl_chain", "mm_decode")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
-    assert(missing.isEmpty, s"queries without oracle nor rows-only note: $missing")
+  test("every query has a DuckDB oracle (no rows-only gaps)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without query: $orphaned")
   }
 }

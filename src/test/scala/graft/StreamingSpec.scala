@@ -68,20 +68,25 @@ class StreamingSpec extends SparkSpec {
     val q = stats.writeStream.format("memory").queryName("stats_out")
       .outputMode(OutputMode.Append).start()
     try {
-      // minute 0: prime + dup (delay 9s); minute 1: new prime
-      input.addData(ev(1, base), ev(2, base + 9000), ev(3, base + 60000, user = 9))
+      // minute 0: prime + 2 dups (ratio 2.0 → high-dup alert,
+      // Analytics.java:50); minute 1: lone prime (ratio 0 < 0.97 →
+      // feed-down alert, Analytics.java:56)
+      input.addData(ev(1, base), ev(2, base + 9000), ev(5, base + 18000),
+        ev(3, base + 60000, user = 9))
       q.processAllAvailable()
       // advance watermark far enough to close both windows
       input.addData(ev(99, base + 3600000, user = 99))
       q.processAllAvailable()
       val rows = spark.table("stats_out")
-        .selectExpr("window.start", "primes", "duplicates", "avg_delay_ms")
+        .selectExpr("window.start", "primes", "duplicates", "avg_delay_ms",
+          "dup_ratio", "alert_high_dup", "alert_feed_down")
         .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
-          Option(r.get(3)).map(_.asInstanceOf[Double])))
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
         .sortBy(_._1).toList
       assert(rows.take(2) === List(
-        (base, 1L, 1L, Some(9000.0)),
-        (base + 60000, 1L, 0L, None)))
+        (base, 1L, 2L, Some(13500.0), 2.0, true, false),
+        (base + 60000, 1L, 0L, None, 0.0, false, true)))
     } finally {
       q.stop()
       ccPrev match {
@@ -89,6 +94,31 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset(ccKey)
       }
     }
+  }
+
+  test("dedupBounded caps state at maxEntries under key churn and readmits evicted content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupBounded(input.toDS(), ttlMs = 600000L, maxEntries = 1)
+    val q = out.writeStream.format("memory").queryName("bounded_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one slot total (maximumSize analog at its smallest): k1 prime,
+      // k1 dup, k2 claims the slot (evicts k1), k1 re-admitted as prime
+      input.addData(ev(1, base), ev(2, base + 1000),
+        ev(3, base + 2000, user = 2), ev(4, base + 3000))
+      q.processAllAvailable()
+      // churn more distinct keys in a second micro-batch
+      input.addData(ev(5, base + 4000, user = 3), ev(6, base + 5000, user = 4))
+      q.processAllAvailable()
+      val got = spark.table("bounded_out").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 3L, 4L, 5L, 6L))
+      val maxState = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+      assert(maxState.nonEmpty && maxState.max <= 1,
+        s"state exceeded the maxEntries bound: ${maxState.toSeq}")
+    } finally q.stop()
   }
 
   test("streaming windowed analytics counts primes/dups with delays") {
