@@ -25,16 +25,24 @@ object AsOfJoin {
     * @param key     equi-join key column name (same name both sides)
     * @param time    event-time column name (same name both sides)
     * @param leftId  unique left id column
-    * @param rightId unique right id column
+    * @param rightId unique right id column (any orderable type — ids
+    *                keep their original type; the equal-time tiebreak
+    *                is that type's ordering, e.g. lexicographic for
+    *                strings)
     * @return (leftId, key, time, rightId) — rightId null when no right
     *         row precedes the left row (left-outer as-of semantics)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
            leftId: String, rightId: String): DataFrame = {
+    // null slots are typed from each side's actual schema — no cast of
+    // the caller's id columns (ANSI mode would throw on e.g. string
+    // ids; the operator must not impose numeric ids)
+    val lidType = left.schema(leftId).dataType
+    val ridType = right.schema(rightId).dataType
     val l = left.select(col(key), col(time), col(leftId).as("_lid"))
-      .withColumn("_rid", lit(null).cast("long")).withColumn("_tag", lit(1))
-    val r = right.select(col(key), col(time), col(rightId).cast("long").as("_rid"))
-      .withColumn("_lid", lit(null).cast("long")).withColumn("_tag", lit(0))
+      .withColumn("_rid", lit(null).cast(ridType)).withColumn("_tag", lit(1))
+    val r = right.select(col(key), col(time), col(rightId).as("_rid"))
+      .withColumn("_lid", lit(null).cast(lidType)).withColumn("_tag", lit(0))
       .select(col(key), col(time), col("_lid"), col("_rid"), col("_tag"))
     val unioned = l.select(col(key), col(time), col("_lid"), col("_rid"), col("_tag")).union(r)
     val w = Window.partitionBy(key)

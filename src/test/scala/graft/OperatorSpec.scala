@@ -22,6 +22,19 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(10L -> 21L, 11L -> 22L, 12L -> -1L))
   }
 
+  test("as-of join keeps non-numeric id types (no ANSI cast crash)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "L1"), (1L, 250L, "L2"))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_millis(col("t")).as("t"), col("lid"))
+    val right = Seq((1L, 90L, "RA"), (1L, 200L, "RB"))
+      .toDF("k", "t", "rid")
+      .select(col("k"), timestamp_millis(col("t")).as("t"), col("rid"))
+    val got = AsOfJoin.asOf(left, right, "k", "t", "lid", "rid")
+      .select("lid", "rid").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("L1" -> "RA", "L2" -> "RB"))
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
