@@ -75,6 +75,8 @@ object SparkEntry {
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
     "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
     "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
+    "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
+    "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
@@ -85,6 +87,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
     "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
+    // top-k is ordered by construction (TakeOrderedAndProject)
+    "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     // §2.7 multimodal
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
     "mm_decode" -> ((s, d) => present(
@@ -226,6 +230,44 @@ object SparkEntry {
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** Shared CTE chain computing exact word-3-shingle Jaccard pairs
+    * ≥ 0.5 (`jp`) — the oracle core for docs_jaccard_pairs,
+    * docs_minhash_lsh, and the edge set of docs_dedup_groups.
+    */
+  private val jaccardCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |       FROM tok WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |it AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT a_id, b_id,
+      |              round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+      |       FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)""".stripMargin
+
+  private val jaccardPairsSql: String =
+    s"WITH $jaccardCtes\nSELECT a_id, b_id, jaccard FROM jp ORDER BY a_id, b_id"
+
+  /** Shared CTE chain computing winnowed rolling-hash fingerprints
+    * per doc (`f` = exploded (doc_id, fp)) — the oracle core for
+    * text_fingerprint and docs_fp_overlap.
+    */
+  private val fingerprintCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(text) - 5), i ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 7),
+      |             j -> CAST(ascii(substring(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+      |             (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+      |  FROM documents WHERE length(text) >= 7),
+      |w AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fps
+      |      FROM h WHERE len(hs) >= 4),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM w)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet tables and hash-compares). */
@@ -421,20 +463,7 @@ object SparkEntry {
     "docs_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "docs_jaccard_pairs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-        |       FROM tok WHERE len(toks) >= 3),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |it AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
-        |FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "docs_jaccard_pairs" -> jaccardPairsSql,
     // LSH emits exact-verified (a_id, b_id, jaccard) — identical SQL
     // to docs_jaccard_pairs. Both sides are fully deterministic
     // (fixed splitmix permutation constants), and the 32×4 banding's
@@ -442,20 +471,27 @@ object SparkEntry {
     // (validated at sf0.001/0.01/0.1), so equality is stable, not
     // probabilistic luck per run. NearDupSpec keeps the structural
     // guarantee (emitted ⊆ exact; high-sim pairs present).
-    "docs_minhash_lsh" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-        |       FROM tok WHERE len(toks) >= 3),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |it AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
-        |FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "docs_minhash_lsh" -> jaccardPairsSql,
+    // connected components over the jaccard-pair edges: transitive
+    // closure by recursive CTE, group id = min reachable doc_id
+    // (singletons map to themselves)
+    "docs_dedup_groups" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |e AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+         |r AS (SELECT doc_id AS s, doc_id AS d FROM documents
+         |      UNION
+         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+         |SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s ORDER BY doc_id""".stripMargin,
+    // winnowed-fingerprint overlap pairs: df-capped inverted index
+    // (fp in ≤ 20 docs — the corpus median df is 23, so the cap keeps
+    // only discriminative fingerprints), pair overlap count ≥ 5
+    "docs_fp_overlap" ->
+      s"""WITH $fingerprintCtes,
+         |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+         |g AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |      FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 5 ORDER BY a_id, b_id""".stripMargin,
     // full fingerprint replay: token hash = first 16 hex digits of
     // md5 parsed big-endian (bit j = bit j%4 of hex digit 15 - j/4),
     // 64 signed bit-sums per doc, bit set iff sum > 0; fingerprints
@@ -572,17 +608,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(weight, 4) AS weight
         |FROM k WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_fingerprint" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) - 5), i ->
-        |           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 7),
-        |             j -> CAST(ascii(substring(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
-        |             (h, c) -> (h * 31 + c) % 1000000007)) AS hs
-        |  FROM documents WHERE length(text) >= 7),
-        |w AS (SELECT doc_id,
-        |             list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fps
-        |      FROM h WHERE len(hs) >= 4)
-        |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
+      s"WITH $fingerprintCtes\nSELECT doc_id, fp FROM f ORDER BY doc_id, fp",
+    "text_ngram_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+        |       FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT unnest(shingles) AS ngram FROM sh),
+        |c AS (SELECT ngram, count(*) AS df FROM ex GROUP BY 1)
+        |SELECT ngram, CAST(df AS BIGINT) AS df FROM c
+        |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

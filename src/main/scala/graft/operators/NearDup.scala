@@ -60,18 +60,26 @@ object NearDup {
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingled(spark, dir)
+    // candidate generation runs entirely on 64-bit shingle hashes:
+    // the global prefix order becomes (df, hash) — any consistent
+    // total order preserves prefix-filter completeness — and the
+    // inverted-index self-join keys are 8-byte longs instead of
+    // shingle strings (narrower shuffle, cheaper hash join). A hash
+    // collision can only ADD a candidate pair, never drop one, and
+    // the exact string-set verify below discards false positives.
     val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "h")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df").as("d"), col("sh").as("s")))).as("arr"))
+      .agg(sort_array(collect_list(struct(col("df").as("d"), col("h").as("hh")))).as("arr"))
     val n = size(col("arr"))
     val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
     val prefixes = ordered
       .select(col("doc_id"), explode(transform(
-        slice(col("arr"), lit(1), prefixLen), e => e.getField("s"))).as("sh"))
+        slice(col("arr"), lit(1), prefixLen), e => e.getField("hh"))).as("h"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifiedJaccard(cand, docs, threshold)
@@ -186,6 +194,83 @@ object NearDup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Winnowed-fingerprint overlap near-dup pairs (MOSS-style): two
+    * docs are near-dups when they share ≥ minOverlap winnowed
+    * rolling-hash fingerprints (TextAnalysis.textFingerprint's
+    * kernel). Catches CONTAINMENT (a doc embedding a chunk of
+    * another) that Jaccard misses — the standard complement to
+    * set-similarity dedup in a training pipeline.
+    *
+    * Scale shape: inverted index on fingerprint, equi-join, count per
+    * pair. Fingerprints present in > maxDf docs are dropped before
+    * pairing — ubiquitous 7-grams carry no signal and their pair
+    * fan-out is df², so the cap bounds the join blowup exactly like
+    * jaccardPairs' prefix filter (document-frequency pruning).
+    */
+  def fingerprintOverlapPairs(spark: SparkSession, dir: String,
+                              minOverlap: Int = 5, maxDf: Int = 20): DataFrame = {
+    val fp = TextAnalysis.textFingerprint(spark, dir)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val g = fp.join(rare, "fp")
+    g.as("a").join(g.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** Connected-component dedup GROUPS: collapse near-dup pairs into
+    * clusters and tag every document with its group id (= the
+    * smallest doc_id reachable through near-dup edges; singletons are
+    * their own group). This is the step that turns pairwise dedup
+    * output into an actionable keep/drop decision (keep group_id ==
+    * doc_id, drop the rest).
+    *
+    * Edges default to the MinHash-LSH near-dup pairs — at corpus
+    * scale that is the only viable pair source (exact Jaccard is the
+    * small-scale baseline), and every emitted edge is exact-verified,
+    * so the component structure is built on true ≥-threshold pairs
+    * either way.
+    *
+    * Iterative min-label propagation (the standard Pregel-style
+    * rendering): each round, every node takes the min of its own and
+    * its neighbors' labels; rounds needed = graph diameter ≤
+    * O(log n) for near-dup clusters (they are small and dense).
+    * Each round is one equi-join + one map-combinable min-aggregate;
+    * `localCheckpoint` truncates lineage so round N doesn't re-run
+    * rounds 1..N-1 (at production scale, use reliable checkpointing
+    * to storage instead). The convergence probe is an aggregate (any
+    * label changed), not a collect.
+    */
+  def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                  maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir, threshold).select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("group_id"))
   }
 
   /** Embedding-cosine near-dup pairs (sim ≥ threshold), EXACT, via

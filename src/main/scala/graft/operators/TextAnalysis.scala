@@ -88,6 +88,22 @@ object TextAnalysis {
         col("term"), round(col("weight"), 4).as("weight"))
   }
 
+  /** Corpus-level top-k word n-grams by document frequency — the
+    * corpus-statistics pass a training pipeline runs to find
+    * boilerplate/templates (an n-gram appearing in many documents is
+    * a dedup/cleaning signal). Distinct-per-doc shingling (the
+    * WordShingles kernel), then one map-combinable count and a
+    * single-pass TakeOrderedAndProject top-k with a deterministic
+    * (df DESC, ngram) tiebreak — no global sort.
+    */
+  def textNgramTopk(spark: SparkSession, dir: String,
+                    n: Int = 2, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(T.wordShingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+
   /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
     * exploded to (doc_id, fp) rows — the join-able shape for
     * fingerprint-overlap dedup at scale. Typed flatMap: map-only,

@@ -49,6 +49,42 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@5 $recall vs brute force")
   }
 
+  test("dedupGroups equals an in-memory union-find over the jaccard pairs") {
+    val pairs = NearDup.jaccardPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // independent oracle: classic union-find
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = docs.map(d => d -> {
+      // group id = min member = root under min-union
+      find(d)
+    }).toMap
+    val got = NearDup.dedupGroups(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("fingerprint-overlap pairs share at least minOverlap winnowed fingerprints") {
+    val fps = graft.operators.TextAnalysis.textFingerprint(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = NearDup.fingerprintOverlapPairs(spark, sf, minOverlap = 5, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, n) =>
+      val shared = fps(a) & fps(b)
+      assert(shared.size >= 5, s"pair ($a,$b) claims $n shared but full overlap is ${shared.size}")
+      // the df-capped count can only be ≤ the raw overlap
+      assert(n <= shared.size)
+    }
+  }
+
   test("winnowed fingerprints: deterministic, shift-invariant selection") {
     val a = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
     val b = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)

@@ -46,6 +46,15 @@ class OperatorSpec extends SparkSpec {
     assert(rows.sortBy(_.doc_id).map(_.checksum).sameElements(again.sortBy(_.doc_id).map(_.checksum)))
   }
 
+  test("corpus ngram top-k is deterministic, ordered, and df-consistent") {
+    val rows = TextAnalysis.textNgramTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    // ordered by (df desc, ngram asc)
+    assert(rows.sameElements(rows.sortBy { case (g, df) => (-df, g) }))
+    assert(rows.forall(_._2 >= 1))
+  }
+
   test("quality scores stay in [0,1] and langid emits known labels") {
     val q = TextAnalysis.textQuality(spark, sf).collect()
     assert(q.forall { r =>
