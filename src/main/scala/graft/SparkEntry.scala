@@ -67,6 +67,8 @@ object SparkEntry {
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
     "q_salted_agg" -> ((s, d) => present(Relational.qSaltedAgg(s, d), "event_type")),
+    "q_pivot" -> ((s, d) => present(Relational.qPivot(s, d), "o_orderpriority")),
+    "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -76,11 +78,13 @@ object SparkEntry {
     "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
     "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
     "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
+    "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
     "ann_lsh" -> ((s, d) => present(Ann.annLsh(s, d), "q_id", "rnk")),
+    "emb_label_centroids" -> ((s, d) => present(Ann.labelCentroids(s, d), "label", "dim")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -93,7 +97,21 @@ object SparkEntry {
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
     "mm_decode" -> ((s, d) => present(
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d)).toDF(), "doc_id")),
+    // 64-byte frames / stride 2: documents are 48-553 bytes, so this
+    // yields 1-5 sampled frames per doc (256/4 would leave most docs
+    // single-frame and never exercise the stride)
+    "mm_frame_sample" -> ((s, d) => present(
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(s, d),
+        frameBytes = 64, stride = 2).toDF(), "doc_id", "frame_idx")),
   )
+
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click").select(col("ts"))
+    RangeJoin.countInWindow(purchases, clicks, "p_id", windowMs = 3600000L)
+  }
 
   /** Presentation order: shuffle the (small) final result to one
     * partition and sort there — no range-sampling re-execution.
@@ -427,6 +445,18 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, epoch_ms(ts) AS t FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT epoch_ms(ts) AS t FROM events WHERE event_type = 'click')
+        |SELECT p.p_id,
+        |       CAST((SELECT count(*) FROM c WHERE c.t >= p.t - 3600000 AND c.t <= p.t) AS BIGINT) AS n_in_window
+        |FROM p ORDER BY p_id""".stripMargin,
     "q_distinct" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,
@@ -472,6 +502,19 @@ object SparkEntry {
     // probabilistic luck per run. NearDupSpec keeps the structural
     // guarantee (emitted ⊆ exact; high-sim pairs present).
     "docs_minhash_lsh" -> jaccardPairsSql,
+    // directional containment |A∩B|/|A| ≥ 0.8 over distinct
+    // 3-shingle sets, both directions emitted independently
+    "docs_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |               / CAST(len(a.shingles) AS DOUBLE) AS cont
+        |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, round(cont, 4) AS containment
+        |FROM p WHERE cont >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     // connected components over the jaccard-pair edges: transitive
     // closure by recursive CTE, group id = min reachable doc_id
     // (singletons map to themselves)
@@ -538,6 +581,13 @@ object SparkEntry {
     // the exact-cosine rerank from the raw table.
     "ann_lsh" -> annLshOracleSql,
     "ann_ivf" -> annIvfOracleSql,
+    // float→double casts happen per element BEFORE the avg on both
+    // sides; round(·, 6) absorbs the engines' summation-order ulps
+    "emb_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS c
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replay of Multimodal.stubDecode: payload = UTF-8 bytes of text,
     // checksum = polynomial rolling hash mod 1e9+7 over bytes
     // (byte i parsed from the hex dump two digits at a time)
@@ -555,6 +605,23 @@ object SparkEntry {
         |       CAST(16 + cksum % 1024 AS INTEGER) AS width,
         |       CAST(16 + (cksum // 1024) % 1024 AS INTEGER) AS height
         |FROM c ORDER BY doc_id""".stripMargin,
+    // frame sampling replay: every 2nd 64-byte frame, mod-p checksum
+    // over that frame's bytes from the hex dump
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, hx, n,
+        |              unnest(range(0, CAST((n + 63) // 64 AS INT), 2)) AS fi
+        |       FROM b),
+        |c AS (SELECT doc_id, fi, least(n - fi * 64, 64) AS fb,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(CAST(least(n - fi * 64, 64) AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 2 AS INT), 1)) - 1) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS cksum
+        |      FROM fr)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fb AS INT) AS n_bytes, cksum AS checksum
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -45,6 +45,19 @@ object Ann {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-label embedding centroids as (label, dim, c) skinny rows —
+    * the class-prototype aggregate a labeled-embedding pipeline needs
+    * (nearest-prototype classification, per-class drift monitoring).
+    * posexplode → one map-combinable avg per (label, dim): a single
+    * shuffle of n·dim narrow rows, no driver collect (contrast the
+    * IVF Lloyd pass, where K·dim is a driver constant by design).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+
   /** Deterministic pseudo-random hyperplanes: component h of plane p
     * is a fixed rational derived from murmur-style integer mixing —
     * reproducible across runs with no RNG state.

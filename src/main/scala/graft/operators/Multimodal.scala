@@ -71,6 +71,34 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame's features. */
+  case class FrameFeature(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Deterministic frame sampling over binary payloads — the
+    * video-pipeline shape: the payload splits into fixed `frameBytes`
+    * frames and every `stride`-th frame (0, stride, 2·stride, …) is
+    * "decoded" (the same mod-p checksum stub standing in for a codec;
+    * see [[stubDecode]]). Typed flatMap keeps it map-only and
+    * batch-shaped: a real decoder initializes once per partition and
+    * seeks per sampled frame, never materializing unsampled frames —
+    * output is skinny (doc, frame) rows, not payload copies.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 256,
+                  stride: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      (0 until nFrames by stride).iterator.map { fi =>
+        val from = fi * frameBytes
+        val until = math.min(n, from + frameBytes)
+        val frame = java.util.Arrays.copyOfRange(r.payload, from, until)
+        val (_, _, ck) = stubDecode(frame)
+        FrameFeature(r.doc_id, fi, until - from, ck)
+      }
+    }
+  }
+
   /** documents → MediaRow dataset (text bytes as stand-in payloads). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -58,31 +58,75 @@ object NearDup {
     * are then verified with exact Jaccard on the full sets. Output is
     * identical to the brute-force join.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = shingled(spark, dir)
-    // candidate generation runs entirely on 64-bit shingle hashes:
-    // the global prefix order becomes (df, hash) — any consistent
-    // total order preserves prefix-filter completeness — and the
-    // inverted-index self-join keys are 8-byte longs instead of
-    // shingle strings (narrower shuffle, cheaper hash join). A hash
-    // collision can only ADD a candidate pair, never drop one, and
-    // the exact string-set verify below discards false positives.
-    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+  /** (doc_id, h): every shingle occurrence as a 64-bit hash. The
+    * candidate machinery runs entirely on hashes — the global prefix
+    * order becomes (df, hash), a consistent total order (any one
+    * preserves prefix-filter completeness), and the inverted-index
+    * join keys are 8-byte longs instead of shingle strings (narrower
+    * shuffle, cheaper hash join). A hash collision can only ADD a
+    * candidate pair, never drop one; the exact string-set verify
+    * discards false positives.
+    */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+
+  /** Per doc, the first n − ⌈t·n⌉ + 1 shingle hashes in global
+    * (df asc, hash) order — the prefix-filter candidate probes.
+    */
+  private def prefixProbes(ex: DataFrame, threshold: Double): DataFrame = {
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df").as("d"), col("h").as("hh")))).as("arr"))
     val n = size(col("arr"))
     val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
-    val prefixes = ordered
-      .select(col("doc_id"), explode(transform(
-        slice(col("arr"), lit(1), prefixLen), e => e.getField("hh"))).as("h"))
+    ordered.select(col("doc_id"), explode(transform(
+      slice(col("arr"), lit(1), prefixLen), e => e.getField("hh"))).as("h"))
+  }
+
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = shingled(spark, dir)
+    val prefixes = prefixProbes(hashedShingles(docs), threshold)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifiedJaccard(cand, docs, threshold)
+  }
+
+  /** Directional containment near-dup pairs: |A∩B| / |A| ≥ t — flags
+    * a document whose shingle set is (mostly) contained in another's,
+    * the subset-duplication case symmetric Jaccard misses (a chunk
+    * embedded in a much larger doc has low Jaccard but containment
+    * ≈ 1; training corpora are full of quote/aggregate pages).
+    *
+    * Prefix filter, containment variant: if |A∩B|/|A| ≥ t, A's first
+    * n_a − ⌈t·n_a⌉ + 1 shingles (global df-asc order) must hit B's
+    * FULL set — a directional predicate gives nothing to prune on
+    * the B side, so A-prefixes join the full inverted index. Exact
+    * verify (array_intersect on the string sets) on candidates only.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = shingled(spark, dir)
+    val ex = hashedShingles(docs)
+    val cand = prefixProbes(ex, threshold).as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      // size prune BEFORE the set intersection: |A∩B| ≤ |B|, so
+      // containment ≥ t needs |B| ≥ t·|A| — kills most candidates
+      // with a two-int comparison instead of an array intersect
+      .filter(size(col("sb")).cast("double") >=
+        lit(threshold) * size(col("sa")).cast("double"))
+    val cont = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(col("sa")).cast("double")
+    withSets.filter(cont >= threshold)
+      .select(col("a_id"), col("b_id"), round(cont, 4).as("containment"))
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs

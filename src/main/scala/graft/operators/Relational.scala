@@ -197,6 +197,22 @@ object Relational {
       .groupBy("event_type")
       .agg(round(sum("pv"), 2).as("total_value"), sum("pn").cast("long").as("n_events"))
 
+  /** PIVOT: per-priority order counts rotated to one column per
+    * order status. The pivot value list is EXPLICIT — omitting it
+    * makes Spark run a distinct-scan job just to discover columns,
+    * a full extra pass at 100 TB. Missing cells coalesce to 0 (count
+    * semantics).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
   /** Scalar subquery: orders above their customer's average order
     * value — rewritten by Catalyst into an aggregate + join.
     */

@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Output seam — the producer side of the reference service
+  * (Main.java wires a Pulsar producer; deduped primes are forwarded
+  * downstream). Zero-egress sandbox → the provided sinks are files;
+  * the Pulsar mapping is one line on the same frames:
+  * {{{
+  * deduped.writeStream.format("pulsar")
+  *   .option("service.url", serviceUrl)
+  *   .option("topic", outputTopic)
+  *   .option("checkpointLocation", ckpt)
+  *   .start()
+  * }}}
+  *
+  * Batch writes are DATE-PARTITIONED parquet: at 100 TB the partition
+  * column is what lets every downstream reader prune to its time
+  * slice at file-listing time (PartitionFilters in the scan, zero
+  * data touched outside the slice). The partition column is derived,
+  * low-cardinality (one dir per day), and appended — never a
+  * high-cardinality key, which would produce a dir-per-value small-
+  * files explosion.
+  */
+object GraftSink {
+
+  /** Write `df` as parquet partitioned by the DATE of `tsCol`. */
+  def writeDatePartitioned(df: DataFrame, path: String,
+                           tsCol: String = "ts"): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** Append-mode streaming file sink with checkpointing — the
+    * file-based analog of the reference's Pulsar producer (each
+    * micro-batch's primes land as new parquet files; the checkpoint
+    * gives exactly-once per the file sink's commit protocol).
+    */
+  def startFileSink(df: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}

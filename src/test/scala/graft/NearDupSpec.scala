@@ -85,6 +85,24 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: every jaccard pair implies containment both ways at j>=0.5... directional check") {
+    // containment(A,B) >= jaccard(A,B) always; and for the planted
+    // near-dups (j >= 0.5 pairs) at threshold 0.8, the emitted pairs
+    // must be a superset-per-direction of high-jaccard pairs
+    val cont = NearDup.containmentPairs(spark, sf, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.nonEmpty)
+    cont.foreach { case (_, _, c) => assert(c >= 0.8 && c <= 1.0) }
+    // symmetric high-jaccard pairs (j >= 0.9) appear in both directions
+    val highJ = NearDup.jaccardPairs(spark, sf).filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val contSet = cont.map(t => (t._1, t._2)).toSet
+    highJ.foreach { case (a, b) =>
+      assert(contSet.contains((a, b)) && contSet.contains((b, a)),
+        s"high-jaccard pair ($a,$b) missing from containment output")
+    }
+  }
+
   test("winnowed fingerprints: deterministic, shift-invariant selection") {
     val a = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)
     val b = H.winnowedFingerprints("the quick brown fox jumps over the lazy dog", 7, 4)

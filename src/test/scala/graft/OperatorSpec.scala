@@ -46,6 +46,30 @@ class OperatorSpec extends SparkSpec {
     assert(rows.sortBy(_.doc_id).map(_.checksum).sameElements(again.sortBy(_.doc_id).map(_.checksum)))
   }
 
+  test("bucketed range join equals the naive theta-join count") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val mk = (rows: Seq[(Long, Long)]) => rows.toDF("id", "t")
+      .select(col("id"), timestamp_millis(col("t")).as("ts"))
+    val left = mk(Seq((1L, 1000L), (2L, 5000L), (3L, 100000L)))
+    val right = mk(Seq((10L, 0L), (11L, 900L), (12L, 4500L), (13L, 99000L), (14L, 100001L)))
+    val got = RangeJoin.countInWindow(left, right.select("ts"), "id", windowMs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id 1 [0,1000]: right at 0, 900 → 2; id 2 [4000,5000]: 4500 → 1;
+    // id 3 [99000,100000]: 99000 → 1 (100001 is after)
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("frame sampling is exact on frame boundaries and strides") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](1025)(i => (i % 251).toByte) // 5 frames of 256 (last = 1 byte)
+    val media = Seq(Multimodal.MediaRow(7L, payload)).toDS()
+    val frames = Multimodal.frameSample(media, frameBytes = 256, stride = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 4)) // 5 frames → sampled 0 and 4
+    assert(frames(0).n_bytes === 256 && frames(1).n_bytes === 1)
+  }
+
   test("corpus ngram top-k is deterministic, ordered, and df-consistent") {
     val rows = TextAnalysis.textNgramTopk(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
