@@ -29,6 +29,13 @@ object Ann {
   /** Exact cosine top-k for queries (vec_id < nQueries), self-matches
     * excluded. Query side is broadcast — no corpus shuffle before the
     * top-k; row_number picks k with a vec_id tiebreak.
+    *
+    * The plan IS a BroadcastNestedLoopJoin — deliberately: exact
+    * scoring has no equi key, and the broadcast side is the k-row
+    * QUERY set (bounded), so this is a map-only corpus scan. The
+    * scale-killer variant is broadcasting a full data side
+    * (cf. the old emb_cosine_dedup plan); broadcasting the bounded
+    * query set is the textbook shape for an exact baseline.
     */
   def annBruteForce(spark: SparkSession, dir: String,
                     nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -160,7 +167,9 @@ object Ann {
 
     val assigned = e.withColumn("cid", nearestCentroid(cents))
     // per-query probe list: nprobe nearest centroids (computed the
-    // same declarative way — a tiny cross of queries x centroids)
+    // same declarative way — a tiny cross of queries x centroids;
+    // the resulting BroadcastNestedLoopJoin broadcasts the K-row
+    // centroid table, i.e. the bounded side — a map-only pass)
     val centDf = spark.createDataFrame(cents.map { case (cid, c) => (cid, c) })
       .toDF("cid", "cvec")
     val qProbes = assigned.filter(col("vec_id") < nQueries)
