@@ -72,6 +72,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
+    "sql_cosine" -> ((s, d) => present(sqlCosine(s, d), "a_id", "b_id")),
     // §2.4 dedup family
     "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
@@ -145,6 +146,19 @@ object SparkEntry {
     spark.sql(
       """SELECT doc_id, CAST(size(word_shingles(text, 3)) AS BIGINT) AS n_shingles
         |FROM documents""".stripMargin)
+  }
+
+  /** Registered cosine_sim kernel driven from SQL text: pairwise
+    * sims of the 10 query vectors (45 unordered pairs).
+    */
+  private def sqlCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(cosine_sim(a.embedding, b.embedding), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id""".stripMargin)
   }
 
   private def qAsOf(spark: SparkSession, dir: String): DataFrame = {
@@ -490,6 +504,16 @@ object SparkEntry {
         |                 ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
         |                        i -> array_to_string(toks[i:i+2], ' ')))) END AS BIGINT) AS n_shingles
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "sql_cosine" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |             / nullif(sqrt(a.n2) * sqrt(b.n2), 0.0), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "docs_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Divide, Expression, ExpressionInfo, Literal, Multiply, NullIf, Size, Sqrt}
+import org.apache.spark.sql.types.DoubleType
 
 /** SQL-surface registration of graft's custom Catalyst kernels, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the
@@ -11,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `vec_dot(a, b)`        — codegen'd double dot product
   *  - `word_shingles(s, k)`  — distinct word k-shingles
   *  - `jaccard_sim(a, b)`    — exact set Jaccard of string arrays
+  *  - `cosine_sim(a, b)`     — cosine similarity (VecDot-composed,
+  *                             null on zero norm)
+  *  - `containment_sim(a, b)` — |a∩b| / |a| directional containment
   *
   * Two entry points: [[GraftFunctions.register]] installs into an
   * already-running session (temp functions); [[GraftExtensions]] is a
@@ -29,7 +33,20 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "word_shingles k")) },
-    "jaccard_sim" -> { args => JaccardSim(args(0), args(1)) })
+    "jaccard_sim" -> { args => JaccardSim(args(0), args(1)) },
+    // composed from codegen'd pieces — stays inside whole-stage
+    // codegen like the kernels it builds on
+    "cosine_sim" -> { args =>
+      val dot = VecDot(args(0), args(1))
+      val denom = Multiply(Sqrt(VecDot(args(0), args(0))),
+        Sqrt(VecDot(args(1), args(1))))
+      new Divide(dot, new NullIf(denom, Literal(0.0)))
+    },
+    "containment_sim" -> { args =>
+      val inter = Cast(Size(ArrayIntersect(args(0), args(1))), DoubleType)
+      val na = Cast(Size(args(0)), DoubleType)
+      new Divide(inter, new NullIf(na, Literal(0.0)))
+    })
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -22,6 +22,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(jac === 0.5)
   }
 
+  test("cosine_sim and containment_sim compose correctly in SQL") {
+    GraftFunctions.register(spark)
+    // parallel unit vectors → 1.0; orthogonal → 0.0
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS c1,
+        |       cosine_sim(array(1.0d, 0.0d), array(0.0d, 3.0d)) AS c2,
+        |       cosine_sim(array(0.0d), array(1.0d)) AS c3""".stripMargin)
+      .collect()(0)
+    assert(cos.getDouble(0) === 1.0)
+    assert(cos.getDouble(1) === 0.0)
+    assert(cos.isNullAt(2)) // zero norm → null, not NaN/crash (ANSI)
+    val cont = spark.sql(
+      """SELECT containment_sim(array('x','y'), array('x','y','z')) AS full,
+        |       containment_sim(array('x','q'), array('x','y','z')) AS half""".stripMargin)
+      .collect()(0)
+    assert(cont.getDouble(0) === 1.0)
+    assert(cont.getDouble(1) === 0.5)
+  }
+
   test("registration is idempotent and mixed float/double vec_dot works") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
