@@ -73,6 +73,13 @@ object NearDup {
 
   /** Per doc, the first n − ⌈t·n⌉ + 1 shingle hashes in global
     * (df asc, hash) order — the prefix-filter candidate probes.
+    * Probes with df = 1 are dropped AFTER the prefix is cut: a
+    * shingle in exactly one document cannot be shared, so it can't
+    * produce a candidate — but it still occupies its prefix position
+    * (the completeness proof fixes the prefix as the first L elements
+    * of the full ordered set). On Zipf-shaped real corpora the df=1
+    * tail dominates the df-ascending prefix, so this prunes most of
+    * the inverted-index join input for free.
     */
   private def prefixProbes(ex: DataFrame, threshold: Double): DataFrame = {
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -81,8 +88,10 @@ object NearDup {
       .agg(sort_array(collect_list(struct(col("df").as("d"), col("h").as("hh")))).as("arr"))
     val n = size(col("arr"))
     val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
-    ordered.select(col("doc_id"), explode(transform(
-      slice(col("arr"), lit(1), prefixLen), e => e.getField("hh"))).as("h"))
+    ordered.select(col("doc_id"),
+        explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
+      .filter(col("e.d") >= 2)
+      .select(col("doc_id"), col("e.hh").as("h"))
   }
 
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {

@@ -201,6 +201,39 @@ object DedupStream {
       }
   }
 
+  /** NOTE on Spark 4's `transformWithState`: the reference cache maps
+    * 1:1 onto it — a per-content-key `ValueState[Long]` with
+    * `TTLConfig(ttl)` is literally Guava's `expireAfterWrite`
+    * (wall-clock TTL; put-on-miss-only means duplicates never call
+    * `update` and so never refresh). That rendering is NOT shipped
+    * here: transformWithState mandates the RocksDB state store
+    * provider, whose per-batch snapshot/zip cycle is pathologically
+    * slow on this sandbox's filesystem (a single micro-batch did not
+    * commit in minutes). The flatMapGroupsWithState operators above
+    * carry the same semantics on the default HDFS-backed store and
+    * are the tested surface; swap to transformWithState + TTLConfig
+    * where RocksDB is the store of record.
+    */
+
+  /** Streaming sessionization — the streaming analog of the batch
+    * gaps-and-islands q_sessionize: the built-in `session_window`
+    * merges events per user into gap-bounded sessions incrementally
+    * (state = open sessions only; the watermark closes and emits
+    * them, bounding state like the dedup TTL bounds the cache).
+    */
+  def sessionStats(events: Dataset[Ev], gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** NOTE: chaining a flatMapGroupsWithState with a downstream
     * windowed aggregate is a multi-stateful-operator pipeline; Spark
     * blocks it by default (global-watermark late-row risk). Run with

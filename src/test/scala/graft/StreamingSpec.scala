@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within gap and close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Ev]
+    val sessions = DedupStream.sessionStats(input.toDS(), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2h
+      // later (new session); user 2: a single event
+      input.addData(ev(1, base), ev(2, base + 600000),
+        ev(3, base + 7200000), ev(4, base + 1000, user = 2))
+      q.processAllAvailable()
+      // push the watermark past everything so all sessions close
+      input.addData(ev(99, base + 36000000, user = 99))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      assert(rows(1L) === List(1L, 2L)) // one 2-event session + one 1-event session
+      assert(rows(2L) === List(1L))
+    } finally q.stop()
+  }
+
   test("streaming windowed analytics counts primes/dups with delays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
