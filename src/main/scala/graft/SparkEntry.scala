@@ -104,6 +104,9 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => present(
       Multimodal.frameSample(Multimodal.mediaFromDocuments(s, d),
         frameBytes = 64, stride = 2).toDF(), "doc_id", "frame_idx")),
+    "mm_resize" -> ((s, d) => present(
+      Multimodal.resizePlan(
+        Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(), "doc_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -629,6 +632,25 @@ object SparkEntry {
         |       CAST(16 + cksum % 1024 AS INTEGER) AS width,
         |       CAST(16 + (cksum // 1024) % 1024 AS INTEGER) AS height
         |FROM c ORDER BY doc_id""".stripMargin,
+    // resize planning replay: stub dims from the mod-p checksum, then
+    // the same fit-into-256 integer arithmetic (floor div, 1px floor)
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(CAST(n AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS cksum
+        |      FROM b),
+        |d AS (SELECT doc_id, 16 + cksum % 1024 AS w, 16 + (cksum // 1024) % 1024 AS h FROM c),
+        |r AS (SELECT doc_id, w, h, greatest(w, h) AS longest FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(CASE WHEN longest <= 256 THEN w ELSE greatest(1, (w * 256) // longest) END AS INT) AS out_w,
+        |       CAST(CASE WHEN longest <= 256 THEN h ELSE greatest(1, (h * 256) // longest) END AS INT) AS out_h,
+        |       CAST(CASE WHEN longest <= 256 THEN 100 ELSE (256 * 100) // longest END AS INT) AS scale_pct
+        |FROM r ORDER BY doc_id""".stripMargin,
     // frame sampling replay: every 2nd 64-byte frame, mod-p checksum
     // over that frame's bytes from the hex dump
     "mm_frame_sample" ->

@@ -71,6 +71,33 @@ object Multimodal {
     }
   }
 
+  /** Decoded media with resize-target dimensions. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, scale_pct: Int)
+
+  /** Aspect-preserving fit-into-box resize planning — the standard
+    * preprocessing step before a vision encoder (largest side ≤ box,
+    * aspect ratio kept, never upscaled). Pure integer arithmetic on
+    * the decoded dimensions so any engine reproduces it bit-exactly;
+    * a real implementation hands (out_w, out_h) to the codec's
+    * scaler over the same batched iterator as [[decodeFeatures]].
+    */
+  def resizePlan(decoded: Dataset[MediaFeatures], box: Int = 256): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { f =>
+      val longest = math.max(f.width, f.height)
+      if (longest <= box)
+        ResizedMedia(f.doc_id, f.width, f.height, f.width, f.height, 100)
+      else {
+        // floor integer scaling; minimum 1px guards degenerate strips
+        val outW = math.max(1, (f.width.toLong * box / longest).toInt)
+        val outH = math.max(1, (f.height.toLong * box / longest).toInt)
+        ResizedMedia(f.doc_id, f.width, f.height, outW, outH,
+          (box.toLong * 100 / longest).toInt)
+      }
+    }
+  }
+
   /** One sampled frame's features. */
   case class FrameFeature(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 

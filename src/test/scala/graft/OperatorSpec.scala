@@ -60,6 +60,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("resize plan preserves aspect ratio, never upscales, floors at 1px") {
+    import spark.implicits._
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, 10, 0L, 100, 200),   // fits: untouched
+      Multimodal.MediaFeatures(2L, 10, 0L, 1024, 512),  // downscale 4x
+      Multimodal.MediaFeatures(3L, 10, 0L, 1000, 1)     // degenerate strip
+    ).toDS()
+    val r = Multimodal.resizePlan(feats, box = 256)
+      .collect().map(x => x.doc_id -> x).toMap
+    assert((r(1L).out_w, r(1L).out_h, r(1L).scale_pct) === ((100, 200, 100)))
+    assert((r(2L).out_w, r(2L).out_h) === ((256, 128)))
+    assert(r(3L).out_w === 256 && r(3L).out_h === 1) // 1*256/1000 floors to 0 -> 1px guard
+    // out dims never exceed the box
+    assert(r.values.forall(x => math.max(x.out_w, x.out_h) <= 256))
+  }
+
   test("frame sampling is exact on frame boundaries and strides") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](1025)(i => (i % 251).toByte) // 5 frames of 256 (last = 1 byte)
