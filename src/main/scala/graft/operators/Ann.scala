@@ -156,9 +156,15 @@ object Ann {
 
     for (_ <- 0 until iters) {
       val assigned = e.withColumn("cid", nearestCentroid(cents))
+      // means are ROUNDED to 4 decimals: a distributed avg's partial-
+      // sum merge order varies with partitioning (and any external
+      // recomputation sums in yet another order), so unrounded
+      // centroids would make near-tie cluster assignments flip by an
+      // ulp across runs/engines — rounding pins the refined centroids
+      // to engine-independent values (CLAUDE.md float-aggregate rule)
       val means = assigned.groupBy("cid")
         .agg(array((0 until 64).map(i =>
-          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("c"))
+          round(avg(element_at(col("embedding"), i + 1).cast("double")), 4)): _*).as("c"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       // keep any centroid that lost all members unchanged
       val kept = cents.toMap ++ means.toMap

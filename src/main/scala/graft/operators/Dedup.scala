@@ -28,19 +28,17 @@ object Dedup {
 
   private def contentKey: Seq[Column] = contentCols.map(col)
 
-  /** Canonical re-serialization of a flat JSON column: parse to a
-    * map, sort entries by key, serialize back — the events-side analog
-    * of the reference's re-serialize-before-hash
+  /** Canonical re-serialization of a JSON column — the events-side
+    * analog of the reference's re-serialize-before-hash
     * (Deduplicator.java:71-106; see also
     * HfpSource.canonicalContentKey). Two props payloads that differ
-    * only in key order or whitespace become one content identity.
-    * Unparseable JSON → null (from_json is lenient, never throws).
+    * only in key order or whitespace become one content identity;
+    * nested objects sort recursively; unparseable input passes
+    * through VERBATIM so distinct garbage stays distinct (see
+    * [[graft.plans.CanonicalJson]] — a schema-based from_json would
+    * null out both cases and merge unrelated payloads).
     */
-  def canonicalJson(c: Column): Column =
-    to_json(map_from_entries(array_sort(map_entries(
-      from_json(c, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType))))))
+  def canonicalJson(c: Column): Column = graft.plans.CanonicalJson(c)
 
   /** Events with `props` canonicalized — run dedup on this frame when
     * the feed's JSON formatting is not byte-stable.

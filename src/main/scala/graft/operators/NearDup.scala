@@ -291,8 +291,14 @@ object NearDup {
     *
     * Iterative min-label propagation (the standard Pregel-style
     * rendering): each round, every node takes the min of its own and
-    * its neighbors' labels; rounds needed = graph diameter ≤
-    * O(log n) for near-dup clusters (they are small and dense).
+    * its neighbors' labels, so rounds needed = component DIAMETER —
+    * small for dense near-dup clusters, but a CHAIN of sequentially
+    * similar versions has diameter = length. maxIters is a safety
+    * bound, and blowing it THROWS rather than silently returning
+    * half-propagated labels (a wrong group id downstream means
+    * keeping multiple "canonical" docs from one duplicate cluster);
+    * raise maxIters — or switch to large-star/small-star (O(log n)
+    * rounds) — for corpora with long version chains.
     * Each round is one equi-join + one map-combinable min-aggregate;
     * `localCheckpoint` truncates lineage so round N doesn't re-run
     * rounds 1..N-1 (at production scale, use reliable checkpointing
@@ -323,6 +329,10 @@ object NearDup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge within $maxIters rounds — a dedup " +
+          "component has diameter > maxIters; raise maxIters")
     labels.select(col("doc_id"), col("label").as("group_id"))
   }
 

@@ -79,23 +79,20 @@ object HfpSource {
     */
   def contentKey: Column = col("payload")
 
-  /** CANONICAL content identity: the payload re-serialized from its
-    * parsed form with a fixed field order — the direct analog of the
-    * reference's protobuf re-serialize-before-hash
-    * (Deduplicator.java:71-106, "the rawHash differs in the order of
-    * bytes"). Two wire payloads that differ only in JSON key order,
-    * whitespace, or numeric spelling ("8.5" vs "8.50") canonicalize
-    * to one string, so delivery-side formatting variance cannot
-    * defeat dedup. Codegen'd to_json over the already-parsed struct —
-    * no second parse.
+  /** CANONICAL content identity: the payload re-serialized with
+    * recursively sorted keys ([[graft.plans.CanonicalJson]]) — the
+    * direct analog of the reference's protobuf
+    * re-serialize-before-hash (Deduplicator.java:71-106, "the rawHash
+    * differs in the order of bytes"). Two wire payloads that differ
+    * only in JSON key order, whitespace, or numeric spelling ("8.50"
+    * vs "8.5") canonicalize to one string, so delivery-side
+    * formatting variance cannot defeat dedup; a MALFORMED payload
+    * passes through verbatim and keeps its own identity (a
+    * schema-projected re-serialization would collapse all garbage —
+    * and any schema-external field — into one key and silently drop
+    * real messages as duplicates).
     */
-  def canonicalContentKey: Column =
-    to_json(struct(
-      col("desi"), col("dir"), col("oper"), col("veh"),
-      col("tst"), col("tsi"), col("spd"), col("hdg"),
-      col("lat"), col("lon"), col("acc"), col("dl"),
-      col("odo"), col("drst"), col("oday"), col("jrn"),
-      col("line"), col("start")))
+  def canonicalContentKey: Column = graft.plans.CanonicalJson(col("payload"))
 
   /** Batch read of an HFP text feed (one message per line). */
   def readFeed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

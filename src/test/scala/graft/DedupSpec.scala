@@ -64,6 +64,22 @@ class DedupSpec extends SparkSpec {
     assert(c(0) !== c(2), "different values must stay distinct")
   }
 
+  test("canonicalJson: nested objects sort recursively; garbage stays distinct") {
+    import spark.implicits._
+    val df = Seq(
+      """{"z":{"b":2,"a":1},"a":"x"}""",
+      """{"a":"x","z":{"a":1,"b":2}}""", // same content, reordered at both levels
+      """{"z":{"b":9,"a":1},"a":"x"}""", // nested value differs → distinct
+      "not json at all",
+      "also { not json").toDF("props")
+    val c = df.select(Dedup.canonicalJson(col("props")).as("c"))
+      .collect().map(_.getString(0))
+    assert(c(0) === c(1), "nested key order must not change identity")
+    assert(c(0) !== c(2), "nested values must stay distinct")
+    assert(c(3) === "not json at all" && c(4) === "also { not json",
+      "unparseable input passes through verbatim, never merged")
+  }
+
   test("chainPrimes: duplicate does not refresh the anchor; expiry readmits") {
     def ev(id: Long, tMs: Long) =
       DedupStream.Ev(id, new java.sql.Timestamp(tMs), 1L, "x", 1.0, "{}")

@@ -64,6 +64,12 @@ class HfpSourceSpec extends SparkSpec {
     assert(df.select(HfpSource.contentKey).distinct().count() === 2)
     // ...but the canonical re-serialized key collapses them to one prime
     assert(df.select(HfpSource.canonicalContentKey).distinct().count() === 1)
+    // two DIFFERENT malformed payloads must NOT share a canonical key
+    val garbage = Seq(
+      """2018-10-09T04:32:52Z /hfp/v1/journey/ongoing/bus/0018/00640/x {broken-one""",
+      """2018-10-09T04:32:53Z /hfp/v1/journey/ongoing/bus/0018/00640/x {other-broken""")
+    val g = HfpSource.parseLines(garbage.toDF("line"))
+    assert(g.select(HfpSource.canonicalContentKey).distinct().count() === 2)
   }
 
   test("batch + streaming reads go through the FeedSource seam unchanged") {
