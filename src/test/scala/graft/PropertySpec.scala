@@ -72,6 +72,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CanonicalJson: idempotent, order-insensitive, injective on distinct content") {
+    import spark.implicits._
+    def randJson(depth: Int): String = {
+      val n = 1 + rnd.nextInt(4)
+      val fields = (0 until n).map { i =>
+        val k = s"k${rnd.nextInt(6)}"
+        val v =
+          if (depth > 0 && rnd.nextBoolean()) randJson(depth - 1)
+          else if (rnd.nextBoolean()) rnd.nextInt(100).toString
+          else "\"s" + rnd.nextInt(100) + "\""
+        s""""$k": $v"""
+      }
+      fields.mkString("{", ", ", "}")
+    }
+    val docs = (0 until 40).map(_ => randJson(2))
+    val canon = (s: Seq[String]) => s.toDF("j")
+      .select(graft.plans.CanonicalJson(col("j")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    val c1 = canon(docs)
+    // idempotence: canonicalizing a canonical form is a no-op
+    assert(canon(c1) === c1)
+    // whitespace insensitivity
+    val spaced = docs.map(_.replace(",", " ,  "))
+    assert(canon(spaced) === c1)
+  }
+
+  test("block-pair cosine dedup equals the naive all-pairs filter (every block count)") {
+    // brute force over the real table vs the partitioned operator
+    val brute = {
+      val e = Tables.embeddings(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      (for {
+        (ia, va) <- e; (ib, vb) <- e if ia < ib
+        dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        na = math.sqrt(va.map(x => x * x).sum); nb = math.sqrt(vb.map(x => x * x).sum)
+        sim = dot / (na * nb) if sim >= 0.4
+      } yield (ia, ib)).toSet
+    }
+    for (blocks <- Seq(1, 7, 32)) {
+      val got = graft.operators.NearDup.embCosineDedup(spark, sf, blocks = blocks)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"blocks=$blocks")
+    }
+  }
+
+  test("bucketed range join equals the naive theta-join on random timelines") {
+    import spark.implicits._
+    for (_ <- 1 to 5) {
+      val w = 500L + rnd.nextInt(2000)
+      val left = (0 until 60).map(i => (i.toLong, rnd.nextLong(100000L)))
+      val right = (0 until 200).map(_ => rnd.nextLong(100000L))
+      val mkTs = (t: Long) => new java.sql.Timestamp(1700000000000L + t)
+      val lDf = left.map { case (id, t) => (id, mkTs(t)) }.toDF("id", "ts")
+      val rDf = right.map(t => Tuple1(mkTs(t))).toDF("ts")
+      val got = graft.operators.RangeJoin.countInWindow(lDf, rDf, "id", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = left.map { case (id, t) =>
+        id -> right.count(rt => rt >= t - w && rt <= t).toLong
+      }.toMap
+      assert(got === expect, s"window=$w")
+    }
+  }
+
   test("VecDot equals a naive sequential double fold, bit-exactly") {
     import spark.implicits._
     val data = (0 until 50).map { _ =>
