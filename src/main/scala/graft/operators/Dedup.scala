@@ -132,9 +132,20 @@ object Dedup {
     * walk arrivals in order; an event is a duplicate iff the last
     * PRIME is within ttl (duplicates never refresh the anchor —
     * cache.put only on miss, Deduplicator.java:51); an expired anchor
-    * readmits. Inherently sequential per key → one shuffle on the
-    * dedup key, then a linear typed walk via flatMapGroups sharing
-    * the streaming operator's chain logic.
+    * readmits. Inherently sequential per key, but NOT per-key-
+    * materializing: one hash shuffle on the dedup key, a spillable
+    * sortWithinPartitions on (key, ts ms, event_id), then a
+    * constant-memory mapPartitions walk that resets the shared
+    * [[graft.streaming.DedupStream.ChainWalker]] kernel at each key
+    * change. A flatMapGroups rendering would buffer a whole key group
+    * in executor memory (`it.toSeq`) — one hot key at corpus scale =
+    * OOM; here per-task memory is O(1) beyond the external sorter.
+    *
+    * The walk orders by MILLISECOND timestamps (Timestamp.getTime,
+    * like the reference's System.currentTimeMillis cache), so the
+    * sort key is unix_millis(ts), not the raw µs timestamp — events
+    * equal at ms resolution must tie-break on event_id even if their
+    * µs values differ.
     *
     * `keyOf` defaults to the full content key (reference semantics);
     * the driver-contract query passes the coarser (user_id,
@@ -148,14 +159,26 @@ object Dedup {
                       graft.streaming.DedupStream.contentKeyOf): DataFrame = {
     import spark.implicits._
     import graft.streaming.DedupStream
+    val ttlMs = ttlMinutes * 60L * 1000L
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[DedupStream.Ev]
-      .groupByKey(keyOf)
-      .flatMapGroups { (_: String, it: Iterator[DedupStream.Ev]) =>
-        DedupStream.chainPrimes(it.toSeq, ttlMinutes * 60L * 1000L, None)._1.iterator
+      .map(e => (keyOf(e), e))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), unix_millis(col("_2.ts")), col("_2.event_id"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var walker: DedupStream.ChainWalker = null
+        it.flatMap { case (k, e) =>
+          if (k != curKey) {
+            curKey = k
+            walker = new DedupStream.ChainWalker(ttlMs, None)
+          }
+          if (walker.admit(e.ts.getTime)) Iterator.single(e.event_id)
+          else Iterator.empty
+        }
       }
-      .select(col("event_id"))
+      .toDF("event_id")
   }
 
   /** Multi-topic merge then dedup (environment.conf multipleTopics):

@@ -35,24 +35,40 @@ object DedupStream {
 
   def contentKeyOf(e: Ev): String = s"${e.user_id}|${e.event_type}|${e.value}|${e.props}"
 
-  /** Walk a content-key group in (ts, event_id) order, continuing from
-    * an optional anchor: emit primes, drop duplicates (prime within
-    * ttl). Returns (emitted primes, final anchor). Shared by the
-    * batch operator, the streaming operator, and the test oracle —
-    * one definition of the reference semantics.
+  /** THE definition of the reference cache semantics
+    * (Deduplicator.handleMessage, Deduplicator.java:43-59), as a
+    * constant-size mutable walker over one key's events in (ts ms,
+    * event_id) order: `admit` returns true for a prime (no anchor, or
+    * anchor older than ttl — which readmits) and false for a
+    * duplicate; duplicates never refresh the anchor (cache.put only
+    * happens on the miss path, Deduplicator.java:51). Every rendering
+    * — batch mapPartitions walk, streaming flatMapGroupsWithState,
+    * test oracles — drives this one object, so their semantics cannot
+    * drift.
+    */
+  final class ChainWalker(ttlMs: Long, initialAnchorMs: Option[Long]) {
+    private var a: Option[Long] = initialAnchorMs
+    def admit(tsMs: Long): Boolean = a match {
+      case Some(p) if tsMs - p <= ttlMs => false // duplicate: anchor NOT refreshed
+      case _ => a = Some(tsMs); true
+    }
+    def anchorMs: Option[Long] = a
+  }
+
+  /** Walk a content-key group, continuing from an optional anchor:
+    * emit primes, drop duplicates. Returns (emitted primes, final
+    * anchor). Seq-based — for the STREAMING operators, whose per-key
+    * input is one micro-batch's worth of events (bounded by the
+    * trigger interval, must be sorted before the walk anyway). The
+    * batch operator walks pre-sorted partitions with a bare
+    * [[ChainWalker]] instead and never materializes a group.
     */
   def chainPrimes(events: Seq[Ev], ttlMs: Long,
                   anchor: Option[Long]): (Seq[Ev], Option[Long]) = {
-    var a = anchor
-    val out = Seq.newBuilder[Ev]
-    events.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val t = e.ts.getTime
-      a match {
-        case Some(p) if t - p <= ttlMs => // duplicate: dropped, anchor NOT refreshed
-        case _ => a = Some(t); out += e
-      }
-    }
-    (out.result(), a)
+    val w = new ChainWalker(ttlMs, anchor)
+    val out = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .filter(e => w.admit(e.ts.getTime))
+    (out, w.anchorMs)
   }
 
   /** Streaming first-seen-wins dedup on the content key with
@@ -138,6 +154,9 @@ object DedupStream {
           } else {
             var st = state.getOption
             val out = Seq.newBuilder[Ev]
+            // one key's slice of ONE micro-batch — bounded by the
+            // trigger interval, not the corpus (cf. the batch
+            // operator's constant-memory partition walk)
             batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val kh = contentKeyHash(e)
               val t = e.ts.getTime
@@ -182,6 +201,7 @@ object DedupStream {
           } else {
             var a = state.getOption.map(_.primeTsMs)
             val out = Seq.newBuilder[Annotated]
+            // one key's micro-batch slice (bounded, see dedupBounded)
             batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
               a match {
