@@ -71,6 +71,18 @@ object NearDup {
     docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
+  /** Per doc, its shingle hashes sorted by the global prefix-filter
+    * order (df asc, then hash) with document frequencies attached:
+    * (doc_id, arr[(d, hh)]). One df aggregate + one per-doc sort —
+    * the shared substrate for every prefix/positional filter below.
+    */
+  private def orderedShingles(ex: DataFrame): DataFrame = {
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df").as("d"), col("h").as("hh")))).as("arr"))
+  }
+
   /** Per doc, the first n − ⌈t·n⌉ + 1 shingle hashes in global
     * (df asc, hash) order — the prefix-filter candidate probes.
     * Probes with df = 1 are dropped AFTER the prefix is cut: a
@@ -82,13 +94,9 @@ object NearDup {
     * the inverted-index join input for free.
     */
   private def prefixProbes(ex: DataFrame, threshold: Double): DataFrame = {
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df").as("d"), col("h").as("hh")))).as("arr"))
     val n = size(col("arr"))
     val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
-    ordered.select(col("doc_id"),
+    orderedShingles(ex).select(col("doc_id"),
         explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
       .filter(col("e.d") >= 2)
       .select(col("doc_id"), col("e.hh").as("h"))
@@ -110,28 +118,73 @@ object NearDup {
     * embedded in a much larger doc has low Jaccard but containment
     * ≈ 1; training corpora are full of quote/aggregate pages).
     *
-    * Prefix filter, containment variant: if |A∩B|/|A| ≥ t, A's first
-    * n_a − ⌈t·n_a⌉ + 1 shingles (global df-asc order) must hit B's
-    * FULL set — a directional predicate gives nothing to prune on
-    * the B side, so A-prefixes join the full inverted index. Exact
-    * verify (array_intersect on the string sets) on candidates only.
+    * Prefix filter, containment variant: if |A∩B|/|A| ≥ t, one of
+    * A's first n_a − ⌈t·n_a⌉ + 1 shingles (global df-asc order) must
+    * hit B — the directional predicate gives no PREFIX to cut on the
+    * B side, so A-prefixes probe B's full inverted index. What keeps
+    * that join from blowing up on a Zipf-hot shingle is that every
+    * remaining prune lives INSIDE the join, applied per occurrence
+    * pair before any shuffle write of candidates (PPJoin/PPJoin+
+    * family, all exactness-preserving):
+    *
+    *  - SIZE: |B| ≥ ⌈t·|A|⌉ (|A∩B| ≤ |B|).
+    *  - POSITION (PPJoin+ suffix bound): for a probe at 0-based
+    *    position p_a of A's ordered set matching B at position p_b,
+    *    every common shingle sorts ≥ the FIRST common one, so
+    *    |A∩B| ≤ 1 + min(n_a−p_a−1, n_b−p_b−1). Requiring that bound
+    *    ≥ ⌈t·n_a⌉ at the first common position is complete; later
+    *    common positions that fail it are redundant duplicates of the
+    *    same candidate pair. This is the hot-key killer: a frequent
+    *    shingle sorts LAST (df asc), so its B-side occurrences have
+    *    n_b−p_b−1 ≈ 0 and survive only for a_docs small enough that
+    *    B's tail alone could still contain them.
+    *  - SALT: occurrences of a shingle with df > hotDf are spread
+    *    over `salts` shards by hash(b_id); the matching A-probe
+    *    explodes to all shards. Pair multiplicity is unchanged (each
+    *    (A,B) pair meets on exactly the B-side shard), but a hot
+    *    key's fan-out lands on `salts` parallel reducer keys instead
+    *    of one straggler/OOM task.
+    *
+    * Residual worst case: Σ_h df_prefix(h) · df(h) occurrence pairs
+    * enter the join filters, each shrunk to the positional survivors
+    * before the candidate distinct; per reducer key the fan-out is
+    * df_prefix(h) · min(df(h), ⌈df(h)/salts⌉ for hot h). Exact
+    * verify (array_intersect on the string sets) runs on candidates
+    * only.
     */
   def containmentPairs(spark: SparkSession, dir: String,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       hotDf: Int = 1024, salts: Int = 16): DataFrame = {
     val docs = shingled(spark, dir)
-    val ex = hashedShingles(docs)
-    val cand = prefixProbes(ex, threshold).as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val ord = orderedShingles(hashedShingles(docs))
+    val n = size(col("arr"))
+    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    // A side: prefix positions only; df=1 probes can't be shared
+    val aProbes = ord
+      .select(col("doc_id").as("a_id"), n.as("na"),
+        posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("pa", "e")))
+      .filter(col("e.d") >= 2)
+      .select(col("a_id"), col("na"), col("pa"), col("e.hh").as("ha"),
+        explode(when(col("e.d") > hotDf, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))).as("salt_a"))
+    // B side: FULL positional inverted index, hot keys salted by b_id
+    val bIndex = ord
+      .select(col("doc_id").as("b_id"), n.as("nb"),
+        posexplode(col("arr")).as(Seq("pb", "e")))
+      .select(col("b_id"), col("nb"), col("pb"), col("e.hh").as("hb"),
+        when(col("e.d") > hotDf, pmod(xxhash64(col("b_id")), lit(salts.toLong)).cast("int"))
+          .otherwise(lit(0)).as("salt_b"))
+    val needed = ceil(lit(threshold) * col("na").cast("double")) // ⌈t·n_a⌉
+    val cand = aProbes.join(bIndex,
+        col("ha") === col("hb") && col("salt_a") === col("salt_b") &&
+          col("a_id") =!= col("b_id") &&
+          col("nb").cast("double") >= needed &&
+          (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) >= needed)
+      .select(col("a_id"), col("b_id"))
       .distinct()
     val withSets = cand
       .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      // size prune BEFORE the set intersection: |A∩B| ≤ |B|, so
-      // containment ≥ t needs |B| ≥ t·|A| — kills most candidates
-      // with a two-int comparison instead of an array intersect
-      .filter(size(col("sb")).cast("double") >=
-        lit(threshold) * size(col("sa")).cast("double"))
     val cont = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(col("sa")).cast("double")
     withSets.filter(cont >= threshold)
