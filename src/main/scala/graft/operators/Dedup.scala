@@ -46,6 +46,17 @@ object Dedup {
   def canonicalizeProps(events: DataFrame): DataFrame =
     events.withColumn("props", canonicalJson(col("props")))
 
+  /** The reference's storable content hash: murmur3_128(seed) of a
+    * content column's bytes (Deduplicator.java:27-28 pins seed 42 so
+    * hash VALUES can live in external storage and match across
+    * engines). Dedup itself keys on the raw content columns — a
+    * 128-bit digest buys nothing inside one job — but pipelines that
+    * exchange hashes with the reference service (or a shared Redis)
+    * key on this instead: `events.groupBy(contentHash128(col(...)))`.
+    */
+  def contentHash128(c: Column, seed: Int = 42): Column =
+    graft.plans.Murmur3_128(c.cast("binary"), seed)
+
   /** Arrival order within a content group: reference processes in
     * message order; (ts, event_id) is the deterministic batch analog.
     */

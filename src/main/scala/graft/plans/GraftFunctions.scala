@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.DoubleType
   *  - `cosine_sim(a, b)`     — cosine similarity (VecDot-composed,
   *                             null on zero norm)
   *  - `containment_sim(a, b)` — |a∩b| / |a| directional containment
+  *  - `murmur3_128(bin [, seed])` — the reference's pinned-seed
+  *    content hash (seed defaults to 42, Deduplicator.java:27-28)
   *
   * Two entry points: [[GraftFunctions.register]] installs into an
   * already-running session (temp functions); [[GraftExtensions]] is a
@@ -46,6 +48,10 @@ object GraftFunctions {
       val inter = Cast(Size(ArrayIntersect(args(0), args(1))), DoubleType)
       val na = Cast(Size(args(0)), DoubleType)
       new Divide(inter, new NullIf(na, Literal(0.0)))
+    },
+    "murmur3_128" -> { args =>
+      val seed = if (args.length > 1) intArg(args(1), "murmur3_128 seed") else 42
+      Murmur3_128(args(0), seed)
     })
 
   /** Register on a live session (idempotent). */

@@ -94,6 +94,17 @@ object HfpSource {
     */
   def canonicalContentKey: Column = graft.plans.CanonicalJson(col("payload"))
 
+  /** The reference's EXACT stored hash value: murmur3_128 with the
+    * pinned seed 42 over the canonical payload bytes
+    * (Deduplicator.java:27-28, 46 — the static seed exists precisely
+    * so hashes can be shared with external storage). Byte-for-byte
+    * Guava-compatible ([[graft.plans.Murmur3x64_128]]), so a graft
+    * pipeline and the reference service can dedup against the SAME
+    * external hash store.
+    */
+  def contentHash128: Column =
+    graft.plans.Murmur3_128(canonicalContentKey.cast("binary"), 42)
+
   /** Batch read of an HFP text feed (one message per line). */
   def readFeed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readVia(spark, FileFeed(path))

@@ -41,6 +41,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cont.getDouble(1) === 0.5)
   }
 
+  test("murmur3_128 on the SQL surface: pinned seed 42, 16-byte digest") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT length(murmur3_128(CAST('x' AS BINARY))) AS len,
+        |       murmur3_128(CAST('x' AS BINARY)) = murmur3_128(CAST('x' AS BINARY), 42) AS dflt,
+        |       murmur3_128(CAST('x' AS BINARY)) = murmur3_128(CAST('x' AS BINARY), 0) AS other""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) === 16)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+  }
+
   test("registration is idempotent and mixed float/double vec_dot works") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
