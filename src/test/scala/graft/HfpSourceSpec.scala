@@ -72,6 +72,41 @@ class HfpSourceSpec extends SparkSpec {
     assert(g.select(HfpSource.canonicalContentKey).distinct().count() === 2)
   }
 
+  test("multi-schema dispatch: two schemas through one dedup, unknown schema passes raw") {
+    import spark.implicits._
+    // one logical stream, three wire schemas (Deduplicator.parsePayload
+    // analog): recognized schemas canonicalize before dedup, unknown
+    // schemas keep their raw bytes as identity
+    val feed = Seq(
+      // hfp: same content, different key order/whitespace → one prime
+      (1L, "hfp", """{"VP":{"veh":640,"spd":8.53}}"""),
+      (2L, "hfp", """{ "VP" : {"spd":8.53,"veh":640} }"""),
+      // mqtt-raw: same content, different formatting → one prime
+      (3L, "mqtt-raw", """{"topic":"/t","payload":"x"}"""),
+      (4L, "mqtt-raw", """{"payload":"x","topic":"/t"}"""),
+      // UNKNOWN schema (incl. the reference's passenger-count, whose
+      // parser observably falls back to raw): byte-identical dedups,
+      // formatting variants do NOT
+      (5L, "passenger-count", """{"count":9,"veh":1}"""),
+      (6L, "passenger-count", """{"veh":1,"count":9}"""),
+      (7L, null, """{"VP":{"veh":640,"spd":8.53}}"""),
+      // unparseable payload under a recognized schema: verbatim bytes
+      (8L, "hfp", """{broken-one"""),
+      (9L, "hfp", """{broken-two""")).toDF("id", "schema", "payload")
+    val keyed = graft.sources.HfpSource.withContentKey(feed)
+    val survivors = keyed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("content_key").orderBy("id")))
+      .filter(col("rn") === 1)
+      .select("id").as[Long].collect().toSet
+    // 1+2 collapse, 3+4 collapse; 5,6 distinct (raw bytes differ);
+    // 7 distinct from 1 only because its schema is untagged — its raw
+    // bytes EQUAL payload 1's, and raw id-1 bytes were canonicalized
+    // away, so both survive; 8,9 distinct garbage
+    assert(survivors === Set(1L, 3L, 5L, 6L, 7L, 8L, 9L))
+  }
+
   test("batch + streaming reads go through the FeedSource seam unchanged") {
     import graft.sources.{FileFeed, MemoryFeed}
     val viaMemory = HfpSource.readVia(spark, MemoryFeed(sample))
