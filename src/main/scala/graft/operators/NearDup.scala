@@ -350,8 +350,11 @@ object NearDup {
     * bound, and blowing it THROWS rather than silently returning
     * half-propagated labels (a wrong group id downstream means
     * keeping multiple "canonical" docs from one duplicate cluster);
-    * raise maxIters — or switch to large-star/small-star (O(log n)
-    * rounds) — for corpora with long version chains.
+    * raise maxIters — or use [[dedupGroupsLogRound]] (large-star/
+    * small-star alternation, O(log n) rounds, same output) — for
+    * corpora with long version chains. Min-label stays the default:
+    * near-dup clusters are usually dense (diameter 2-3), where its
+    * round count is lower and each round is cheaper.
     * Each round is one equi-join + one map-combinable min-aggregate;
     * `localCheckpoint` truncates lineage so round N doesn't re-run
     * rounds 1..N-1 (at production scale, use reliable checkpointing
@@ -387,6 +390,78 @@ object NearDup {
         s"dedupGroups did not converge within $maxIters rounds — a dedup " +
           "component has diameter > maxIters; raise maxIters")
     labels.select(col("doc_id"), col("label").as("group_id"))
+  }
+
+  /** [[dedupGroups]] in O(log n)-round form — same signature, same
+    * output contract (doc_id, group_id = min reachable doc_id). Use
+    * this over min-label when components can be LONG CHAINS
+    * (versioned documents: v1~v2~v3~…), where min-label needs
+    * diameter rounds; stars collapse a chain exponentially instead.
+    */
+  def dedupGroupsLogRound(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                          maxIters: Int = 30): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir, threshold).select("a_id", "b_id")
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    starComponents(nodes, pairs, maxIters)._1
+  }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): edges are kept canonical (u > v); large-star points
+    * every neighbor LARGER than a node at that node's minimum
+    * neighborhood label, small-star points every smaller neighbor
+    * (and the node) at the minimum — each pass is one groupBy(min) +
+    * one equi-join, exactly the min-label round shape, but the
+    * component flattens geometrically, so rounds grow with log n, not
+    * with component diameter. The fixed point is the canonical star:
+    * every non-minimum node holds exactly the edge (node,
+    * component-min), which IS the (doc_id, group_id) labeling.
+    *
+    * Returns (labels for every node — singletons label themselves,
+    * rounds executed). Non-convergence within maxRounds throws, like
+    * [[dedupGroups]] — never silently half-merged groups.
+    */
+  def starComponents(nodes: DataFrame, pairs: DataFrame,
+                     maxRounds: Int = 30): (DataFrame, Int) = {
+    val Seq(srcCol, dstCol) = pairs.columns.toSeq.take(2)
+    var edges = pairs
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      // large-star: node's full neighborhood (both directions)
+      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      val mins = adj.groupBy("node").agg(min("nbr").as("mn"))
+      val large = adj.join(mins, "node")
+        .filter(col("nbr") > col("node"))
+        .select(col("nbr").as("u"), least(col("mn"), col("node")).as("v"))
+        .distinct()
+      // small-star: canonical edges already point large→small
+      val smins = large.groupBy("u").agg(min("v").as("mn"))
+      val small = large.join(smins, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(smins.select(col("u"), col("mn").as("v")))
+        .distinct()
+        .localCheckpoint() // truncate per-round lineage
+      done = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"starComponents did not converge within $maxRounds rounds")
+    val nodeCol = nodes.columns.head
+    val labels = nodes
+      .join(edges.select(col("u").as(nodeCol), col("v").as("group_id")),
+        Seq(nodeCol), "left")
+      .select(col(nodeCol), coalesce(col("group_id"), col(nodeCol)).as("group_id"))
+    (labels, rounds)
   }
 
   /** Embedding-cosine near-dup pairs (sim ≥ threshold), EXACT, via

@@ -68,6 +68,10 @@ class NearDupSpec extends SparkSpec {
     val got = NearDup.dedupGroups(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expect)
+    // the log-round star rendering is a drop-in: identical labeling
+    val star = NearDup.dedupGroupsLogRound(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === expect)
   }
 
   test("fingerprint-overlap pairs share at least minOverlap winnowed fingerprints") {

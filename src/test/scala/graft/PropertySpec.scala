@@ -135,6 +135,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("starComponents: log rounds on a chain, labels = min-reachable, matches union-find on random graphs") {
+    import spark.implicits._
+    // diameter-20 chain 0-1-…-20: min-label needs `diameter` rounds;
+    // star alternation must flatten it in ≤ 2·log₂(n) + 2 rounds
+    val n = 21
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val (labels, rounds) = graft.operators.NearDup.starComponents(nodes, chain)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"chain of diameter ${n - 1} took $rounds rounds (> $bound)")
+    assert(rounds < n - 1, "no better than min-label propagation")
+
+    // random sparse graphs: labels must equal a sequential union-find
+    for (trial <- 0 until 3) {
+      val nn = 40
+      val edges = (0 until 30).map(_ => (rnd.nextInt(nn).toLong, rnd.nextInt(nn).toLong))
+      val uf = Array.tabulate(nn)(identity)
+      def find(x: Int): Int = if (uf(x) == x) x else { uf(x) = find(uf(x)); uf(x) }
+      edges.foreach { case (a, b) => uf(find(a.toInt)) = find(b.toInt) }
+      val roots = (0 until nn).groupBy(find).values
+        .flatMap(c => c.map(_.toLong -> c.min.toLong)).toMap
+      val (got, _) = graft.operators.NearDup.starComponents(
+        (0L until nn.toLong).toDF("doc_id"), edges.toDF("src", "dst"))
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMap === roots, s"trial $trial")
+    }
+  }
+
   test("VecDot equals a naive sequential double fold, bit-exactly") {
     import spark.implicits._
     val data = (0 until 50).map { _ =>
