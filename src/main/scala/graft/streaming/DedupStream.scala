@@ -261,6 +261,19 @@ object DedupStream {
     * false` and keep the watermark ≥ the annotate ttl so annotated
     * rows can't be late for the window state.
     */
+  /** NOTE — error-path analytics flush (Deduplicator.java:63-66): on
+    * a handler exception the reference fires `calcStats()` BEFORE
+    * rethrowing so in-memory counters aren't lost with the crash.
+    * graft needs no explicit flush for the COUNTS: windowedStats
+    * state lives in the checkpointed state store, so a failed query
+    * resumes from the last committed micro-batch with nothing lost —
+    * stronger than the reference's best-effort flush. The analog of
+    * the reference's "report at death" side channel is a
+    * `StreamingQueryListener.onQueryTerminated` registered via
+    * `spark.streams.addListener`, which receives the terminal event
+    * (with the exception) after the final progress and is the place
+    * to emit last-progress counters to an external monitor.
+    */
   def windowedStats(annotated: Dataset[Annotated],
                     alertThreshold: Double = 0.97): DataFrame =
     annotated
