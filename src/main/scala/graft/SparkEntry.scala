@@ -68,6 +68,10 @@ object SparkEntry {
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
     "q_salted_agg" -> ((s, d) => present(Relational.qSaltedAgg(s, d), "event_type")),
     "q_pivot" -> ((s, d) => present(Relational.qPivot(s, d), "o_orderpriority")),
+    "q_grouping_sets" -> ((s, d) => presentBy(Relational.qGroupingSets(s, d),
+      asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    "q_semi_join" -> ((s, d) => present(Relational.qSemiJoin(s, d), "c_custkey")),
+    "q_range_frame" -> ((s, d) => present(Relational.qRangeFrame(s, d), "event_id")),
     "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
@@ -81,11 +85,13 @@ object SparkEntry {
     "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
     "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
+    "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
     "ann_lsh" -> ((s, d) => present(Ann.annLsh(s, d), "q_id", "rnk")),
     "emb_label_centroids" -> ((s, d) => present(Ann.labelCentroids(s, d), "label", "dim")),
+    "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -466,6 +472,22 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id,
+        |       count(*) OVER w AS n_trail_1h,
+        |       round(sum(value) OVER w, 2) AS sum_trail_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
@@ -560,6 +582,29 @@ object SparkEntry {
          |      UNION
          |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s ORDER BY doc_id""".stripMargin,
+    // groups (recursive closure, same edge set as docs_dedup_groups)
+    // + the text_quality score replica; keeper = first_value by
+    // (rounded score DESC, doc_id) — both engines rank the identical
+    // 4-decimal rounding, so the argmax cannot flip on an ulp
+    "docs_dedup_keep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |e AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+         |r AS (SELECT doc_id AS s, doc_id AS d FROM documents
+         |      UNION
+         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+         |g AS (SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s),
+         |tq AS (SELECT d.doc_id,
+         |         round(least(CAST(len(t.toks) AS DOUBLE) / 100.0, 1.0)
+         |           * (1.0 - CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |                      / nullif(CAST(length(d.text) AS DOUBLE), 0.0))
+         |           * (1.0 - 0.5 * CAST(len(list_filter(t.toks, x -> x IN ('a','the','is','of','and'))) AS DOUBLE)
+         |                        / nullif(CAST(len(t.toks) AS DOUBLE), 0.0)), 4) AS qs
+         |       FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+         |k AS (SELECT g.doc_id, g.group_id,
+         |             first_value(g.doc_id) OVER (PARTITION BY g.group_id ORDER BY tq.qs DESC, g.doc_id) AS keep_id
+         |      FROM g JOIN tq ON g.doc_id = tq.doc_id)
+         |SELECT doc_id, group_id, keep_id, doc_id = keep_id AS is_keep
+         |FROM k ORDER BY doc_id""".stripMargin,
     // winnowed-fingerprint overlap pairs: df-capped inverted index
     // (fp in ≤ 20 docs — the corpus median df is 23, so the cap keeps
     // only discriminative fingerprints), pair overlap count ≥ 5
@@ -623,6 +668,21 @@ object SparkEntry {
         |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS c
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // int8 quantization replay: same explicit half-up rounding
+    // (floor(x/scale + 0.5)), same sequential double folds; q_sum is
+    // exact integer, sqrt is IEEE-correctly-rounded on both engines
+    "emb_quantize" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM s),
+        |q AS (SELECT vec_id, e, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS qv
+        |      FROM m)
+        |SELECT vec_id, round(scale, 6) AS q_scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       round(sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))), 6) AS l2_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     // replay of Multimodal.stubDecode: payload = UTF-8 bytes of text,
     // checksum = polynomial rolling hash mod 1e9+7 over bytes
     // (byte i parsed from the hex dump two digits at a time)

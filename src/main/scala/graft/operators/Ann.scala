@@ -65,6 +65,40 @@ object Ann {
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast("double")), 6).as("c"))
 
+  /** Symmetric int8 scalar quantization of the embedding column —
+    * the storage/bandwidth step before any large-scale ANN serve
+    * (4 B float → 1 B int per dim): per-vector scale = max|x|/127,
+    * q_i = ⌊x_i/scale + 0.5⌋ (explicit half-up — engine `round`
+    * half-rule differences can't bite), plus the quality numbers a
+    * pipeline monitors: exact integer q_sum (hash-stable checksum of
+    * the quantized codes) and the L2 reconstruction error. Map-only
+    * per-row array work, no shuffle; all arithmetic in double with a
+    * fixed left-to-right fold so the DuckDB oracle replays it
+    * exactly (sqrt is IEEE-correctly-rounded, safe cross-engine; the
+    * error term uses d*d, not libm pow). Zero vectors quantize to
+    * zeros (scale 0 guard — ANSI-safe).
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    val qv = when(col("scale") === 0.0, transform(col("e"), _ => lit(0L)))
+      .otherwise(transform(col("e"), x => floor(x / col("scale") + 0.5).cast("long")))
+    val err2 = aggregate(
+      zip_with(col("e"), col("qv"), (x, q) => {
+        val d = x - q.cast("double") * col("scale")
+        d * d
+      }),
+      lit(0.0), (a, x) => a + x)
+    Tables.embeddings(spark, dir)
+      .withColumn("e", e)
+      .withColumn("scale", scale)
+      .withColumn("qv", qv)
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("q_scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(sqrt(err2), 6).as("l2_err"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h of plane p
     * is a fixed rational derived from murmur-style integer mixing —
     * reproducible across runs with no RNG state.

@@ -102,11 +102,44 @@ object NearDup {
       .select(col("doc_id"), col("e.hh").as("h"))
   }
 
+  /** Candidate generation: positional prefix self-join. Both sides
+    * are prefix-cut (J ≥ t puts the FIRST common shingle inside both
+    * prefixes: common elements sort ≥ it, so its 0-based position in
+    * A satisfies i ≤ n_a − p_a, and i ≥ ⌈t·n_a⌉ forces p_a into the
+    * prefix — symmetrically for B), and the size + positional bounds
+    * run INSIDE the join (PPJoin+), per occurrence pair, before any
+    * candidate row is shuffled:
+    *
+    *  - size: t·n_a ≤ n_b ≤ n_a/t  (i ≤ min, J ≤ min/max)
+    *  - position: 1 + min(n_a−p_a−1, n_b−p_b−1) ≥ α with the Jaccard
+    *    overlap requirement α = ⌈t/(1+t)·(n_a+n_b)⌉ (from
+    *    i/(n_a+n_b−i) ≥ t) — complete at the first common position,
+    *    redundant-duplicate-killing at later ones
+    *
+    * Hot shingles sort LAST in the df-asc prefix order, so prefixes
+    * are rare-shingle-dominated and the self-join's per-key fan-out
+    * is df_prefix(h)², with df_prefix ≪ df — no salting needed on
+    * the symmetric join (cf. containmentPairs, whose B side indexes
+    * every occurrence and does get salted).
+    */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingled(spark, dir)
-    val prefixes = prefixProbes(hashedShingles(docs), threshold)
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val ord = orderedShingles(hashedShingles(docs))
+    val n = size(col("arr"))
+    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    val probes = ord
+      .select(col("doc_id"), n.as("n"),
+        posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("p", "e")))
+      .filter(col("e.d") >= 2)
+      .select(col("doc_id"), col("n"), col("p"), col("e.hh").as("h"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n") + col("b.n")).cast("double"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
+          (lit(1) + least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1))
+            .cast("double") >= alpha)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifiedJaccard(cand, docs, threshold)
@@ -390,6 +423,27 @@ object NearDup {
         s"dedupGroups did not converge within $maxIters rounds — a dedup " +
           "component has diameter > maxIters; raise maxIters")
     labels.select(col("doc_id"), col("label").as("group_id"))
+  }
+
+  /** The ACTIONABLE dedup decision: per dedup group, keep the
+    * highest-quality member (quality_score from TextAnalysis, ties
+    * broken by smallest doc_id) and mark the rest for dropping — the
+    * step a training-data pipeline actually executes after grouping.
+    * Quality ranking uses the ROUNDED score (4 decimals, the
+    * textQuality contract) so the argmax is stable across engines
+    * and partitionings. One join (groups ⋈ quality, both keyed by
+    * doc_id) + one window over group_id.
+    */
+  def dedupKeep(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val groups = dedupGroups(spark, dir, threshold)
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("quality_score").desc, col("doc_id"))
+    groups.join(quality, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("group_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_keep"))
   }
 
   /** [[dedupGroups]] in O(log n)-round form — same signature, same

@@ -97,6 +97,43 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
 
+  /** Explicit GROUPING SETS — the two single-dimension marginals plus
+    * the grand total, with NO pairwise cell: the grouping-set shape
+    * rollup/cube can't express. One expand + one partial-aggregable
+    * shuffle, same engine path as rollup.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Left-semi join: customers having at least one order — the EXISTS
+    * shape, emitting build-side columns only (no duplication by match
+    * count, unlike an inner join + distinct).
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Time-RANGE window frame: per event, count and value-sum of the
+    * same user's events in the trailing hour (RANGE BETWEEN interval
+    * PRECEDING AND CURRENT ROW on the millisecond axis) — the sliding
+    * frame class the row-frame queries don't cover. One shuffle on
+    * user_id; the frame scan is a per-partition two-pointer pass.
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("t", unix_millis(col("ts")))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_trail_1h"),
+        round(sum("value").over(w), 2).as("sum_trail_1h"))
+  }
+
   /** Global top-k users by total event value: partial agg per
     * partition, tiny shuffle, then a driver-cheap ordered limit.
     */

@@ -35,6 +35,93 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map("L1" -> "RA", "L2" -> "RB"))
   }
 
+  test("grouping sets = the union of its marginal groupBys, and only those") {
+    import graft.operators.Relational
+    val gs = Relational.qGroupingSets(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    val byFlag = li.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), null, r.getDouble(1), r.getLong(2)))
+    val byStatus = li.groupBy("l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n")).collect()
+      .map(r => (null, r.getString(0), r.getDouble(1), r.getLong(2)))
+    val total = li.agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (null, null, r.getDouble(0), r.getLong(1)))
+    val expect = (byFlag ++ byStatus ++ total).toSet
+    val got = gs.map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      r.getDouble(2), r.getLong(3))).toSet
+    assert(got === expect) // no (flag, status) pairwise cells
+  }
+
+  test("semi join emits each matching customer exactly once") {
+    import graft.operators.Relational
+    val semi = Relational.qSemiJoin(spark, sf)
+    val keys = semi.select("c_custkey").collect().map(_.getLong(0))
+    assert(keys.length === keys.distinct.length)
+    val withOrders = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys.toSet === keys.toSet.intersect(withOrders))
+    val custs = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(keys.toSet === custs.intersect(withOrders))
+  }
+
+  test("range frame counts exactly the trailing-hour events per user") {
+    import graft.operators.Relational
+    val got = Relational.qRangeFrame(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._2)
+    val expect = ev.map { case (id, u, t) =>
+      id -> byUser(u).count { case (_, _, t2) => t2 >= t - 3600000L && t2 <= t }.toLong
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("dedup keep: exactly one keeper per group, and it has the top rounded quality") {
+    import graft.operators.{NearDup, TextAnalysis => TA}
+    val keep = NearDup.dedupKeep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val quality = TextAnalysis.textQuality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    keep.groupBy(_._2).foreach { case (gid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length === 1, s"group $gid")
+      val keeper = keepers.head
+      assert(members.forall(_._3 == keeper._1), s"group $gid keep_id consistent")
+      val best = members.map(m => (quality(m._1), -m._1)).max
+      assert((quality(keeper._1), -keeper._1) === best, s"group $gid keeps best quality")
+    }
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error bounded by scale/2 per dim") {
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = Ann.embQuantize(spark, sf).collect()
+    assert(q.length === e.size)
+    q.foreach { r =>
+      val (id, scale, qsum, err) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+      val v = e(id).map(_.toDouble)
+      val exactScale = v.map(math.abs).max / 127.0
+      assert(math.abs(scale - exactScale) < 1e-6)
+      if (exactScale > 0) {
+        val codes = v.map(x => math.floor(x / exactScale + 0.5).toLong)
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        assert(qsum === codes.sum)
+        // each |x - q*scale| <= scale/2 → l2 <= scale/2 * sqrt(64)
+        assert(err <= exactScale / 2 * 8 + 1e-6)
+      }
+    }
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
