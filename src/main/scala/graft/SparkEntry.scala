@@ -63,6 +63,7 @@ object SparkEntry {
       asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
     "q_antijoin" -> ((s, d) => present(Relational.qAntiJoin(s, d), "c_custkey")),
     "q_setops" -> ((s, d) => present(Relational.qSetOps(s, d), "user_id")),
+    "q_intersect" -> ((s, d) => present(Relational.qIntersect(s, d), "user_id")),
     "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
@@ -79,6 +80,7 @@ object SparkEntry {
     "sql_cosine" -> ((s, d) => present(sqlCosine(s, d), "a_id", "b_id")),
     // §2.4 dedup family
     "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
+    "docs_dedup_normalized" -> ((s, d) => present(NearDup.docsDedupNormalized(s, d), "content_hash")),
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
     "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
     "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
@@ -92,6 +94,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => present(Ann.annLsh(s, d), "q_id", "rnk")),
     "emb_label_centroids" -> ((s, d) => present(Ann.labelCentroids(s, d), "label", "dim")),
     "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
+    "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -469,6 +472,11 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -546,6 +554,13 @@ object SparkEntry {
     "docs_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, text,
+        |             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |           FROM documents)
+        |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       count(DISTINCT text) AS n_raw_variants
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_jaccard_pairs" -> jaccardPairsSql,
     // LSH emits exact-verified (a_id, b_id, jaccard) — identical SQL
     // to docs_jaccard_pairs. Both sides are fully deterministic
@@ -668,6 +683,15 @@ object SparkEntry {
         |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS c
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // recall of the (already-oracled) IVF path against the exact
+    // top-k: both sides are the existing oracle queries, composed
+    "ann_recall" ->
+      s"""WITH exact AS (SELECT * FROM ($annExactTopKSql)),
+         |approx AS (SELECT * FROM (${annIvfOracleSql})),
+         |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 END AS m
+         |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
+         |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
     // int8 quantization replay: same explicit half-up rounding
     // (floor(x/scale + 0.5)), same sequential double folds; q_sum is
     // exact integer, sqrt is IEEE-correctly-rounded on both engines

@@ -65,6 +65,24 @@ object Ann {
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast("double")), 6).as("c"))
 
+  /** Recall@k of the IVF path against the exact top-k — the quality
+    * monitor an ANN serving pipeline keeps running (approximate
+    * indexes silently degrade as data drifts; recall against a
+    * sampled exact scan is the standard guard). Left join on
+    * (q_id, n_id), one count per query; both sides are the existing
+    * operators, unchanged.
+    */
+  def annRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = annBruteForce(spark, dir, nQueries, k).select(col("q_id"), col("n_id"))
+    val approx = annIvf(spark, dir).select(col("q_id"), col("n_id"))
+      .withColumn("m", lit(1))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column —
     * the storage/bandwidth step before any large-scale ANN serve
     * (4 B float → 1 B int per dim): per-vector scale = max|x|/127,

@@ -30,6 +30,24 @@ object NearDup {
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup on NORMALIZED text — the near-exact pass every
+    * training pipeline runs before expensive sketching: lowercase,
+    * strip non-alphanumerics, collapse whitespace, then hash-groupBy
+    * like [[docsDedupExact]]. `n_raw_variants` counts distinct raw
+    * spellings merged into each normalized identity (the rows plain
+    * exact dedup would have missed). Same single map-combinable
+    * shuffle; normalization is per-row codegen'd regex work.
+    */
+  def docsDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), md5(norm.cast("binary")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_raw_variants"))
+  }
+
   /** Documents with their distinct word-3-shingle sets. The
     * repartition spreads per-doc shingling/hashing across cores —
     * the test tables arrive as one parquet file (one input split),

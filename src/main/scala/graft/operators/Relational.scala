@@ -195,6 +195,16 @@ object Relational {
       .except(ev.filter(col("event_type") === "purchase").select("user_id"))
   }
 
+  /** INTERSECT: users seen in BOTH click and purchase events — the
+    * other set-op branch (compiles to a left-semi over distincts,
+    * one shuffle per side).
+    */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
   /** Exact distinct counts (partial-agg distinct rewrite: Spark
     * expands to a two-phase aggregate; the scale path for loose
     * accuracy is approx_count_distinct/HLL, not oracle-comparable).

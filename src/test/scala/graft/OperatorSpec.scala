@@ -122,6 +122,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("intersect = manual set intersection of the two projections") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+    val click = ev.filter(col("event_type") === "click")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val got = Relational.qIntersect(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got === click.intersect(purchase))
+  }
+
+  test("normalized dedup merges at least as much as exact, and groups are normalization-consistent") {
+    import graft.operators.NearDup
+    val norm = NearDup.docsDedupNormalized(spark, sf).collect()
+    val exact = NearDup.docsDedupExact(spark, sf).collect()
+    assert(norm.length <= exact.length)
+    assert(norm.map(_.getLong(3)).forall(_ >= 1)) // n_raw_variants
+    assert(norm.map(_.getLong(2)).sum === exact.map(r => r.getLong(2)).sum) // doc count conserved
+    def normalize(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectGroups = docs.values.map(normalize).toSet.size
+    assert(norm.length === expectGroups)
+  }
+
+  test("ann recall equals a manual overlap of IVF vs brute force") {
+    import graft.operators.Ann
+    val exact = Ann.annBruteForce(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ivf = Ann.annIvf(spark, sf).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.annRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (q, nMatch, recall) =>
+      val expect = exact(q).count(ivf.contains).toLong
+      assert(nMatch === expect, s"q=$q")
+      assert(recall === math.rint(nMatch / 5.0 * 10000) / 10000)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    assert(got.length === exact.size)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
