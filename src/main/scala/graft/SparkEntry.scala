@@ -101,6 +101,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
     "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
+    "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
+    "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     // §2.7 multimodal
@@ -812,6 +814,33 @@ object SparkEntry {
         |      FROM r)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(weight, 4) AS weight
         |FROM k WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // chunk arithmetic is exact integers on both sides: n_chunks =
+    // ceil((len - overlap)/stride) min 1, chunk i = substr at
+    // i*stride + 1, fixed 200-char window (shorter tail allowed)
+    "docs_chunk" ->
+      """WITH c AS (SELECT doc_id, text,
+        |             unnest(range(0, CAST(greatest((length(text) - 50 + 149) // 150, 1) AS BIGINT))) AS chunk_idx
+        |           FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text,
+        |       CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // deterministic hash-rate sampling: u = first 32 bits of
+    // md5(doc_id string); thresholds are exact integer literals
+    // computed by Sampling.rateThreshold (no float cast in SQL)
+    "docs_sample_stratified" -> {
+      val (tEn, tZh, tDef) = (Sampling.rateThreshold(0.5),
+        Sampling.rateThreshold(0.3), Sampling.rateThreshold(0.2))
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 9),
+         |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+         |    (a, x) -> a * 16 + x) AS u
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       u < (CASE WHEN lang = 'en' THEN $tEn WHEN lang = 'zh' THEN $tZh ELSE $tDef END) AS is_sampled
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" ->
       s"WITH $fingerprintCtes\nSELECT doc_id, fp FROM f ORDER BY doc_id, fp",
     "text_ngram_topk" ->

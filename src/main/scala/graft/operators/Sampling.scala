@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling (SURVEY.md §2.4 adjunct) — the
+  * subsetting pass a training pipeline runs to rebalance sources and
+  * languages. Selection must be a pure function of a stable row
+  * identity, never an RNG: reruns, retries, and different partition
+  * layouts have to pick the SAME rows (Bernoulli `sample()` does not
+  * survive a re-shuffle), and the decision must be auditable later.
+  *
+  * A row is selected iff the top 32 bits of md5(doc_id) fall below
+  * rate · 2³². Thresholds are precomputed to exact integer literals
+  * Scala-side, so the Spark plan and any re-implementation (the
+  * DuckDB oracle included) compare the same integers — no
+  * float-cast-rounding edge between engines. Map-only, no shuffle.
+  */
+object Sampling {
+
+  /** 32-bit uniform hash of the doc id: first 8 hex digits of
+    * md5(decimal string), parsed as an unsigned int.
+    */
+  private def hash32(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Exact integer threshold for a sampling rate. */
+  def rateThreshold(rate: Double): Long = (rate * 4294967296L).toLong
+
+  /** Per-language stratified sampling decision for every document:
+    * (doc_id, lang, is_sampled). `rates` maps languages to rates;
+    * everything else gets `defaultRate`. Expected sample size per
+    * stratum = rate · |stratum| (hash uniformity), deterministic
+    * across runs and cluster layouts.
+    */
+  def docsSampleStratified(spark: SparkSession, dir: String,
+                           rates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.3),
+                           defaultRate: Double = 0.2): DataFrame = {
+    val threshold = rates.foldRight(lit(rateThreshold(defaultRate))) {
+      case ((lang, r), els) => when(col("lang") === lang, lit(rateThreshold(r))).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (hash32(col("doc_id")) < threshold).as("is_sampled"))
+  }
+}

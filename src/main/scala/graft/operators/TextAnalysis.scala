@@ -112,6 +112,36 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
 
+  /** Fixed-size overlapping character chunks — the chunking pass a
+    * training/RAG pipeline runs before tokenization: chunk i covers
+    * [i·stride, i·stride + size) with stride = size − overlap, so
+    * consecutive chunks share `overlap` chars and every char is
+    * covered. Chunk count is exact integer arithmetic
+    * (⌈(len − overlap)/stride⌉, min 1), so the oracle replays it with
+    * no float in sight. Map-only: sequence + posexplode + substring,
+    * no shuffle — scan-speed at any corpus size.
+    */
+  def docsChunk(spark: SparkSession, dir: String,
+                size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val stride = size - overlap
+    val len = length(col("text"))
+    // integer ceil((len - overlap) / stride), clamped to >= 1; the
+    // numerator is always positive (len ≥ 0 ⇒ len + stride − 1 −
+    // overlap ≥ stride − 1 − overlap... with overlap < size this is
+    // ≥ −overlap + stride − 1 ≥ 0), so floor division is exact ceil
+    val nChunks = greatest(
+      floor((len - lit(overlap) + lit(stride - 1)).cast("double") / stride).cast("long"),
+      lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("text"), (col("chunk_idx") * stride + 1).cast("int"), lit(size))
+          .as("chunk_text"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+  }
+
   /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
     * exploded to (doc_id, fp) rows — the join-able shape for
     * fingerprint-overlap dedup at scale. Typed flatMap: map-only,

@@ -165,6 +165,44 @@ class OperatorSpec extends SparkSpec {
     assert(got.length === exact.size)
   }
 
+  test("chunking covers every char, respects overlap, and reassembles the document") {
+    import graft.operators.TextAnalysis
+    val chunks = TextAnalysis.docsChunk(spark, sf, size = 200, overlap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val cs = chunks(id)
+      // stride-150 prefixes reassemble the full text exactly
+      val rebuilt = cs.init.map(_.take(150)).mkString + cs.last
+      assert(rebuilt === text, s"doc $id")
+      // consecutive chunks agree on the 50-char overlap
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.drop(150) === b.take(a.length - 150), s"doc $id overlap")
+        case _ =>
+      }
+      assert(cs.init.forall(_.length === 200), s"doc $id full chunks")
+    }
+  }
+
+  test("stratified sampling is deterministic and near the configured rates") {
+    import graft.operators.Sampling
+    val a = Sampling.docsSampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val b = Sampling.docsSampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(a.toSet === b.toSet) // rerun picks the same rows
+    val byLang = a.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val rate = lang match { case "en" => 0.5; case "zh" => 0.3; case _ => 0.2 }
+      val got = rows.count(_._3).toDouble / rows.length
+      // loose binomial bound: small strata at sf0.001 (~10-100 docs)
+      assert(math.abs(got - rate) < 0.25, s"$lang rate $got vs $rate")
+    }
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
