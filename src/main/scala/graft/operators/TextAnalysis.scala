@@ -122,18 +122,21 @@ object TextAnalysis {
     * no shuffle — scan-speed at any corpus size.
     */
   def docsChunk(spark: SparkSession, dir: String,
-                size: Int = 200, overlap: Int = 50): DataFrame = {
-    require(overlap < size, "overlap must be < size")
+                size: Int = 200, overlap: Int = 50): DataFrame =
+    chunk(Tables.documents(spark, dir), size, overlap)
+
+  /** [[docsChunk]] over any frame with (doc_id, text) columns. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
     val stride = size - overlap
     val len = length(col("text"))
-    // integer ceil((len - overlap) / stride), clamped to >= 1; the
-    // numerator is always positive (len ≥ 0 ⇒ len + stride − 1 −
-    // overlap ≥ stride − 1 − overlap... with overlap < size this is
-    // ≥ −overlap + stride − 1 ≥ 0), so floor division is exact ceil
+    // integer ceil((len − overlap) / stride) via floor division,
+    // clamped to ≥ 1: any document shorter than one stride (empty
+    // included) still emits exactly one (possibly short) chunk
     val nChunks = greatest(
       floor((len - lit(overlap) + lit(stride - 1)).cast("double") / stride).cast("long"),
       lit(1L))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),

@@ -187,6 +187,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("chunking edge cases: empty text, exact boundaries, tiny docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // lengths around the stride/size boundaries: 0, 1, overlap,
+    // stride, size, size+1, exactly two strides + overlap
+    val docs = Seq(0, 1, 50, 150, 200, 201, 350)
+      .zipWithIndex.map { case (n, i) => (i.toLong, "x" * n) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, 200, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(0L) === Seq(""))           // empty doc → one empty chunk
+    assert(got(1L) === Seq("x"))
+    assert(got(2L) === Seq("x" * 50))
+    assert(got(3L) === Seq("x" * 150))    // == stride → single chunk
+    assert(got(4L) === Seq("x" * 200))    // == size → single chunk
+    assert(got(5L).map(_.length) === Seq(200, 51))  // one char spills over
+    assert(got(6L).map(_.length) === Seq(200, 200)) // 350 = 2*150 + 50
+  }
+
   test("stratified sampling is deterministic and near the configured rates") {
     import graft.operators.Sampling
     val a = Sampling.docsSampleStratified(spark, sf).collect()

@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-schema content keys drive a streaming dedup (parsePayload dispatch, streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val keyed = graft.sources.HfpSource.withContentKey(
+      input.toDF().toDF("id", "schema", "payload"))
+    val out = keyed.dropDuplicates("content_key").select("id")
+    val q = out.writeStream.format("memory").queryName("ms_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "hfp", """{"VP":{"veh":7,"spd":3.0}}"""))
+      q.processAllAvailable()
+      // same logical payload, later micro-batch, different formatting
+      // → canonical key dedups it; unknown schema keeps raw identity
+      input.addData(
+        (2L, "hfp", """{ "VP" : {"spd":3.0,"veh":7} }"""),
+        (3L, "unknown", """{"VP":{"veh":7,"spd":3.0}}"""),
+        (4L, "unknown", """{ "VP" : {"spd":3.0,"veh":7} }"""))
+      q.processAllAvailable()
+      val got = spark.table("ms_out").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("windowedStats aggregates annotated stream per minute (Analytics.calcStats shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
