@@ -34,6 +34,31 @@ object GraftSink {
       .partitionBy("p_date")
       .parquet(path)
 
+  /** Write `df` as a BUCKETED table: hash-bucketed and sorted by
+    * `key` into `buckets` files per partition. Bucketing is the
+    * pre-shuffle a 100 TB pipeline pays ONCE at write time so every
+    * later equi-join or aggregation on `key` between co-bucketed
+    * tables runs with NO exchange at all (SparkSessionCatalog keeps
+    * the bucket spec; the planner sees compatible distributions on
+    * both sides and drops the shuffles — SinkSpec asserts the
+    * exchange-free join plan). The reference's analog is Pulsar's
+    * key-shared subscriptions: keys land deterministically so
+    * consumers never re-partition.
+    *
+    * Bucket count is a layout contract: co-locating joins need equal
+    * (or multiple) bucket counts on both tables, so fix it per key
+    * domain, sized so one bucket ≈ one task's worth of data at the
+    * target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Append-mode streaming file sink with checkpointing — the
     * file-based analog of the reference's Pulsar producer (each
     * micro-batch's primes land as new parquet files; the checkpoint

@@ -36,6 +36,40 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join and aggregate with no exchange (pay the shuffle once, at write)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toFile
+    try {
+      val left = (0L until 500L).map(i => (i % 50, i)).toDF("k", "v")
+      val right = (0L until 200L).map(i => (i % 50, i * 10)).toDF("k", "w")
+      GraftSink.writeBucketed(left, "bk_left", "k", 4,
+        Some(new java.io.File(dir, "l").getAbsolutePath))
+      GraftSink.writeBucketed(right, "bk_right", "k", 4,
+        Some(new java.io.File(dir, "r").getAbsolutePath))
+      val joined = spark.table("bk_left")
+        .join(spark.table("bk_right"), "k")
+        // disable broadcast so the test exercises the bucketed path
+        .hint("shuffle_merge")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // counts still correct: 10 left rows x 4 right rows per key
+      assert(joined.count() === 50L * 10 * 4)
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("bk_left").groupBy("k").agg(sum("v"))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(agg.count() === 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming dedup -> file sink forwards exactly the primes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
