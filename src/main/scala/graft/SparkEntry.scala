@@ -68,6 +68,7 @@ object SparkEntry {
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
     "q_salted_agg" -> ((s, d) => present(Relational.qSaltedAgg(s, d), "event_type")),
+    "q_salted_join" -> ((s, d) => present(Relational.qSaltedJoin(s, d), "event_type")),
     "q_pivot" -> ((s, d) => present(Relational.qPivot(s, d), "o_orderpriority")),
     "q_grouping_sets" -> ((s, d) => presentBy(Relational.qGroupingSets(s, d),
       asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
@@ -118,6 +119,10 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => present(
       Multimodal.resizePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(), "doc_id")),
+    "mm_tile" -> ((s, d) => present(
+      Multimodal.tilePlan(
+        Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
+      "doc_id", "tile_y", "tile_x")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -498,6 +503,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // the salted join must equal the PLAIN join — the oracle is the
+    // unsalted form; only exact-integer aggregates are compared
+    "q_salted_join" ->
+      """WITH d AS (SELECT event_type, round(avg(value), 4) AS type_avg FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
@@ -745,6 +758,26 @@ object SparkEntry {
         |       CAST(CASE WHEN longest <= 256 THEN h ELSE greatest(1, (h * 256) // longest) END AS INT) AS out_h,
         |       CAST(CASE WHEN longest <= 256 THEN 100 ELSE (256 * 100) // longest END AS INT) AS scale_pct
         |FROM r ORDER BY doc_id""".stripMargin,
+    // tile-grid replay: stub dims from the checksum, 64px row-major
+    // grid, edge tiles clipped — all integer arithmetic
+    "mm_tile" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(CAST(n AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS cksum
+        |      FROM b),
+        |d AS (SELECT doc_id, 16 + cksum % 1024 AS dw, 16 + (cksum // 1024) % 1024 AS dh FROM c),
+        |g AS (SELECT doc_id, dw, dh, unnest(range(0, CAST((dh + 63) // 64 AS BIGINT))) AS ty FROM d),
+        |t AS (SELECT doc_id, dw, dh, ty, unnest(range(0, CAST((dw + 63) // 64 AS BIGINT))) AS tx FROM g)
+        |SELECT doc_id, CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+        |       CAST(tx * 64 AS INT) AS x0, CAST(ty * 64 AS INT) AS y0,
+        |       CAST(least(64, dw - tx * 64) AS INT) AS w,
+        |       CAST(least(64, dh - ty * 64) AS INT) AS h
+        |FROM t ORDER BY doc_id, tile_y, tile_x""".stripMargin,
     // frame sampling replay: every 2nd 64-byte frame, mod-p checksum
     // over that frame's bytes from the hex dump
     "mm_frame_sample" ->

@@ -98,6 +98,31 @@ object Multimodal {
     }
   }
 
+  /** One planned tile: grid coordinates + clipped pixel box. */
+  case class Tile(doc_id: Long, tile_x: Int, tile_y: Int,
+                  x0: Int, y0: Int, w: Int, h: Int)
+
+  /** Tile-grid planning over decoded dimensions — the patching pass a
+    * vision pipeline runs before a patch-based encoder (fixed tile
+    * size, edge tiles clipped, row-major order). Pure integer
+    * arithmetic from the decoded (width, height), flatMap per row —
+    * map-only, replayable by any engine. A real implementation hands
+    * each (x0, y0, w, h) crop box to the codec over the same batched
+    * iterator as [[decodeFeatures]].
+    */
+  def tilePlan(decoded: Dataset[MediaFeatures], tile: Int = 64): Dataset[Tile] = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap { f =>
+      val nx = (f.width + tile - 1) / tile
+      val ny = (f.height + tile - 1) / tile
+      for {
+        ty <- 0 until ny
+        tx <- 0 until nx
+      } yield Tile(f.doc_id, tx, ty, tx * tile, ty * tile,
+        math.min(tile, f.width - tx * tile), math.min(tile, f.height - ty * tile))
+    }
+  }
+
   /** One sampled frame's features. */
   case class FrameFeature(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 

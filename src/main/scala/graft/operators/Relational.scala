@@ -244,6 +244,35 @@ object Relational {
       .groupBy("event_type")
       .agg(round(sum("pv"), 2).as("total_value"), sum("pn").cast("long").as("n_events"))
 
+  /** Skew-safe SALTED equi-join: the big side's hot keys (5 event
+    * types over 60k+ rows — a worst-case skew ratio) get a
+    * deterministic per-row salt, the small side replicates to every
+    * salt, and the join runs on (key, salt) so one hot key's rows
+    * spread over `salts` reducer keys instead of one straggler task.
+    * Result set is IDENTICAL to the unsalted join (each row still
+    * meets exactly its key's dim row) — the oracle checks against
+    * the plain join. At this SF Catalyst broadcasts the replicated
+    * dim (40 rows) so no shuffle happens at all; at scale, when the
+    * dim side outgrows broadcast and the plan becomes a shuffled
+    * join, the salt is what keeps the hot key parallel. (AQE's
+    * skew-join split is the automatic alternative; explicit salting
+    * is the deterministic, engine-independent rendering.)
+    *
+    * The aggregate emits exact integers only (count + an
+    * above-average indicator sum against the 4-dp-rounded per-type
+    * mean), so the oracle compare has no float-summation edge.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy("event_type").agg(round(avg("value"), 4).as("type_avg"))
+    val salted = ev.withColumn("_salt", pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+    val dimX = dim.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(dimX, Seq("event_type", "_salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("type_avg"), 1).otherwise(0)).cast("long").as("n_above"))
+  }
+
   /** PIVOT: per-priority order counts rotated to one column per
     * order status. The pivot value list is EXPLICIT — omitting it
     * makes Spark run a distinct-scan job just to discover columns,

@@ -223,6 +223,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tile plan partitions every image exactly (areas sum, edges clip, row-major)") {
+    import graft.operators.Multimodal
+    val decoded = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf))
+    val dims = decoded.collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    val tiles = Multimodal.tilePlan(decoded).collect().groupBy(_.doc_id)
+    assert(tiles.keySet === dims.keySet)
+    tiles.foreach { case (id, ts) =>
+      val (w, h) = dims(id)
+      assert(ts.map(t => t.w.toLong * t.h).sum === w.toLong * h, s"doc $id area")
+      assert(ts.forall(t => t.x0 + t.w <= w && t.y0 + t.h <= h), s"doc $id bounds")
+      assert(ts.forall(t => t.w > 0 && t.h > 0), s"doc $id degenerate tile")
+      val expected = ((w + 63) / 64) * ((h + 63) / 64)
+      assert(ts.length === expected, s"doc $id tile count")
+    }
+  }
+
+  test("salted join equals the plain unsalted join") {
+    import graft.operators.Relational
+    val salted = Relational.qSaltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val dim = ev.groupBy("event_type").agg(round(avg("value"), 4).as("type_avg"))
+    val plain = ev.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("type_avg"), 1).otherwise(0)).cast("long").as("n_above"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
