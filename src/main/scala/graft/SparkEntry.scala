@@ -102,6 +102,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
     "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
+    "text_repetition" -> ((s, d) => present(TextAnalysis.textRepetition(s, d), "doc_id")),
+    "text_boilerplate" -> ((s, d) => present(TextAnalysis.textBoilerplate(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     // top-k is ordered by construction (TakeOrderedAndProject)
@@ -847,6 +849,37 @@ object SparkEntry {
         |      FROM r)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(weight, 4) AS weight
         |FROM k WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // repetition: both counts from one tokenize pass; short docs
+    // (< k tokens) have n_shingles = 0 and a null ratio
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        greatest(len(toks) - 2, 0) AS n_sh,
+        |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS n_d
+        |      FROM tok)
+        |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, CAST(n_d AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(n_d AS DOUBLE) / nullif(CAST(n_sh AS DOUBLE), 0.0), 4) AS rep_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // boilerplate coverage vs the deterministic corpus top-20 bigram
+    // set (df DESC, ngram cut — same ordering as text_ngram_topk)
+    "text_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
+        |       FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
+        |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
+        |                           ORDER BY df DESC, ngram LIMIT 20)),
+        |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
+        |      FROM tok)
+        |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(m.n_top, 0) AS BIGINT) AS n_top_ngrams,
+        |       round(CAST(coalesce(m.n_top, 0) AS DOUBLE) / nullif(CAST(b.nb AS DOUBLE), 0.0), 4) AS boiler_ratio
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id""".stripMargin,
     // chunk arithmetic is exact integers on both sides: n_chunks =
     // ceil((len - overlap)/stride) min 1, chunk i = substr at
     // i*stride + 1, fixed 200-char window (shorter tail allowed)

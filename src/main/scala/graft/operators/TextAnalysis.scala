@@ -121,6 +121,48 @@ object TextAnalysis {
     * no float in sight. Map-only: sequence + posexplode + substring,
     * no shuffle — scan-speed at any corpus size.
     */
+  /** Intra-document repetition: fraction of a doc's word k-shingles
+    * that are repeats (1 − distinct/total) — the Gopher-family
+    * quality gate that catches looping/templated text. Map-only:
+    * both counts come from the same tokenize pass; exact integer
+    * counts, ratio rounded at the contract edge. Docs too short for
+    * one shingle report null ratio (nothing to repeat).
+    */
+  def textRepetition(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val nTotal = greatest(size(T.tokens(col("text"))) - (k - 1), lit(0)).cast("long")
+    val nDistinct = size(T.wordShingles(col("text"), k)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTotal.as("n_shingles"),
+        nDistinct.as("n_distinct"),
+        round(lit(1.0) - nDistinct.cast("double") /
+          nullif(nTotal.cast("double"), lit(0.0)), 4).as("rep_ratio"))
+  }
+
+  /** Per-document BOILERPLATE coverage: how many of a doc's distinct
+    * bigrams sit in the corpus-wide top-k bigram list
+    * ([[textNgramTopk]] — deterministic (df DESC, ngram) cut, so the
+    * top set is engine-independent). High coverage = template/
+    * boilerplate page. The top-k side is k rows → broadcast; the doc
+    * side is one explode; one map-combinable count per doc; docs with
+    * no top bigram keep a 0 count via the left join.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val top = textNgramTopk(spark, dir, 2, topK).select(col("ngram"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.wordShingles(col("text"), 2).as("bigrams"))
+    val hits = base
+      .select(col("doc_id"), explode(col("bigrams")).as("ngram"))
+      .join(broadcast(top), Seq("ngram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_top_ngrams"))
+    base.select(col("doc_id"), size(col("bigrams")).cast("long").as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_top_ngrams"), lit(0L)).as("n_top_ngrams"),
+        round(coalesce(col("n_top_ngrams"), lit(0L)).cast("double") /
+          nullif(col("n_bigrams").cast("double"), lit(0.0)), 4).as("boiler_ratio"))
+  }
+
   def docsChunk(spark: SparkSession, dir: String,
                 size: Int = 200, overlap: Int = 50): DataFrame =
     chunk(Tables.documents(spark, dir), size, overlap)

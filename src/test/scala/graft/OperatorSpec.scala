@@ -253,6 +253,33 @@ class OperatorSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("repetition and boilerplate signals match a manual replay") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(s: String, k: Int) = {
+      val t = s.split(" ", -1)
+      if (t.length < k) Seq.empty[String]
+      else t.sliding(k).map(_.mkString(" ")).toSeq
+    }
+    val rep = TextAnalysis.textRepetition(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val sh = shingles(text, 3)
+      assert(rep(id) === ((sh.length.toLong, sh.distinct.length.toLong)), s"doc $id")
+    }
+    val top = docs.values.flatMap(t => shingles(t, 2).distinct).toSeq
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (ng, df) => (-df, ng) }.take(20).map(_._1).toSet
+    val boiler = TextAnalysis.textBoilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    boiler.foreach { case (id, nBigrams, nTop) =>
+      val bg = shingles(docs(id), 2).distinct
+      assert(nBigrams === bg.length.toLong, s"doc $id bigrams")
+      assert(nTop === bg.count(top).toLong, s"doc $id top hits")
+    }
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
