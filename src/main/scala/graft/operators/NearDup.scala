@@ -55,7 +55,10 @@ object NearDup {
     * the CPU-heavy sketch work.
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingledDocs(Tables.documents(spark, dir))
+
+  private def shingledDocs(documents: DataFrame): DataFrame =
+    documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), T.wordShingles(col("text"), SHINGLE_K).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -140,8 +143,14 @@ object NearDup {
     * the symmetric join (cf. containmentPairs, whose B side indexes
     * every occurrence and does get salted).
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = shingled(spark, dir)
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    jaccardPairsOn(Tables.documents(spark, dir), threshold)
+
+  /** [[jaccardPairs]] over any (doc_id, text) frame — the seam the
+    * randomized property tests drive with synthetic corpora.
+    */
+  def jaccardPairsOn(documents: DataFrame, threshold: Double): DataFrame = {
+    val docs = shingledDocs(documents)
     val ord = orderedShingles(hashedShingles(docs))
     val n = size(col("arr"))
     val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
@@ -211,8 +220,15 @@ object NearDup {
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8,
-                       hotDf: Int = 1024, salts: Int = 16): DataFrame = {
-    val docs = shingled(spark, dir)
+                       hotDf: Int = 1024, salts: Int = 16): DataFrame =
+    containmentPairsOn(Tables.documents(spark, dir), threshold, hotDf, salts)
+
+  /** [[containmentPairs]] over any (doc_id, text) frame; hotDf/salts
+    * exposed so tests can force EVERY key down the salted path.
+    */
+  def containmentPairsOn(documents: DataFrame, threshold: Double,
+                         hotDf: Int = 1024, salts: Int = 16): DataFrame = {
+    val docs = shingledDocs(documents)
     // probe and index sides BOTH derive from the ordered arrays; the
     // A side feeds a BroadcastExchange, so without materialization
     // the df-join + per-doc sort run twice (no exchange reuse across

@@ -164,6 +164,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PPJoin+ filters are exact: jaccard/containment == brute force on random corpora, salted included") {
+    import spark.implicits._
+    // synthetic corpora with real overlap structure: a few templates,
+    // each instantiated with word-level mutations, plus noise docs
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def randDoc(n: Int): Seq[String] = Seq.fill(n)(words(rnd.nextInt(words.length)))
+    def mutate(base: Seq[String], edits: Int): Seq[String] =
+      (0 until edits).foldLeft(base) { (d, _) =>
+        d.updated(rnd.nextInt(d.length), words(rnd.nextInt(words.length)))
+      }
+    def shingles(toks: Seq[String]) =
+      if (toks.length < 3) Set.empty[String] else toks.sliding(3).map(_.mkString(" ")).toSet
+
+    for (trial <- 0 until 2) {
+      val templates = Seq.fill(4)(randDoc(12 + rnd.nextInt(20)))
+      val docs = (templates.zipWithIndex.flatMap { case (t, i) =>
+        Seq.tabulate(3)(j => (i * 10L + j, mutate(t, rnd.nextInt(4)).mkString(" ")))
+      } ++ Seq.tabulate(8)(i => (100L + i, randDoc(8 + rnd.nextInt(15)).mkString(" "))))
+      val df = docs.toDF("doc_id", "text")
+      val sets = docs.map { case (id, t) => id -> shingles(t.split(" ", -1).toSeq) }
+        .filter(_._2.nonEmpty).toMap
+
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val gotJ = graft.operators.NearDup.jaccardPairsOn(df, t)
+          .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expJ = (for {
+          (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+          j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          if j >= t
+        } yield (a, b)).toSet
+        assert(gotJ === expJ, s"trial $trial jaccard t=$t")
+      }
+      for (t <- Seq(0.6, 0.8); (hotDf, salts) <- Seq((1024, 16), (1, 4))) {
+        // (hotDf=1, salts=4) forces EVERY index key through salting —
+        // exactness must be unaffected
+        val gotC = graft.operators.NearDup.containmentPairsOn(df, t, hotDf, salts)
+          .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expC = (for {
+          (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+          c = sa.intersect(sb).size.toDouble / sa.size
+          if c >= t
+        } yield (a, b)).toSet
+        assert(gotC === expC, s"trial $trial containment t=$t hotDf=$hotDf")
+      }
+    }
+  }
+
   test("VecDot equals a naive sequential double fold, bit-exactly") {
     import spark.implicits._
     val data = (0 until 50).map { _ =>
