@@ -1,0 +1,32 @@
+package graft
+
+/** Plan-regression net: every driver-contract query is planned (at
+  * sf0.001 — iterative operators execute their rounds) and its
+  * physical plan is swept for the two scale-killers a refactor could
+  * silently reintroduce: cartesian products and unbounded
+  * BroadcastNestedLoopJoins. BNLJs are allowed only where the
+  * broadcast side is BOUNDED by construction (a k-row query set or
+  * K-row centroid set — map-only corpus scans, documented in
+  * Ann.annBruteForce).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // queries whose plan legitimately contains a BNLJ: the broadcast
+  // side is a bounded constant (10 queries / 16 centroids / 45
+  // query-pair rows), never a data-sized relation
+  private val allowedBnlj = Set(
+    "ann_bruteforce", "ann_ivf", "ann_recall", // bounded query/centroid side
+    "sql_cosine" // 10x10 query-vector pair join, pure inequality keys
+  )
+
+  test("no cartesian product or unexpected nested-loop join in any contract query") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!allowedBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+}
