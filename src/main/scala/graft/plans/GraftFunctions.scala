@@ -62,13 +62,24 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
+
+  /** Install graft's optimizer rules on a LIVE session (idempotent) —
+    * `experimental.extraOptimizations` runs them after the built-in
+    * optimizer batches. Session-build-time installs go through
+    * [[GraftExtensions]] instead.
+    */
+  def installOptimizations(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ VecDotRewrite).distinct
 }
 
-/** `spark.sql.extensions` injector. */
+/** `spark.sql.extensions` injector: functions + optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    ext.injectOptimizerRule(_ => VecDotRewrite)
+  }
 }
