@@ -64,6 +64,8 @@ object SparkEntry {
     "q_antijoin" -> ((s, d) => present(Relational.qAntiJoin(s, d), "c_custkey")),
     "q_setops" -> ((s, d) => present(Relational.qSetOps(s, d), "user_id")),
     "q_intersect" -> ((s, d) => present(Relational.qIntersect(s, d), "user_id")),
+    "q_retention" -> ((s, d) => present(Relational.qRetention(s, d), "cohort_d", "day_offset")),
+    "q_funnel" -> ((s, d) => present(Relational.qFunnel(s, d), "user_id")),
     "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
@@ -505,6 +507,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+        |SELECT c.cohort_d, CAST(date_diff('day', c.cohort_d, e.d) AS INT) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'purchase')
+        |SELECT fc.user_id, fc.c_ms AS first_click_ms,
+        |       CAST(max(CASE WHEN p.p_ms >= fc.c_ms AND p.p_ms <= fc.c_ms + 3600000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |FROM fc LEFT JOIN p ON fc.user_id = p.user_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // the salted join must equal the PLAIN join — the oracle is the
     // unsalted form; only exact-integer aggregates are compared
     "q_salted_join" ->

@@ -195,6 +195,43 @@ object Relational {
       .except(ev.filter(col("event_type") === "purchase").select("user_id"))
   }
 
+  /** Cohort RETENTION matrix: users grouped by their first-seen day,
+    * distinct-active counts per (cohort, day offset) — the standard
+    * engagement table every event pipeline materializes. Two
+    * map-combinable aggregates + one join on user_id; exact integer
+    * output (no float edge in the oracle).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** FUNNEL conversion: per user with at least one click, did any
+    * purchase land within `windowMs` after the FIRST click? The
+    * anchored-existence shape (anchor event, then any qualifying
+    * event in a trailing window) that conversion analytics is built
+    * from. One aggregate for the anchor, one left join to purchases,
+    * one max-of-indicator aggregate — all integer outputs.
+    */
+  def qFunnel(spark: SparkSession, dir: String,
+              windowMs: Long = 3600000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(unix_millis(col("ts"))).as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "c_ms")
+      .agg(max(when(col("p_ms") >= col("c_ms") &&
+          col("p_ms") <= col("c_ms") + windowMs, 1).otherwise(0))
+        .cast("long").as("converted"))
+      .select(col("user_id"), col("c_ms").as("first_click_ms"), col("converted"))
+  }
+
   /** INTERSECT: users seen in BOTH click and purchase events — the
     * other set-op branch (compiles to a left-semi over distincts,
     * one shuffle per side).

@@ -280,6 +280,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("retention and funnel match a manual replay over collected events") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
+        to_date(col("ts")).cast("string").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    // retention: cohort = first day per user, distinct users per offset
+    val firstDay = ev.groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val expRet = ev.map { case (u, _, _, d) =>
+      val c = firstDay(u)
+      ((c, java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(c), java.time.LocalDate.parse(d)).toInt), u)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val gotRet = Relational.qRetention(spark, sf).collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    assert(gotRet === expRet)
+
+    // funnel: purchase within 1h after the user's FIRST click
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val expFun = firstClick.map { case (u, c) =>
+      u -> ev.exists(e => e._1 == u && e._2 == "purchase" &&
+        e._3 >= c && e._3 <= c + 3600000L)
+    }
+    val gotFun = Relational.qFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) == 1L)).toMap
+    assert(gotFun === expFun)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
