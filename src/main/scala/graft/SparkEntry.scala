@@ -91,6 +91,7 @@ object SparkEntry {
     "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
+    "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
@@ -655,6 +656,19 @@ object SparkEntry {
          |      FROM g JOIN tq ON g.doc_id = tq.doc_id)
          |SELECT doc_id, group_id, keep_id, doc_id = keep_id AS is_keep
          |FROM k ORDER BY doc_id""".stripMargin,
+    // decontamination replay: 8-word shingles, bench = doc_id < 50,
+    // inverted-index join, distinct counts (exact integers)
+    "docs_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+        |                i -> array_to_string(toks[i:i+7], ' '))) AS sh
+        |       FROM tok WHERE len(toks) >= 8),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |b AS (SELECT s, doc_id AS bench_id FROM ex WHERE doc_id < 50),
+        |t AS (SELECT doc_id, s FROM ex WHERE doc_id >= 50)
+        |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams,
+        |       count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM t JOIN b USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
     // winnowed-fingerprint overlap pairs: df-capped inverted index
     // (fp in ≤ 20 docs — the corpus median df is 23, so the cap keeps
     // only discriminative fingerprints), pair overlap count ≥ 5

@@ -48,6 +48,33 @@ object NearDup {
         countDistinct(col("text")).as("n_raw_variants"))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents sharing any
+    * long word n-gram (default 8 — the common decontamination window)
+    * with a benchmark/eval set, reporting how many distinct n-grams
+    * and how many benchmark documents each training doc collides
+    * with. Here the benchmark set is doc_id < benchBound (a
+    * deterministic split of the corpus); in production it is a second
+    * table with the same shape.
+    *
+    * Scale shape: inverted-index equi-join on the n-gram. The
+    * benchmark side is the SMALL side by construction (eval suites
+    * are tiny next to training corpora) so Catalyst broadcasts it
+    * and the training side streams map-only — no df cap needed, the
+    * fan-out is bounded by the benchmark set's size.
+    */
+  def docsContamination(spark: SparkSession, dir: String,
+                        benchBound: Long = 50, k: Int = 8): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), k)).as("s"))
+    val bench = ex.filter(col("doc_id") < benchBound)
+      .select(col("s"), col("doc_id").as("bench_id"))
+    ex.filter(col("doc_id") >= benchBound)
+      .join(bench, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Documents with their distinct word-3-shingle sets. The
     * repartition spreads per-doc shingling/hashing across cores —
     * the test tables arrive as one parquet file (one input split),

@@ -74,6 +74,25 @@ class NearDupSpec extends SparkSpec {
     assert(star === expect)
   }
 
+  test("contamination flags exactly the train docs sharing an 8-gram with the bench split") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String) = {
+      val t = s.split(" ", -1)
+      if (t.length < 8) Set.empty[String] else t.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 < 50).map { case (id, t) => id -> grams(t) }
+    val expect = docs.filter(_._1 >= 50).flatMap { case (id, t) =>
+      val g = grams(t)
+      val hits = bench.filter { case (_, bg) => g.exists(bg) }
+      if (hits.isEmpty) None
+      else Some(id -> (g.count(s => bench.values.exists(_ (s))).toLong, hits.size.toLong))
+    }
+    val got = NearDup.docsContamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
   test("fingerprint-overlap pairs share at least minOverlap winnowed fingerprints") {
     val fps = graft.operators.TextAnalysis.textFingerprint(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
