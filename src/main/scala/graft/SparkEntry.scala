@@ -107,6 +107,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
     "text_repetition" -> ((s, d) => present(TextAnalysis.textRepetition(s, d), "doc_id")),
     "text_boilerplate" -> ((s, d) => present(TextAnalysis.textBoilerplate(s, d), "doc_id")),
+    "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     // top-k is ordered by construction (TakeOrderedAndProject)
@@ -912,6 +913,41 @@ object SparkEntry {
         |       CAST(coalesce(m.n_top, 0) AS BIGINT) AS n_top_ngrams,
         |       round(CAST(coalesce(m.n_top, 0) AS DOUBLE) / nullif(CAST(b.nb AS DOUBLE), 0.0), 4) AS boiler_ratio
         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id""".stripMargin,
+    // quality gate: discrete thresholds as exact integer
+    // cross-multiplications; punct compare divides the same two
+    // integers on both sides
+    "docs_quality_filter" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS pr,
+        |        greatest(len(toks) - 2, 0) AS nsh,
+        |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS nd
+        |      FROM tok),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
+        |       FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
+        |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
+        |                           ORDER BY df DESC, ngram LIMIT 20)),
+        |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
+        |      FROM tok),
+        |j AS (SELECT f.doc_id, f.nt, f.pr, f.nsh, f.nd, b.nb, coalesce(m.n_top, 0) AS n_top
+        |      FROM f JOIN b ON f.doc_id = b.doc_id LEFT JOIN m ON f.doc_id = m.doc_id)
+        |SELECT doc_id,
+        |       nt < 5 AS flag_short,
+        |       nt > 80 AS flag_long,
+        |       coalesce(pr > 0.1, false) AS flag_punct,
+        |       nd * 5 < nsh * 4 AS flag_repetitive,
+        |       n_top * 5 > nb * 2 AS flag_boilerplate,
+        |       NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
+        |         AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
     // chunk arithmetic is exact integers on both sides: n_chunks =
     // ceil((len - overlap)/stride) min 1, chunk i = substr at
     // i*stride + 1, fixed 200-char window (shorter tail allowed)

@@ -187,6 +187,42 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk_text")).cast("long"))
   }
 
+  /** The composite QUALITY GATE — the decision operator a cleaning
+    * pipeline actually executes over the per-doc signals: length
+    * bounds, punctuation ratio, intra-doc repetition, boilerplate
+    * coverage, each as its own flag plus the final keep verdict
+    * (keep = no flag fired). Ratio thresholds that feed a DISCRETE
+    * decision are phrased as exact integer cross-multiplications
+    * (5·distinct < 4·shingles instead of rep_ratio > 0.2) so no
+    * float rounding can flip a verdict between engines; the
+    * punctuation compare divides the same two integers on both
+    * sides, which IEEE quotients identically. One map-only pass
+    * plus the broadcast boilerplate join.
+    */
+  def docsQualityFilter(spark: SparkSession, dir: String,
+                        minTokens: Int = 5, maxTokens: Int = 80,
+                        maxPunct: Double = 0.1): DataFrame = {
+    val nToks = size(T.tokens(col("text"))).cast("long")
+    val punctRatio = T.punctCount(col("text")).cast("double") /
+      nullif(length(col("text")).cast("double"), lit(0.0))
+    val nShingles = greatest(size(T.tokens(col("text"))) - 2, lit(0)).cast("long")
+    val nDistinct = size(T.wordShingles(col("text"), 3)).cast("long")
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (nToks < minTokens).as("flag_short"),
+      (nToks > maxTokens).as("flag_long"),
+      coalesce(punctRatio > maxPunct, lit(false)).as("flag_punct"),
+      // rep_ratio > 0.2  ⟺  distinct/total < 0.8  ⟺  5·distinct < 4·total
+      (nDistinct * 5 < nShingles * 4).as("flag_repetitive"))
+    val boiler = textBoilerplate(spark, dir).select(col("doc_id"),
+      // boiler_ratio > 0.4  ⟺  5·hits > 2·bigrams
+      (col("n_top_ngrams") * 5 > col("n_bigrams") * 2).as("flag_boilerplate"))
+    base.join(boiler, "doc_id")
+      .withColumn("keep",
+        !col("flag_short") && !col("flag_long") && !col("flag_punct") &&
+          !col("flag_repetitive") && !col("flag_boilerplate"))
+  }
+
   /** Winnowed rolling-hash fingerprints (k=7 chars, window 4),
     * exploded to (doc_id, fp) rows — the join-able shape for
     * fingerprint-overlap dedup at scale. Typed flatMap: map-only,

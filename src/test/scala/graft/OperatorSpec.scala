@@ -310,6 +310,32 @@ class OperatorSpec extends SparkSpec {
     assert(gotFun === expFun)
   }
 
+  test("quality gate flags are consistent with the underlying signals, keep is their conjunction") {
+    import graft.operators.TextAnalysis
+    val gate = TextAnalysis.docsQualityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))))
+    assert(gate.length === Tables.documents(spark, sf).count())
+    val rep = TextAnalysis.textRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val boiler = TextAnalysis.textBoilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val quality = TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_tokens
+    gate.foreach { case (id, (fShort, fLong, _, fRep, fBoiler, keep)) =>
+      assert(fShort === (quality(id) < 5), s"doc $id short")
+      assert(fLong === (quality(id) > 80), s"doc $id long")
+      val (nSh, nD) = rep(id)
+      assert(fRep === (nD * 5 < nSh * 4), s"doc $id repetitive")
+      val (nB, nTop) = boiler(id)
+      assert(fBoiler === (nTop * 5 > nB * 2), s"doc $id boilerplate")
+    }
+    gate.foreach { case (id, (a, b, c, d, e, keep)) =>
+      assert(keep === !(a || b || c || d || e), s"doc $id keep")
+    }
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
