@@ -125,6 +125,9 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => present(
       Multimodal.resizePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(), "doc_id")),
+    "mm_audio_energy" -> ((s, d) => present(
+      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(s, d)).toDF(),
+      "doc_id", "frame_idx")),
     "mm_tile" -> ((s, d) => present(
       Multimodal.tilePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
@@ -793,6 +796,22 @@ object SparkEntry {
         |       CAST(CASE WHEN longest <= 256 THEN h ELSE greatest(1, (h * 256) // longest) END AS INT) AS out_h,
         |       CAST(CASE WHEN longest <= 256 THEN 100 ELSE (256 * 100) // longest END AS INT) AS scale_pct
         |FROM r ORDER BY doc_id""".stripMargin,
+    // per-frame energy replay: bytes from the hex dump, unsigned-128
+    // centering, integer energy/peak per 64-byte frame
+    "mm_audio_energy" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, hx, n, unnest(range(0, CAST((n + 63) // 64 AS INT))) AS fi FROM b),
+        |s AS (SELECT doc_id, fi, least(n - fi * 64, 64) AS fb,
+        |        list_transform(range(CAST(least(n - fi * 64, 64) AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 2 AS INT), 1)) - 1) AS BIGINT) - 128) AS samp
+        |      FROM fr)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fb AS INT) AS n_samples,
+        |       CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS energy,
+        |       CAST(list_max(list_transform(samp, x -> abs(x))) AS INT) AS peak
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     // tile-grid replay: stub dims from the checksum, 64px row-major
     // grid, edge tiles clipped — all integer arithmetic
     "mm_tile" ->

@@ -98,6 +98,35 @@ object Multimodal {
     }
   }
 
+  /** One audio frame's energy features. */
+  case class FrameEnergy(doc_id: Long, frame_idx: Int, n_samples: Int,
+                         energy: Long, peak: Int)
+
+  /** Per-frame signal energy over PCM-style bytes — the
+    * audio-pipeline analog of [[frameSample]]: payload bytes read as
+    * unsigned 8-bit samples centered at 128, framed at `frameBytes`,
+    * each frame reduced to Σ sample² (the energy a VAD/silence
+    * filter thresholds on) and the peak amplitude. All integer
+    * arithmetic, so any engine replays it exactly; a real
+    * implementation swaps the byte decode for the audio codec over
+    * the same typed flatMap.
+    */
+  def frameEnergy(media: Dataset[MediaRow], frameBytes: Int = 64): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+        var e = 0L
+        var p = 0
+        frame.foreach { b =>
+          val s = (b & 0xFF) - 128
+          e += s.toLong * s
+          if (math.abs(s) > p) p = math.abs(s)
+        }
+        FrameEnergy(r.doc_id, i, frame.length, e, p)
+      }
+    }
+  }
+
   /** One planned tile: grid coordinates + clipped pixel box. */
   case class Tile(doc_id: Long, tile_x: Int, tile_y: Int,
                   x0: Int, y0: Int, w: Int, h: Int)

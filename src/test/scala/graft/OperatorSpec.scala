@@ -336,6 +336,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("frame energy replays the byte math exactly (centering, tail frames, peak)") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val payloads = media.collect().map(r => r.doc_id -> r.payload).toMap
+    val got = Multimodal.frameEnergy(media).collect()
+    got.foreach { f =>
+      val frame = payloads(f.doc_id).slice(f.frame_idx * 64, f.frame_idx * 64 + 64)
+      assert(f.n_samples === frame.length)
+      val samples = frame.map(b => (b & 0xFF) - 128)
+      assert(f.energy === samples.map(s => s.toLong * s).sum)
+      assert(f.peak === (if (samples.isEmpty) 0 else samples.map(math.abs).max))
+    }
+    // every byte of every payload is covered by exactly one frame
+    val covered = got.groupBy(_.doc_id).view.mapValues(_.map(_.n_samples).sum).toMap
+    assert(covered === payloads.view.mapValues(_.length).toMap)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.decodeFeatures(media)
