@@ -77,6 +77,7 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => present(Relational.qSemiJoin(s, d), "c_custkey")),
     "q_range_frame" -> ((s, d) => present(Relational.qRangeFrame(s, d), "event_id")),
     "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
+    "q_histogram" -> ((s, d) => present(Relational.qHistogram(s, d), "event_type", "bucket")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -92,12 +93,14 @@ object SparkEntry {
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
+    "docs_dedup_incremental" -> ((s, d) => present(NearDup.dedupIncremental(s, d), "doc_id")),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
     "ann_lsh" -> ((s, d) => present(Ann.annLsh(s, d), "q_id", "rnk")),
     "emb_label_centroids" -> ((s, d) => present(Ann.labelCentroids(s, d), "label", "dim")),
     "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
+    "emb_dim_stats" -> ((s, d) => present(Ann.embDimStats(s, d), "dim")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
@@ -110,6 +113,7 @@ object SparkEntry {
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
+    "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     // §2.7 multimodal
@@ -519,6 +523,12 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // histogram buckets: floor of an IEEE-exact division — no
+    // round() half-rule edge; min/max pass raw doubles through
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |       count(*) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),
@@ -673,6 +683,20 @@ object SparkEntry {
         |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams,
         |       count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM t JOIN b USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental ingest dedup: history manifest = distinct hashes of
+    // the 80% split; batch ranked within itself by the same hash
+    "docs_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |h AS (SELECT DISTINCT content_hash FROM d WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, content_hash,
+        |        row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |      FROM d WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, b.content_hash,
+        |       (h.content_hash IS NOT NULL) AS dup_of_history,
+        |       (b.rn > 1) AS dup_in_batch,
+        |       (h.content_hash IS NULL AND b.rn = 1) AS ingest
+        |FROM b LEFT JOIN h ON b.content_hash = h.content_hash
+        |ORDER BY b.doc_id""".stripMargin,
     // winnowed-fingerprint overlap pairs: df-capped inverted index
     // (fp in ≤ 20 docs — the corpus median df is 23, so the cap keeps
     // only discriminative fingerprints), pair overlap count ≥ 5
@@ -760,6 +784,17 @@ object SparkEntry {
         |       round(sqrt(list_sum(list_transform(range(1, 65),
         |         i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))), 6) AS l2_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // per-dimension whitening stats; same unnest-range shape as the
+    // centroids oracle, means/moments rounded, min/max exact
+    "emb_dim_stats" ->
+      """SELECT CAST(i AS INT) AS dim,
+        |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS mean,
+        |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE
+        |                 * embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS m2,
+        |       CAST(min(embedding[CAST(i + 1 AS INT)]) AS DOUBLE) AS vmin,
+        |       CAST(max(embedding[CAST(i + 1 AS INT)]) AS DOUBLE) AS vmax
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replay of Multimodal.stubDecode: payload = UTF-8 bytes of text,
     // checksum = polynomial rolling hash mod 1e9+7 over bytes
     // (byte i parsed from the hex dump two digits at a time)
@@ -855,6 +890,16 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
         |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // corpus vocabulary profile: integer counters + one ratio of two
+    // exact integers (IEEE-exact division, then round)
+    "text_vocab_stats" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM w GROUP BY 1)
+        |SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |       count(*) AS vocab_size,
+        |       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS type_token_ratio
+        |FROM f""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, length(text) AS n_chars, CAST(len(toks) AS DOUBLE) AS n_toks,

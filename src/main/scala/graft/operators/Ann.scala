@@ -248,4 +248,26 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Per-DIMENSION embedding statistics — mean, second moment, exact
+    * min/max for each of the 64 coordinates. This is the whitening /
+    * centering pre-pass of every embedding pipeline (mean-center
+    * before cosine, detect dead or saturated dimensions before
+    * quantization — [[embQuantize]] consumes exactly these ranges).
+    * Same shape as [[labelCentroids]]: posexplode to (dim, v) narrow
+    * rows, one map-combinable aggregate keyed by 64 uniform keys —
+    * no collect, no skew. Means/moments are rounded (partial-sum
+    * merge order varies with partitioning — CLAUDE.md float rule);
+    * min/max are order-insensitive and pass through exact.
+    */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        round(avg(col("v")), 6).as("mean"),
+        round(avg(col("v") * col("v")), 6).as("m2"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"))
 }

@@ -639,4 +639,41 @@ object NearDup {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** INCREMENTAL ingest dedup: a new batch of documents checked
+    * against the already-ingested corpus — the shape every rolling
+    * crawl pipeline runs (history is petabytes, the daily batch is
+    * not; re-deduplicating the union from scratch would rescan all
+    * of history). Per batch doc: is it a dup of history, a dup of an
+    * earlier doc in the same batch, and therefore should it be
+    * ingested (first-wins, mirroring the reference's prime/duplicate
+    * contract, Deduplicator.java:43-59, applied across two corpora).
+    *
+    * Scale shape: history collapses to DISTINCT content hashes (a
+    * map-combinable aggregate that in production is a pre-maintained
+    * hash manifest, read not recomputed); the batch left-joins that
+    * manifest on the 128-bit hash (uniform key — skew-free) and
+    * ranks within itself by one window over the same hash. No
+    * history×batch row join ever materializes.
+    *
+    * The 20% batch split (doc_id % 5 == 0) is a deterministic stand-
+    * in for the arrival date a real pipeline would partition by.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val history = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("content_hash")).distinct()
+      .withColumn("in_history", lit(true))
+    val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("doc_id")
+    batch.join(history, Seq("content_hash"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("doc_id"), col("content_hash"),
+        coalesce(col("in_history"), lit(false)).as("dup_of_history"),
+        (col("rn") > 1).as("dup_in_batch"),
+        (col("in_history").isNull && col("rn") === 1).as("ingest"))
+  }
 }

@@ -338,4 +338,21 @@ object Relational {
       .filter(col("o_totalprice") > col("cust_avg") * 1.5)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
+
+  /** Fixed-width value HISTOGRAM per event_type (width_bucket
+    * shape): bucket = floor(value / width), count + exact min/max
+    * per cell. One map-combinable aggregate — the profiling scan
+    * every pipeline runs before choosing filter thresholds. The
+    * bucket id is engine-portable because IEEE division is
+    * correctly rounded and floor is exact (no round() half-rule
+    * edge — CLAUDE.md float rule); min/max pass raw doubles through
+    * untouched (no summation, so no ordering sensitivity).
+    */
+  def qHistogram(spark: SparkSession, dir: String, width: Double = 10.0): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), floor(col("value") / width).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
 }

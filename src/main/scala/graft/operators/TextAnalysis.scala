@@ -238,4 +238,29 @@ object TextAnalysis {
       }
       .toDF("doc_id", "fp")
   }
+
+  /** Corpus VOCABULARY profile: total token count, vocabulary size,
+    * hapax-legomena count, and the type/token ratio — the one-row
+    * summary a tokenizer-training / corpus-health pass reads first
+    * (a collapsing vocabulary or a spiking hapax share is the
+    * standard symptom of boilerplate floods and encoding rot).
+    * Two-level aggregate, both levels map-combinable: word-frequency
+    * shuffle keyed by the word (Zipf-skewed, but partial aggregation
+    * collapses each partition's hot words to one row pre-shuffle),
+    * then a single global reduce of 3 counters. Integer outputs
+    * except the ratio, which divides two exact integers (IEEE-exact)
+    * and rounds.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    freq.agg(
+        sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("n_tokens"), col("vocab_size"), col("n_hapax"),
+        round(col("vocab_size").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+  }
 }

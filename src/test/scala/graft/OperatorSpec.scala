@@ -423,6 +423,58 @@ class OperatorSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
   }
 
+  test("histogram cells partition the events exactly, bounds inside the bucket") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+    val cells = Relational.qHistogram(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === ev.count())
+    assert(cells.forall { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      lo <= hi && math.floor(lo / 10.0).toLong == b && math.floor(hi / 10.0).toLong == b
+    })
+  }
+
+  test("incremental dedup: ingest iff novel vs history AND first in batch") {
+    import graft.operators.NearDup
+    val rows = NearDup.dedupIncremental(spark, sf).collect()
+    // batch = exactly the doc_id % 5 == 0 split
+    val batchIds = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === batchIds)
+    val hist = Tables.documents(spark, sf).filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(2) === hist.contains(r.getString(1)))
+      assert(r.getBoolean(4) === (!r.getBoolean(2) && !r.getBoolean(3)))
+    }
+    // within the batch, each hash has exactly one non-dup_in_batch row
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.count(!_.getBoolean(3)) === 1)
+    }
+  }
+
+  test("vocab stats match a manual replay of the word frequencies") {
+    val freqs = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+    val r = TextAnalysis.vocabStats(spark, sf).collect().head
+    assert(r.getLong(0) === freqs.sum)
+    assert(r.getLong(1) === freqs.size.toLong)
+    assert(r.getLong(2) === freqs.count(_ == 1L).toLong)
+  }
+
+  test("embedding dim stats: 64 dims, m2 >= mean^2, bounds contain the mean") {
+    import graft.operators.Ann
+    val rows = Ann.embDimStats(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (m, m2, lo, hi) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(m2 >= m * m - 1e-9) // E[v²] ≥ E[v]² up to rounding
+      assert(lo <= m && m <= hi)
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
