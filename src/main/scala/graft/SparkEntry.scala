@@ -94,6 +94,7 @@ object SparkEntry {
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
     "docs_dedup_incremental" -> ((s, d) => present(NearDup.dedupIncremental(s, d), "doc_id")),
+    "docs_dedup_stats" -> ((s, d) => NearDup.docsDedupStats(s, d)),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
     "ann_bruteforce" -> ((s, d) => present(Ann.annBruteForce(s, d), "q_id", "rnk")),
@@ -697,6 +698,18 @@ object SparkEntry {
         |       (h.content_hash IS NULL AND b.rn = 1) AS ingest
         |FROM b LEFT JOIN h ON b.content_hash = h.content_hash
         |ORDER BY b.doc_id""".stripMargin,
+    // corpus dedup-rate summary (Analytics.java ratio contract on
+    // documents): integer counters + one guarded, rounded ratio
+    "docs_dedup_stats" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |       count(*) AS n_unique,
+        |       CAST(sum(n) - count(*) AS BIGINT) AS n_dupes,
+        |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_groups,
+        |       CAST(max(n) AS BIGINT) AS max_copies,
+        |       round(CAST(sum(n) - count(*) AS DOUBLE)
+        |             / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS dup_ratio
+        |FROM g""".stripMargin,
     // winnowed-fingerprint overlap pairs: df-capped inverted index
     // (fp in ≤ 20 docs — the corpus median df is 23, so the cap keeps
     // only discriminative fingerprints), pair overlap count ≥ 5

@@ -640,6 +640,32 @@ object NearDup {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Corpus DEDUP-RATE analytics — the reference's Analytics
+    * contract (prime count, duplicate count, duplicate/prime ratio;
+    * Analytics.java:47-79) applied to the documents corpus as one
+    * batch summary row: total docs, unique contents (primes),
+    * duplicate rows, multi-copy group count, largest group, and the
+    * dup/prime ratio a pipeline alerts on (the docs analog of
+    * `dedup_stats`' per-window ratio + alert flags). Two aggregate
+    * levels, both map-combinable; the hash groupBy is the same
+    * skew-free 128-bit key as [[docsDedupExact]].
+    */
+  def docsDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+    g.agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_multi_groups"),
+        max(col("n")).as("max_copies"))
+      .select(
+        col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dupes"),
+        col("n_multi_groups"), col("max_copies"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+          nullif(col("n_unique").cast("double"), lit(0.0)), 6).as("dup_ratio"))
+  }
+
   /** INCREMENTAL ingest dedup: a new batch of documents checked
     * against the already-ingested corpus — the shape every rolling
     * crawl pipeline runs (history is petabytes, the daily batch is

@@ -453,6 +453,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("corpus dedup stats are consistent with the exact-dedup groups") {
+    import graft.operators.NearDup
+    val groups = NearDup.docsDedupExact(spark, sf).collect()
+      .map(_.getLong(2)) // n_copies per content hash
+    val r = NearDup.docsDedupStats(spark, sf).collect().head
+    assert(r.getLong(0) === groups.sum)            // n_docs
+    assert(r.getLong(1) === groups.length.toLong)  // n_unique
+    assert(r.getLong(2) === groups.sum - groups.length) // n_dupes
+    assert(r.getLong(3) === groups.count(_ > 1).toLong)
+    assert(r.getLong(4) === groups.max)
+  }
+
   test("vocab stats match a manual replay of the word frequencies") {
     val freqs = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).split(" ", -1))
