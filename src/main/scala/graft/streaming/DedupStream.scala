@@ -79,6 +79,32 @@ object DedupStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(graft.operators.Dedup.contentCols)
 
+  /** Streaming dedup against a STATIC history manifest (the
+    * streaming twin of `NearDup.dedupIncremental`, and the "f.ex
+    * Redis"-backed externally-stored-hash deployment the reference's
+    * comment anticipates, Deduplicator.java:27): rows whose content
+    * key appears in the pre-ingested corpus manifest are dropped by
+    * a stream-static LEFT ANTI join (re-planned per micro-batch, so
+    * the static side's pushdown/broadcast is chosen per batch — no
+    * streaming state grows with history size), then first-seen-wins
+    * WITHIN the stream via watermark-bounded dropDuplicates. History
+    * stays queryable storage (a parquet manifest), not state-store
+    * entries — the only state is the in-stream dedup window.
+    *
+    * `historyKeys` must carry the content-key columns
+    * ([[graft.operators.Dedup.contentCols]]-shaped, e.g. a distinct
+    * projection of the already-ingested corpus).
+    */
+  def dedupAgainstHistory(events: DataFrame, historyKeys: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val keyCols = graft.operators.Dedup.contentCols
+    events
+      .withWatermark("ts", watermark)
+      .join(historyKeys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Streaming exact-chain TTL dedup (reference cache semantics).
     * State per content key = the anchor prime's ts; event-time
     * timeout at anchor + ttl + watermark slack evicts it.

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops history dups, then dedups within the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    // static history manifest: content key (user 9, x, 1.0, {}) already ingested
+    val history = Seq(ev(100, base - 999999, user = 9)).toDF()
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupAgainstHistory(input.toDF(), history)
+    val q = out.writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 20 collides with history → dropped; 21 is novel; 22 dups 21 in-stream
+      input.addData(ev(20, base, user = 9), ev(21, base + 1000, user = 5))
+      q.processAllAvailable()
+      input.addData(ev(22, base + 2000, user = 5), ev(23, base + 3000, user = 6))
+      q.processAllAvailable()
+      val got = spark.table("hist_out").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(21L, 23L))
+    } finally q.stop()
+  }
+
   test("multi-schema content keys drive a streaming dedup (parsePayload dispatch, streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
