@@ -78,6 +78,7 @@ object SparkEntry {
     "q_range_frame" -> ((s, d) => present(Relational.qRangeFrame(s, d), "event_id")),
     "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
     "q_histogram" -> ((s, d) => present(Relational.qHistogram(s, d), "event_type", "bucket")),
+    "q_lag_delta" -> ((s, d) => present(Relational.qLagDelta(s, d), "event_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -530,6 +531,15 @@ object SparkEntry {
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |       count(*) AS n, min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // offset windows: same (user, ts, event_id) sort on both engines;
+    // all-integer millis arithmetic, NULL at partition edges
+    "q_lag_delta" ->
+      """SELECT event_id, user_id,
+        |       epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS ms_since_prev,
+        |       lead(epoch_ms(ts), 1) OVER w - epoch_ms(ts) AS ms_until_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

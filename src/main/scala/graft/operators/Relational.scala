@@ -339,6 +339,25 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** LEAD/LAG inter-event deltas: per event, milliseconds since the
+    * user's previous event and until the next one (NULL at the
+    * edges) — the event-stream feature the sessionizer's gap rule is
+    * built from, exposed row-wise. One shuffle on user_id, two
+    * offset-window functions over the same sort; all-integer output
+    * (µs-truncated millis, no float edge).
+    */
+  def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    // order on the full-resolution ts (millis truncation could
+    // reorder sub-ms neighbors), emit truncated-ms deltas
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), unix_millis(col("ts")).as("ts_ms"))
+      .select(
+        col("event_id"), col("user_id"),
+        (col("ts_ms") - lag("ts_ms", 1).over(byUser)).as("ms_since_prev"),
+        (lead("ts_ms", 1).over(byUser) - col("ts_ms")).as("ms_until_next"))
+  }
+
   /** Fixed-width value HISTOGRAM per event_type (width_bucket
     * shape): bucket = floor(value / width), count + exact min/max
     * per cell. One map-combinable aggregate — the profiling scan

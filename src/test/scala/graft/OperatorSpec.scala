@@ -453,6 +453,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("lag/lead deltas are symmetric and consistent with a manual walk") {
+    import graft.operators.Relational
+    val rows = Relational.qLagDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // manual replay from the raw events
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._2).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._1)) // full-resolution sort, ms-truncated deltas
+      def ms(i: Int): Long = Math.floorDiv(s(i)._3, 1000L)
+      s.indices.map { i =>
+        (s(i)._1, s(i)._2,
+          if (i == 0) None else Some(ms(i) - ms(i - 1)),
+          if (i == s.length - 1) None else Some(ms(i + 1) - ms(i)))
+      }
+    }.toSet
+    assert(rows.toSet === expect)
+    // X's ms_until_next == successor's ms_since_prev (symmetry)
+    assert(rows.flatMap(_._4).sum === rows.flatMap(_._3).sum)
+  }
+
   test("corpus dedup stats are consistent with the exact-dedup groups") {
     import graft.operators.NearDup
     val groups = NearDup.docsDedupExact(spark, sf).collect()
