@@ -921,7 +921,8 @@ object SparkEntry {
         |SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
         |       count(*) AS vocab_size,
         |       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS type_token_ratio
+        |       round(CAST(count(*) AS DOUBLE)
+        |             / nullif(CAST(sum(f) AS DOUBLE), 0.0), 6) AS type_token_ratio
         |FROM f""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

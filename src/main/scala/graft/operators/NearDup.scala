@@ -686,8 +686,14 @@ object NearDup {
     * in for the arrival date a real pipeline would partition by.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // both splits consume the same hashed frame, and the history side
+    // feeds a BroadcastExchange — Spark won't reuse the subtree across
+    // a broadcast boundary (see jaccardPairs' prefix index), so
+    // materialize the narrow (id, hash) frame once instead of
+    // re-scanning + re-hashing the corpus per branch
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .localCheckpoint()
     val history = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("content_hash")).distinct()
       .withColumn("in_history", lit(true))

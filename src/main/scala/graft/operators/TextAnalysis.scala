@@ -260,7 +260,8 @@ object TextAnalysis {
         count(lit(1)).as("vocab_size"),
         sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("n_tokens"), col("vocab_size"), col("n_hapax"),
-        round(col("vocab_size").cast("double") / col("n_tokens").cast("double"), 6)
+        round(col("vocab_size").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6)
           .as("type_token_ratio"))
   }
 }

@@ -93,15 +93,16 @@ object DedupStream {
     *
     * `historyKeys` must carry the content-key columns
     * ([[graft.operators.Dedup.contentCols]]-shaped, e.g. a distinct
-    * projection of the already-ingested corpus).
+    * projection of the already-ingested corpus). Duplicate manifest
+    * rows are harmless — LEFT ANTI matches existence, so no
+    * per-micro-batch distinct is run over the (large) static side.
     */
   def dedupAgainstHistory(events: DataFrame, historyKeys: DataFrame,
                           watermark: String = "10 minutes"): DataFrame = {
     val keyCols = graft.operators.Dedup.contentCols
     events
       .withWatermark("ts", watermark)
-      .join(historyKeys.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti")
+      .join(historyKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
