@@ -79,6 +79,7 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
     "q_histogram" -> ((s, d) => present(Relational.qHistogram(s, d), "event_type", "bucket")),
     "q_lag_delta" -> ((s, d) => present(Relational.qLagDelta(s, d), "event_id")),
+    "q_unpivot" -> ((s, d) => present(Relational.qUnpivot(s, d), "l_returnflag", "measure")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -540,6 +541,18 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // UNPIVOT melt of the wide integer aggregate — DuckDB's UNPIVOT
+    // emits the same (group, measure-name, value) long form
+    "q_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |         count(*) AS n_lines,
+        |         count(DISTINCT l_orderkey) AS n_orders,
+        |         count(DISTINCT l_partkey) AS n_parts
+        |       FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, CAST(v AS BIGINT) AS v
+        |FROM (UNPIVOT wide ON n_lines, n_orders, n_parts
+        |      INTO NAME measure VALUE v)
+        |ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

@@ -339,6 +339,26 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** UNPIVOT (melt): the inverse of [[qPivot]] — rotate a wide
+    * per-group aggregate (three integer measures per returnflag)
+    * into (group, measure, value) long form, the shape metric stores
+    * and plotting layers ingest. Map-only after the aggregate: each
+    * wide row explodes to exactly |measures| narrow rows, no extra
+    * shuffle. All-integer measures (no float edge).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("n_lines"), col("n_orders"), col("n_parts")),
+      "measure", "v")
+  }
+
   /** LEAD/LAG inter-event deltas: per event, milliseconds since the
     * user's previous event and until the next one (NULL at the
     * edges) — the event-stream feature the sessionizer's gap rule is

@@ -453,6 +453,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("unpivot emits one (measure, value) row per wide cell, values intact") {
+    import graft.operators.Relational
+    val long = Relational.qUnpivot(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val flags = long.keys.map(_._1).toSet
+    assert(long.size === flags.size * 3) // 3 measures per group, no loss
+    // spot-replay one measure against a direct aggregate
+    val nLines = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    flags.foreach(f => assert(long((f, "n_lines")) === nLines(f)))
+  }
+
   test("lag/lead deltas are symmetric and consistent with a manual walk") {
     import graft.operators.Relational
     val rows = Relational.qLagDelta(spark, sf).collect()
