@@ -80,6 +80,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => present(Relational.qHistogram(s, d), "event_type", "bucket")),
     "q_lag_delta" -> ((s, d) => present(Relational.qLagDelta(s, d), "event_id")),
     "q_unpivot" -> ((s, d) => present(Relational.qUnpivot(s, d), "l_returnflag", "measure")),
+    "q_ntile" -> ((s, d) => present(Relational.qNtile(s, d), "event_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -553,6 +554,13 @@ object SparkEntry {
         |FROM (UNPIVOT wide ON n_lines, n_orders, n_parts
         |      INTO NAME measure VALUE v)
         |ORDER BY 1, 2""".stripMargin,
+    // ntile is position-based: the unique (value, event_id) sort
+    // makes bucket ids integer-deterministic on both engines
+    "q_ntile" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS INT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

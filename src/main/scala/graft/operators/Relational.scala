@@ -339,6 +339,21 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** NTILE quartile assignment per event_type — the rank-based
+    * binning pass (feature bucketing, A/B cohort splits) that
+    * complements [[qPercentile]]'s value-based cuts. ntile is a pure
+    * function of row POSITION in the partition's sort, so a unique
+    * (value, event_id) order makes the bucket ids engine-portable
+    * with no float comparison at all (SQL-standard floor-based
+    * bucket sizing on both engines). One shuffle on event_type.
+    */
+  def qNtile(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(buckets).over(w).as("quartile"))
+  }
+
   /** UNPIVOT (melt): the inverse of [[qPivot]] — rotate a wide
     * per-group aggregate (three integer measures per returnflag)
     * into (group, measure, value) long form, the shape metric stores

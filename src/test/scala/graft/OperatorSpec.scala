@@ -453,6 +453,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ntile assigns floor-standard bucket sizes over the unique sort") {
+    import graft.operators.Relational
+    val got = Relational.qNtile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = ev.groupBy(_._2).flatMap { case (t, g) =>
+      val s = g.sortBy(e => (e._3, e._1))
+      val n = s.length; val b = 4
+      val sizes = Array.tabulate(b)(i => n / b + (if (i < n % b) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _) // SQL-standard ntile sizing
+      s.indices.map(i => (s(i)._1, t, bounds.indexWhere(_ > i)))
+    }.toSet
+    assert(got.toSet === expect)
+  }
+
   test("unpivot emits one (measure, value) row per wide cell, values intact") {
     import graft.operators.Relational
     val long = Relational.qUnpivot(spark, sf).collect()
