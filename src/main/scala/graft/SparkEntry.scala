@@ -533,14 +533,17 @@ object SparkEntry {
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         |       count(*) AS n, min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // offset windows: same (user, ts, event_id) sort on both engines;
-    // all-integer millis arithmetic, NULL at partition edges
+    // offset windows: Spark sorts the µs-truncated TimestampType, so
+    // the oracle orders on epoch_us(ts) explicitly — identical
+    // tie-break axis even if the oracle engine reads the parquet at
+    // full nanosecond resolution; all-integer millis arithmetic,
+    // NULL at partition edges
     "q_lag_delta" ->
       """SELECT event_id, user_id,
         |       epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS ms_since_prev,
         |       lead(epoch_ms(ts), 1) OVER w - epoch_ms(ts) AS ms_until_next
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin,
     // UNPIVOT melt of the wide integer aggregate — DuckDB's UNPIVOT
     // emits the same (group, measure-name, value) long form

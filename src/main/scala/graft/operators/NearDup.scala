@@ -119,6 +119,21 @@ object NearDup {
     docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
+  /** ⌈x⌉ computed so double rounding can never land ABOVE the true
+    * rational ceiling. `t·n` for rational t (0.3, 0.8, …) carries
+    * ~1 ulp of error; when the true product is an exact integer k the
+    * double can come out k + ε and plain `ceil` returns k + 1 — a
+    * prefix one element too short / an overlap bound one too tight,
+    * i.e. a completeness hole the exact verify never gets to repair.
+    * Subtracting 1e-6 before the ceil makes the result ≤ the true
+    * ceiling whenever the accumulated error is below 1e-6 (holds for
+    * x < 2^52·1e-6 ≈ 4.5e9 — far past any per-doc shingle count);
+    * when the true product is within 1e-6 above an integer the bound
+    * relaxes by one, admitting a few extra candidates that the exact
+    * verify filters. Never-tighter is the invariant that matters.
+    */
+  private def ceilSafe(x: Column): Column = ceil(x - lit(1e-6))
+
   /** Per doc, its shingle hashes sorted by the global prefix-filter
     * order (df asc, then hash) with document frequencies attached:
     * (doc_id, arr[(d, hh)]). One df aggregate + one per-doc sort —
@@ -143,7 +158,7 @@ object NearDup {
     */
   private def prefixProbes(ex: DataFrame, threshold: Double): DataFrame = {
     val n = size(col("arr"))
-    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    val prefixLen = (n.cast("double") - ceilSafe(lit(threshold) * n.cast("double")) + 1).cast("int")
     orderedShingles(ex).select(col("doc_id"),
         explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
       .filter(col("e.d") >= 2)
@@ -158,11 +173,17 @@ object NearDup {
     * run INSIDE the join (PPJoin+), per occurrence pair, before any
     * candidate row is shuffled:
     *
-    *  - size: t·n_a ≤ n_b ≤ n_a/t  (i ≤ min, J ≤ min/max)
-    *  - position: 1 + min(n_a−p_a−1, n_b−p_b−1) ≥ α with the Jaccard
-    *    overlap requirement α = ⌈t/(1+t)·(n_a+n_b)⌉ (from
-    *    i/(n_a+n_b−i) ≥ t) — complete at the first common position,
-    *    redundant-duplicate-killing at later ones
+    *  - overlap bound: b = 1 + min(n_a−p_a−1, n_b−p_b−1) is an upper
+    *    bound on |A∩B| (every common shingle sorts ≥ the first one),
+    *    and b ≤ min(n_a, n_b), so requiring b/(n_a+n_b−b) ≥ t — the
+    *    SAME double-division predicate the exact verify applies to
+    *    the true overlap — subsumes both the size prune
+    *    (t·n_a ≤ n_b ≤ n_a/t) and the PPJoin+ positional α-bound.
+    *    Because correctly-rounded division is monotone and the true
+    *    overlap o ≤ b (with exact integer denominators n_a+n_b−x),
+    *    o passing verify implies b passes here: the in-join prune is
+    *    provably never tighter than the verify filter, closing the
+    *    ⌈·⌉-rounding boundary hole a separately-computed α had.
     *
     * Hot shingles sort LAST in the df-asc prefix order, so prefixes
     * are rare-shingle-dominated and the self-join's per-key fan-out
@@ -180,7 +201,7 @@ object NearDup {
     val docs = shingledDocs(documents)
     val ord = orderedShingles(hashedShingles(docs))
     val n = size(col("arr"))
-    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    val prefixLen = (n.cast("double") - ceilSafe(lit(threshold) * n.cast("double")) + 1).cast("int")
     val probes = ord
       .select(col("doc_id"), n.as("n"),
         posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("p", "e")))
@@ -189,17 +210,19 @@ object NearDup {
       // both sides of the self-join consume this frame, but one side
       // feeds a BroadcastExchange so Spark cannot reuse the exchange
       // subtree — without materialization the df-join + per-doc sort
-      // run TWICE. Measured at sf0.1: ~0.9 s saved. At corpus scale,
-      // checkpoint to storage instead (same compute-once point).
-      .localCheckpoint()
-    val alpha = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.n") + col("b.n")).cast("double"))
+      // run TWICE. Measured at sf0.1: ~0.9 s saved. Lazy so plan
+      // builds (Explain/plan audits) stay side-effect free; blocks
+      // materialize on the first action. At corpus scale, checkpoint
+      // to storage instead (same compute-once point).
+      .localCheckpoint(eager = false)
+    // upper bound on |A∩B| at the first common prefix position; the
+    // join prune applies the verify predicate TO THE BOUND (see
+    // scaladoc) so it can never over-prune a verifiable pair
+    val bound = lit(1) + least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1)
     val cand = probes.as("a").join(probes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
-          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
-          (lit(1) + least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1))
-            .cast("double") >= alpha)
+          bound.cast("double") / (col("a.n") + col("b.n") - bound).cast("double")
+            >= lit(threshold))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifiedJaccard(cand, docs, threshold)
@@ -220,17 +243,21 @@ object NearDup {
     * pair before any shuffle write of candidates (PPJoin/PPJoin+
     * family, all exactness-preserving):
     *
-    *  - SIZE: |B| ≥ ⌈t·|A|⌉ (|A∩B| ≤ |B|).
-    *  - POSITION (PPJoin+ suffix bound): for a probe at 0-based
-    *    position p_a of A's ordered set matching B at position p_b,
-    *    every common shingle sorts ≥ the FIRST common one, so
-    *    |A∩B| ≤ 1 + min(n_a−p_a−1, n_b−p_b−1). Requiring that bound
-    *    ≥ ⌈t·n_a⌉ at the first common position is complete; later
-    *    common positions that fail it are redundant duplicates of the
-    *    same candidate pair. This is the hot-key killer: a frequent
-    *    shingle sorts LAST (df asc), so its B-side occurrences have
-    *    n_b−p_b−1 ≈ 0 and survive only for a_docs small enough that
-    *    B's tail alone could still contain them.
+    *  - SIZE + POSITION (PPJoin+ suffix bound): for a probe at
+    *    0-based position p_a of A's ordered set matching B at
+    *    position p_b, every common shingle sorts ≥ the FIRST common
+    *    one, so |A∩B| ≤ b = 1 + min(n_a−p_a−1, n_b−p_b−1) ≤ n_b.
+    *    The prune requires b/n_a ≥ t — the SAME double-division
+    *    predicate the exact verify applies to the true intersection.
+    *    Monotone correctly-rounded division + o ≤ b make it provably
+    *    never tighter than verify (no ⌈t·n_a⌉ rounding edge), and
+    *    b ≤ n_b means it subsumes the |B| ≥ t·|A| size prune.
+    *    Complete at the first common position; later common positions
+    *    that fail it are redundant duplicates of the same candidate
+    *    pair. This is the hot-key killer: a frequent shingle sorts
+    *    LAST (df asc), so its B-side occurrences have n_b−p_b−1 ≈ 0
+    *    and survive only for a_docs small enough that B's tail alone
+    *    could still contain them.
     *  - SALT: occurrences of a shingle with df > hotDf are spread
     *    over `salts` shards by hash(b_id); the matching A-probe
     *    explodes to all shards. Pair multiplicity is unchanged (each
@@ -259,11 +286,12 @@ object NearDup {
     // probe and index sides BOTH derive from the ordered arrays; the
     // A side feeds a BroadcastExchange, so without materialization
     // the df-join + per-doc sort run twice (no exchange reuse across
-    // a broadcast boundary). localCheckpoint computes it once; at
+    // a broadcast boundary). Lazy localCheckpoint computes it once on
+    // the first action while keeping plan builds side-effect free; at
     // corpus scale checkpoint to storage instead.
-    val ord = orderedShingles(hashedShingles(docs)).localCheckpoint()
+    val ord = orderedShingles(hashedShingles(docs)).localCheckpoint(eager = false)
     val n = size(col("arr"))
-    val prefixLen = (n.cast("double") - ceil(lit(threshold) * n.cast("double")) + 1).cast("int")
+    val prefixLen = (n.cast("double") - ceilSafe(lit(threshold) * n.cast("double")) + 1).cast("int")
     // A side: prefix positions only; df=1 probes can't be shared
     val aProbes = ord
       .select(col("doc_id").as("a_id"), n.as("na"),
@@ -279,12 +307,15 @@ object NearDup {
       .select(col("b_id"), col("nb"), col("pb"), col("e.hh").as("hb"),
         when(col("e.d") > hotDf, pmod(xxhash64(col("b_id")), lit(salts.toLong)).cast("int"))
           .otherwise(lit(0)).as("salt_b"))
-    val needed = ceil(lit(threshold) * col("na").cast("double")) // ⌈t·n_a⌉
+    // |A∩B| upper bound at this occurrence pair; prune with the
+    // verify predicate applied to the bound (b/n_a ≥ t, same double
+    // division as the verify step) — never tighter than verify, and
+    // b ≤ n_b subsumes the separate |B| size check
+    val bound = lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)
     val cand = aProbes.join(bIndex,
         col("ha") === col("hb") && col("salt_a") === col("salt_b") &&
           col("a_id") =!= col("b_id") &&
-          col("nb").cast("double") >= needed &&
-          (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) >= needed)
+          bound.cast("double") / col("na").cast("double") >= lit(threshold))
       .select(col("a_id"), col("b_id"))
       .distinct()
     val withSets = cand
@@ -693,7 +724,7 @@ object NearDup {
     // re-scanning + re-hashing the corpus per branch
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val history = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("content_hash")).distinct()
       .withColumn("in_history", lit(true))

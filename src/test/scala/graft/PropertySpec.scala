@@ -212,6 +212,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PPJoin+ prunes admit pairs EXACTLY at the threshold (t·n an exact integer)") {
+    import spark.implicits._
+    // jaccard boundary: A,B with 3 shingles each sharing exactly 2 →
+    // j = 2/(3+3-2) = 0.5 exactly, and t·(na+nb) = 0.5·6 = 3.0 is an
+    // exact integer — the case where a naively-rounded ⌈t·n⌉ prefix or
+    // α bound can come out one too tight and silently drop the pair
+    val jdf = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c d f"), // shingles: abc bcd cdf → ∩=2, ∪=4
+      (3L, "q r s t u")  // noise
+    ).toDF("doc_id", "text")
+    val gotJ = graft.operators.NearDup.jaccardPairsOn(jdf, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ === Set((1L, 2L)))
+
+    // containment boundary: |A| = 5 shingles, 4 shared → c = 0.8
+    // exactly, with t·|A| = 0.8·5 = 4.0 an exact integer
+    val cdf = Seq(
+      (1L, "a b c d e f g"), // shingles: abc bcd cde def efg (5)
+      (2L, "a b c d e f x y z"), // shares abc bcd cde def → c(A in B) = 4/5
+      (3L, "m n o p q")
+    ).toDF("doc_id", "text")
+    for ((hotDf, salts) <- Seq((1024, 16), (1, 4))) {
+      val gotC = graft.operators.NearDup.containmentPairsOn(cdf, 0.8, hotDf, salts)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (1,2) sits exactly at 0.8; the reverse is 4/7 < 0.8
+      assert(gotC === Set((1L, 2L)), s"boundary containment wrong (hotDf=$hotDf)")
+    }
+  }
+
   test("VecDot equals a naive sequential double fold, bit-exactly") {
     import spark.implicits._
     val data = (0 until 50).map { _ =>
