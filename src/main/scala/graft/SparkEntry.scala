@@ -81,6 +81,12 @@ object SparkEntry {
     "q_lag_delta" -> ((s, d) => present(Relational.qLagDelta(s, d), "event_id")),
     "q_unpivot" -> ((s, d) => present(Relational.qUnpivot(s, d), "l_returnflag", "measure")),
     "q_ntile" -> ((s, d) => present(Relational.qNtile(s, d), "event_id")),
+    "q_moving_avg" -> ((s, d) => present(Relational.qMovingAvg(s, d), "event_id")),
+    "q_cond_agg" -> ((s, d) => present(Relational.qCondAgg(s, d), "event_type")),
+    "q_string_agg" -> ((s, d) => present(Relational.qStringAgg(s, d), "event_type")),
+    "q_first_last" -> ((s, d) => present(Relational.qFirstLast(s, d), "user_id")),
+    "q_activity_gaps" -> ((s, d) => present(Relational.qActivityGaps(s, d), "user_id")),
+    "q_outer_join" -> ((s, d) => present(Relational.qOuterJoin(s, d), "user_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -564,6 +570,79 @@ object SparkEntry {
         |       CAST(ntile(4) OVER (PARTITION BY event_type
         |                           ORDER BY value, event_id) AS INT) AS quartile
         |FROM events ORDER BY event_id""".stripMargin,
+    // sliding DOUBLE sums are association-order-sensitive, so the
+    // summed value is pre-quantized to integer millis on BOTH sides
+    // (floor(v*1000 + 0.5) — exact, no round() half-rule edge); the
+    // frame orders on epoch_us(ts) like q_lag_delta
+    "q_moving_avg" ->
+      """SELECT event_id, user_id,
+        |       sum(v_milli) OVER w AS mv_sum_milli,
+        |       count(*) OVER w AS mv_n
+        |FROM (SELECT event_id, user_id, ts,
+        |             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_milli
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // all counters are exact integers; the value predicate compares
+    // raw doubles to a literal (IEEE-exact on both engines)
+    "q_cond_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       count(DISTINCT CASE WHEN value > 50.0 THEN user_id END) AS n_high_users,
+        |       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LISTAGG shape: the contributing set is cut to 3 rows per key
+    // by the same (epoch_us(ts), event_id) rank on both engines, so
+    // the csv content and order are fully determined
+    "q_string_agg" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY epoch_us(ts), event_id) AS rnk
+        |           FROM events)
+        |SELECT event_type,
+        |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rnk) AS first3_ids
+        |FROM r WHERE rnk <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // first/last over the full frame with the unique
+    // (epoch_us(ts), event_id) tie-break — both engines pick the
+    // same boundary rows; timestamps emitted as integer millis
+    "q_first_last" ->
+      """WITH o AS (SELECT user_id,
+        |             row_number() OVER ord AS rn,
+        |             first_value(event_type) OVER w AS first_type,
+        |             last_value(event_type) OVER w AS last_type,
+        |             first_value(epoch_ms(ts)) OVER w AS first_ms,
+        |             last_value(epoch_ms(ts)) OVER w AS last_ms,
+        |             count(*) OVER w AS n_events
+        |           FROM events
+        |           WINDOW ord AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |                  w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, first_ms, last_ms, n_events
+        |FROM o WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // all-integer day arithmetic; both sessions are UTC so the
+    // date truncation axis is identical
+    "q_activity_gaps" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT user_id, min(d) AS first_day, max(d) AS last_day,
+        |       CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+        |       count(DISTINCT d) AS n_active_days,
+        |       CAST(max(d) - min(d) + 1 - count(DISTINCT d) AS BIGINT) AS n_gap_days
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_outer_join" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases,
+        |       CASE WHEN coalesce(n_clicks, 0) > 0 AND coalesce(n_purchases, 0) > 0 THEN 'both'
+        |            WHEN coalesce(n_clicks, 0) > 0 THEN 'click_only'
+        |            ELSE 'purchase_only' END AS segment
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY 1""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

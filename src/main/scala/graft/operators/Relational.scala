@@ -409,4 +409,124 @@ object Relational {
         count(lit(1)).as("n"),
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
+
+  /** ROWS-frame moving aggregate: per user, sum/count of the last 4
+    * events (3 preceding + current) ordered by (ts, event_id) — the
+    * sliding-window feature a rate-limiter or anomaly score consumes.
+    * One shuffle on user_id, single window pass. The summed value is
+    * pre-quantized to integer millis (floor(v·1000 + 0.5) — exact and
+    * identical on any engine), because a sliding DOUBLE sum is
+    * association-order-sensitive: engines that maintain the frame with
+    * a segment tree would differ by ulps.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000.0 + 0.5).cast("long").as("v_milli"))
+      .select(col("event_id"), col("user_id"),
+        sum("v_milli").over(w).as("mv_sum_milli"),
+        count(lit(1)).over(w).as("mv_n"))
+  }
+
+  /** Conditional (FILTER-style) aggregates: one scan, several
+    * predicated counters per group — the shape monitoring rollups
+    * take instead of N separate filtered scans. All counters are
+    * exact integers; the value predicate compares a raw double to a
+    * literal (IEEE-exact on any engine); the JSON field arrives via
+    * the same codegen'd get_json_object as parse_props_json.
+    */
+  def qCondAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_high"),
+        countDistinct(when(col("value") > 50.0, col("user_id"))).as("n_high_users"),
+        sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even_k"))
+
+  /** Ordered string aggregation (LISTAGG shape): per event_type, the
+    * csv of its 3 earliest event_ids. The candidate set is cut to 3
+    * per key BEFORE aggregation (row_number window), so the collected
+    * list is bounded by construction — collect_list over an unbounded
+    * group would be the 100 TB mistake. Order inside the string comes
+    * from sorting the (rnk, id) structs, not from shuffle luck.
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .groupBy("event_type")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rnk"), col("event_id")))),
+          x => x.getField("event_id").cast("string"))).as("first3_ids"))
+  }
+
+  /** FIRST/LAST per key over the full partition frame: each user's
+    * first and last event_type + timestamps and event count — the
+    * profile row a user store materializes. One shuffle on user_id;
+    * first/last are window functions over the (ts, event_id) total
+    * order (unique tiebreak, so both engines pick the same rows).
+    */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"),
+        row_number().over(ord).as("rn"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        unix_millis(first(col("ts")).over(full)).as("first_ms"),
+        unix_millis(last(col("ts")).over(full)).as("last_ms"),
+        count(lit(1)).over(full).as("n_events"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Activity-gap profile: per user, the active-day count vs the
+    * first→last span — surfacing engagement holes (a sequencing/
+    * liveness check, the batch analog of a feed-down monitor). One
+    * map-combinable aggregate over (user, day); all-integer output
+    * (dates and day arithmetic, no float edge).
+    */
+  def qActivityGaps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(
+        min(col("d")).as("first_day"),
+        max(col("d")).as("last_day"),
+        countDistinct(col("d")).as("n_active_days"))
+      .select(col("user_id"), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long").as("span_days"),
+        col("n_active_days"),
+        (datediff(col("last_day"), col("first_day")) + 1 - col("n_active_days"))
+          .cast("long").as("n_gap_days"))
+
+  /** FULL OUTER join of two per-user aggregates (clicks vs
+    * purchases), with a coalesced key and a segment label — the
+    * audience-overlap shape. Both sides pre-aggregate before the
+    * join, so the shuffle carries one row per (user, side), and the
+    * join key coalesces NULL-safely via the Seq-join.
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .withColumn("segment",
+        when(col("n_clicks") > 0 && col("n_purchases") > 0, "both")
+          .when(col("n_clicks") > 0, "click_only")
+          .otherwise("purchase_only"))
+  }
 }

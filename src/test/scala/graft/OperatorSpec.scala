@@ -540,6 +540,100 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("moving sum over a 4-row frame replays against a manual walk") {
+    import graft.operators.Relational
+    val got = Relational.qMovingAvg(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        floor(col("value") * 1000.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._2).values.foreach { g =>
+      val s = g.sortBy(e => (e._3, e._1))
+      s.indices.foreach { i =>
+        val frame = s.slice(math.max(0, i - 3), i + 1)
+        assert(got(s(i)._1) === ((frame.map(_._4).sum, frame.length.toLong)))
+      }
+    }
+  }
+
+  test("conditional aggregates count exactly the predicated subsets") {
+    import graft.operators.Relational
+    val rows = Relational.qCondAgg(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (t, g) =>
+      val high = g.filter(_._2 > 50.0)
+      assert(rows(t) === ((g.length.toLong, high.length.toLong,
+        high.map(_._3).distinct.length.toLong, g.count(_._4 % 2 == 0).toLong)))
+    }
+  }
+
+  test("string agg emits the 3 earliest event ids in rank order") {
+    import graft.operators.Relational
+    val got = Relational.qStringAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, g) =>
+      val expect = g.sortBy(e => (e._3, e._2)).take(3).map(_._2).mkString(",")
+      assert(got(t) === expect)
+    }
+  }
+
+  test("first/last profile picks the boundary rows of the unique order") {
+    import graft.operators.Relational
+    val got = Relational.qFirstLast(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (u, g) =>
+      val s = g.sortBy(e => (e._3, e._4))
+      assert(got(u) === ((s.head._2, s.last._2,
+        Math.floorDiv(s.head._3, 1000L), Math.floorDiv(s.last._3, 1000L), s.length.toLong)))
+    }
+  }
+
+  test("activity gaps: span = active + gap days, bounds from the day set") {
+    import graft.operators.Relational
+    val rows = Relational.qActivityGaps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (span, active, gap) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(span === active + gap)
+      assert(active >= 1 && span >= active)
+      assert(r.getDate(2).toLocalDate.toEpochDay - r.getDate(1).toLocalDate.toEpochDay + 1 === span)
+    }
+    // replay one user's distinct-day count
+    val u = rows.head.getLong(0)
+    val days = Tables.events(spark, sf).filter(col("user_id") === u)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.head.getLong(4) === days)
+  }
+
+  test("outer join keeps users from both sides with zero-filled counts") {
+    import graft.operators.Relational
+    val rows = Relational.qOuterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(rows.map(_._1).distinct.length === rows.length) // one row per user
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1).map { case (u, g) => (u, g.length.toLong) }
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1).map { case (u, g) => (u, g.length.toLong) }
+    assert(rows.map(_._1).toSet === clicks.keySet ++ purchases.keySet)
+    rows.foreach { case (u, (nc, np, seg)) =>
+      assert(nc === clicks.getOrElse(u, 0L) && np === purchases.getOrElse(u, 0L))
+      assert(seg === (if (nc > 0 && np > 0) "both" else if (nc > 0) "click_only" else "purchase_only"))
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
