@@ -146,6 +146,11 @@ object SparkEntry {
       Multimodal.tilePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
       "doc_id", "tile_y", "tile_x")),
+    "mm_phash" -> ((s, d) => present(Multimodal.mmPhash(s, d), "doc_id")),
+    "mm_phash_pairs" -> ((s, d) => present(
+      Multimodal.phashPairs(s, d), "doc_id_a", "doc_id_b")),
+    "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
+    "docs_dedup_bloom" -> ((s, d) => present(BloomDedup.dedupBloom(s, d), "doc_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1010,6 +1015,89 @@ object SparkEntry {
         |      FROM fr)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fb AS INT) AS n_bytes, cksum AS checksum
         |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
+    // blockhash replay: 64 integer block boundaries b·n//64, byte
+    // sums from the hex dump, bit = cross-multiplied mean compare,
+    // 16-bit band values rebuilt by the same shift-sum
+    "mm_phash" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |bl AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS blk FROM b),
+        |s AS (SELECT doc_id, n, blk, ((blk + 1) * n) // 64 - (blk * n) // 64 AS blen,
+        |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |          range(CAST((blk * n) // 64 AS INT), CAST(((blk + 1) * n) // 64 AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT)))) AS BIGINT) AS bsum
+        |      FROM bl),
+        |t AS (SELECT doc_id, sum(bsum) AS total FROM s GROUP BY 1),
+        |bits AS (SELECT s.doc_id, s.blk,
+        |           CASE WHEN s.blen > 0 AND s.bsum * s.n > t.total * s.blen
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM s JOIN t ON s.doc_id = t.doc_id),
+        |bands AS (SELECT doc_id, blk // 16 AS band,
+        |            CAST(sum(bit * (1 << CAST(blk % 16 AS INT))) AS INT) AS v
+        |          FROM bits GROUP BY 1, 2)
+        |SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+        |       max(CASE WHEN band = 0 THEN v END) AS b0,
+        |       max(CASE WHEN band = 1 THEN v END) AS b1,
+        |       max(CASE WHEN band = 2 THEN v END) AS b2,
+        |       max(CASE WHEN band = 3 THEN v END) AS b3
+        |FROM b JOIN bands USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // banded-candidate generation + exact per-block Hamming replay;
+    // complete for distance ≤ 3 by the 4-band pigeonhole
+    "mm_phash_pairs" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |bl AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS blk FROM b),
+        |s AS (SELECT doc_id, n, blk, ((blk + 1) * n) // 64 - (blk * n) // 64 AS blen,
+        |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |          range(CAST((blk * n) // 64 AS INT), CAST(((blk + 1) * n) // 64 AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT)))) AS BIGINT) AS bsum
+        |      FROM bl),
+        |t AS (SELECT doc_id, sum(bsum) AS total FROM s GROUP BY 1),
+        |bits AS (SELECT s.doc_id, s.blk,
+        |           CASE WHEN s.blen > 0 AND s.bsum * s.n > t.total * s.blen
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM s JOIN t ON s.doc_id = t.doc_id),
+        |bands AS (SELECT doc_id, blk // 16 AS band,
+        |            CAST(sum(bit * (1 << CAST(blk % 16 AS INT))) AS INT) AS v
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+        |         FROM bands a JOIN bands c
+        |           ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+        |SELECT cand.doc_id_a, cand.doc_id_b,
+        |       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+        |FROM cand
+        |JOIN bits x ON x.doc_id = cand.doc_id_a
+        |JOIN bits y ON y.doc_id = cand.doc_id_b AND y.blk = x.blk
+        |GROUP BY 1, 2 HAVING sum(abs(x.bit - y.bit)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    // exact int64 gram over the emb_quantize codes: the qv lists
+    // replay the same IEEE divisions, then every upper-triangle
+    // (i, j) cell sums integer products — no float merge order
+    "emb_gram" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM s),
+        |q AS (SELECT CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS qv
+        |      FROM m),
+        |p AS (SELECT ii.i AS i, jj.j AS j
+        |      FROM (SELECT unnest(range(0, 64)) AS i) ii,
+        |           (SELECT unnest(range(0, 64)) AS j) jj
+        |      WHERE jj.j >= ii.i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |       CAST(sum(qv[CAST(i + 1 AS INT)] * qv[CAST(j + 1 AS INT)]) AS BIGINT) AS gram
+        |FROM q, p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the bloom prefilter is result-invariant: the oracle is the
+    // plain batch-vs-history membership check
+    "docs_dedup_bloom" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |h AS (SELECT DISTINCT content_hash FROM d WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, content_hash,
+        |       content_hash IN (SELECT content_hash FROM h) AS dup_of_history
+        |FROM d WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

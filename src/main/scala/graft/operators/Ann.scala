@@ -117,6 +117,41 @@ object Ann {
         round(sqrt(err2), 6).as("l2_err"))
   }
 
+  /** Corpus gram matrix over the int8-quantized embeddings — the
+    * covariance/PCA-prep reduction a whitening or dimension-reduction
+    * pass needs: G[i][j] = Σ over vectors of q_i·q_j (upper triangle,
+    * j ≥ i). Quantization is exactly [[embQuantize]]'s (scale =
+    * max|x|/127, half-up rounding), so the gram cells are exact
+    * int64 sums — bit-replayable by any engine regardless of
+    * partition/merge order, unlike a float gram.
+    *
+    * Shape: one [[graft.functions.GramAgg]] pass (map-combinable
+    * 32 KiB buffer per partition, no row inflation — the naive
+    * posexplode² plan materializes n·d² product rows), then a
+    * posexplode of the single d² result array back to (i, j, gram)
+    * rows. The d² array is a bounded global summary (64×64), so the
+    * final single-group merge is #partitions · 32 KiB — driver-scale
+    * constants, same posture as the IVF centroid collects.
+    */
+  def embGram(spark: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    val qv = when(col("scale") === 0.0, transform(col("e"), _ => lit(0L)))
+      .otherwise(transform(col("e"), x => floor(x / col("scale") + 0.5).cast("long")))
+    val gram = udaf(new graft.functions.GramAgg(DIM), graft.functions.MinHashSigAgg.enc)
+    Tables.embeddings(spark, dir)
+      .withColumn("e", e)
+      .withColumn("scale", scale)
+      .select(qv.as("qv"))
+      .agg(gram(col("qv")).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "gram")))
+      .select(
+        expr("CAST(pos div 64 AS INT)").as("i"),
+        pmod(col("pos"), lit(DIM)).cast("int").as("j"),
+        col("gram"))
+      .filter(col("j") >= col("i"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h of plane p
     * is a fixed rational derived from murmur-style integer mixing —
     * reproducible across runs with no RNG state.

@@ -180,6 +180,101 @@ object Multimodal {
     }
   }
 
+  /** A 64-bit blockhash fingerprint, carried as 4×16-bit band values
+    * (never one 64-bit word: the bands are the LSH join keys, and
+    * 16-bit ints can't overflow in any engine's arithmetic).
+    */
+  case class PHash(doc_id: Long, n_bytes: Int, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Blockhash-style perceptual fingerprint over payload bytes: the
+    * payload splits into 64 contiguous blocks (integer boundaries
+    * b·n/64), bit b = 1 iff block b's byte mean exceeds the global
+    * mean — compared cross-multiplied (sum_b·n > total·len_b) so the
+    * decision is exact integer arithmetic, replayable bit-for-bit by
+    * an external engine. A real image pipeline computes the same
+    * structure over decoded luma blocks; the byte stand-in keeps the
+    * Spark-side shape (map-only typed kernel, banded output) real.
+    */
+  private[graft] def blockhash(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length
+    val sums = new Array[Long](64)
+    val lens = new Array[Int](64)
+    var b = 0
+    while (b < 64) {
+      val from = (b.toLong * n / 64).toInt
+      val until = ((b + 1).toLong * n / 64).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { s += payload(i) & 0xFF; i += 1 }
+      sums(b) = s
+      lens(b) = until - from
+      b += 1
+    }
+    var total = 0L
+    b = 0
+    while (b < 64) { total += sums(b); b += 1 }
+    val bands = new Array[Int](4)
+    var bit = 0
+    while (bit < 64) {
+      // block mean > global mean without division: both sides fit
+      // int64 (≤ 255·n², n ≤ ~10⁵ payloads here; chunk larger media)
+      if (lens(bit) > 0 && sums(bit) * n > total * lens(bit))
+        bands(bit / 16) |= 1 << (bit % 16)
+      bit += 1
+    }
+    bands
+  }
+
+  /** Driver-contract wrapper: fingerprints over the documents-as-
+    * media corpus.
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    phash(mediaFromDocuments(spark, dir)).toDF()
+
+  /** Per-payload perceptual hash rows — map-only. */
+  def phash(media: Dataset[MediaRow]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val bs = blockhash(r.payload)
+      PHash(r.doc_id, r.payload.length, bs(0), bs(1), bs(2), bs(3))
+    }
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join: fingerprints
+    * sharing any 16-bit band become candidates (equi-join — by
+    * pigeonhole, complete for Hamming distance ≤ 3 with 4 bands),
+    * then the exact distance Σ bit_count(band_a XOR band_b) keeps
+    * pairs ≤ `maxDist`. Same candidate-generation contract as the
+    * SimHash operator: candidates are bucket-bounded, never
+    * enumerated all-pairs. Band-key collisions are birthday-bounded
+    * (n²/2¹⁶ per band on near-uniform fingerprints); a skewed corpus
+    * (many blank images → one hot fingerprint) should dedup exact
+    * copies first — exact dups pair at distance 0 anyway.
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val p = phash(mediaFromDocuments(spark, dir)).toDF()
+      // one fingerprint pass shared by both join sides (no exchange
+      // reuse across the self-join's two consumers)
+      .localCheckpoint(eager = false)
+      .select(col("doc_id"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs"))
+    val ex = p.select(col("doc_id"), col("bs"),
+      posexplode(col("bs")).as(Seq("band", "v")))
+    val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),
+      col("band"), col("v"))
+    val b = ex.select(col("doc_id").as("doc_id_b"), col("bs").as("bs_b"),
+      col("band"), col("v"))
+    val hamming = (0 until 4)
+      .map(k => expr(s"bit_count(bs_a[$k] ^ bs_b[$k])"))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "v"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** documents → MediaRow dataset (text bytes as stand-in payloads). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

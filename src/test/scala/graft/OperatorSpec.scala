@@ -634,6 +634,88 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("gram matrix cells equal brute-force quantized products") {
+    import graft.operators.Ann
+    val got = Ann.embGram(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got.size === 64 * 65 / 2)
+    // brute-force replay from the raw embeddings
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val qs = vecs.map { v =>
+      val d = v.map(_.toDouble)
+      val scale = d.map(math.abs).max / 127.0
+      if (scale == 0.0) Array.fill(64)(0L)
+      else d.map(x => math.floor(x / scale + 0.5).toLong)
+    }
+    for (i <- 0 until 64; j <- i until 64 if (i + j) % 23 == 0) // spot grid
+      assert(got((i, j)) === qs.map(q => q(i) * q(j)).sum)
+    // diagonal is a sum of squares — non-negative, and zero only if
+    // every vector's component i quantizes to 0
+    (0 until 64).foreach(i => assert(got((i, i)) >= 0L))
+  }
+
+  test("bloom-prefiltered dedup equals the exact history join") {
+    import graft.operators.{BloomDedup, NearDup}
+    val got = BloomDedup.dedupBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getBoolean(2)))).toMap
+    val exact = NearDup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getBoolean(2)))).toMap
+    assert(got === exact)
+    assert(got.values.exists(_._2) || got.nonEmpty) // sanity: frame non-empty
+  }
+
+  test("phash: bands rebuild from the blockhash kernel, exact dups at distance 0") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val bs = Multimodal.blockhash(bytes)
+      assert(rows(id) === ((bytes.length, bs(0), bs(1), bs(2), bs(3))))
+      bs.foreach(b => assert(b >= 0 && b <= 0xFFFF))
+    }
+    // identical payloads fingerprint identically (vacuous at sf where
+    // the corpus has no exact dups; the sf0.01 oracle gate has them)
+    docs.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      assert(g.map(d => rows(d._1)).distinct.length === 1)
+    }
+    // synthetic sensitivity: flipping one block's bytes moves few bits
+    val base = Array.tabulate(640)(i => ((i * 37) % 251).toByte)
+    val near = base.clone()
+    (0 until 10).foreach(i => near(i) = 127.toByte) // one block of 64
+    val (hb, hn) = (Multimodal.blockhash(base), Multimodal.blockhash(near))
+    val d = (0 until 4).map(k => Integer.bitCount(hb(k) ^ hn(k))).sum
+    assert(d >= 0 && d <= 8) // localized edit ⇒ localized bit churn
+    assert(Multimodal.blockhash(base).sameElements(hb)) // deterministic
+  }
+
+  test("phash pairs: banded join finds every pair within distance 3, none farther") {
+    import graft.operators.Multimodal
+    val got = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val fps = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Multimodal.blockhash(r.getString(1).getBytes("UTF-8"))))
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    // brute-force all pairs: banding must be complete for d ≤ 3
+    val expect = fps.indices.flatMap { i =>
+      ((i + 1) until fps.length).flatMap { j =>
+        val d = hamming(fps(i)._2, fps(j)._2)
+        if (d > 3) None
+        else {
+          val (x, y) =
+            if (fps(i)._1 < fps(j)._1) (fps(i)._1, fps(j)._1)
+            else (fps(j)._1, fps(i)._1)
+          Some(((x, y), d))
+        }
+      }
+    }.toMap
+    assert(got === expect) // banding complete ∧ no false survivors
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
