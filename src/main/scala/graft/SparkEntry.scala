@@ -87,6 +87,8 @@ object SparkEntry {
     "q_first_last" -> ((s, d) => present(Relational.qFirstLast(s, d), "user_id")),
     "q_activity_gaps" -> ((s, d) => present(Relational.qActivityGaps(s, d), "user_id")),
     "q_outer_join" -> ((s, d) => present(Relational.qOuterJoin(s, d), "user_id")),
+    "q_compact_latest" -> ((s, d) => present(Relational.qCompactLatest(s, d), "user_id", "event_type")),
+    "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
@@ -648,6 +650,26 @@ object SparkEntry {
         |            ELSE 'purchase_only' END AS segment
         |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         |ORDER BY 1""".stripMargin,
+    // keep-latest compaction: unique (epoch_us(ts), event_id) DESC
+    // order ⇒ deterministic survivor; value passes through raw
+    "q_compact_latest" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |       epoch_ms(ts) AS last_ms, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // rarity profile: exact integer df sums; the ×10⁴ mean is FLOOR
+    // division of two exact integers (portable, no round() edge)
+    "text_rarity" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(df.df) AS BIGINT) AS sum_df,
+        |       min(df.df) AS min_df,
+        |       (10000 * CAST(sum(df.df) AS BIGINT)) // count(*) AS mean_df_e4
+        |FROM terms JOIN df USING (term)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

@@ -529,4 +529,24 @@ object Relational {
           .when(col("n_clicks") > 0, "click_only")
           .otherwise("purchase_only"))
   }
+
+  /** CDC/upsert compaction keep-LATEST: one surviving row per
+    * (user_id, event_type) — the mirror of dedup_first's first-wins
+    * (Deduplicator.java:43-59 primes the FIRST arrival; a state-store
+    * compaction keeps the LAST). The (ts, event_id) descending order
+    * is a unique total order, so the survivor is deterministic on any
+    * engine; the value passes through raw (no aggregation → no float
+    * edge). One shuffle on the compaction key, one window pass.
+    */
+  def qCompactLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        unix_millis(col("ts")).as("last_ms"),
+        col("value").as("last_value"))
+  }
 }

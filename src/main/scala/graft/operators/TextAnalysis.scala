@@ -264,4 +264,29 @@ object TextAnalysis {
           nullif(col("n_tokens").cast("double"), lit(0.0)), 6)
           .as("type_token_ratio"))
   }
+
+  /** Per-doc token-rarity profile: every token occurrence joined to
+    * the corpus document-frequency table, reduced to exact integer
+    * sums — low mean df marks vocabulary-heavy documents (the
+    * diversity/quality signal a training mix weighs alongside
+    * [[textQuality]]). The mean is emitted ×10⁴ as an integer FLOOR
+    * division of two exact integers (engine-portable — no float
+    * ratio, no round() half-rule). Shape: one tokenize pass feeding
+    * tf-weighted occurrences, one map-combinable df aggregate, an
+    * un-hinted term join (vocabulary outgrows broadcast at corpus
+    * scale — AQE decides, as in textTfidf), one final groupBy.
+    */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    terms.join(df, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        min(col("df")).as("min_df"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("min_df"),
+        expr("(10000 * sum_df) div n_tokens").as("mean_df_e4"))
+  }
 }

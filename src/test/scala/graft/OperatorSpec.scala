@@ -716,6 +716,36 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect) // banding complete ∧ no false survivors
   }
 
+  test("compact-latest keeps exactly the newest row per (user, type)") {
+    import graft.operators.Relational
+    val got = Relational.qCompactLatest(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val expect = ev.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+      val last = g.maxBy(e => (e._4, e._3))
+      (k, (last._3, Math.floorDiv(last._4, 1000L), last._5))
+    }
+    assert(got === expect)
+  }
+
+  test("rarity sums replay the document-frequency join") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.textRarity(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val dfMap = docs.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, g) => (t, g.length.toLong) }
+    docs.foreach { case (id, ts) =>
+      val sumDf = ts.map(dfMap).sum
+      val n = ts.length.toLong
+      assert(got(id) === ((n, sumDf, ts.map(dfMap).min, 10000L * sumDf / n)))
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
