@@ -46,16 +46,24 @@ object BloomDedup {
     */
   val BLOOM_BITS = 8L * 1024 * 1024
 
-  private def bloomAggColumn(child: Column, numBits: Long): Column =
+  private[graft] def bloomAggColumn(child: Column, numBits: Long): Column =
     GraftShim.column(new BloomFilterAggregate(
       GraftShim.expression(child),
       Literal(numBits / 16), // estimated items consistent with bits
       Literal(numBits)).toAggregateExpression())
 
-  private def mightContain(bloom: Array[Byte], child: Column): Column =
+  private[graft] def mightContain(bloom: Array[Byte], child: Column): Column =
     GraftShim.column(new BloomFilterMightContain(
       Literal(bloom, BinaryType),
       GraftShim.expression(child)))
+
+  /** Build the serialized history sketch over a 64-bit key column —
+    * one map-combinable pass; null when `keys` is empty.
+    */
+  private[graft] def buildSketch(keys: DataFrame, key: Column,
+                                 numBits: Long = BLOOM_BITS): Array[Byte] =
+    keys.agg(bloomAggColumn(key, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
 
   /** Batch docs (doc_id % 5 == 0, as in dedupIncremental) flagged
     * against history through the bloom prefilter. Output is exact —
@@ -72,8 +80,7 @@ object BloomDedup {
     val history = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
 
-    val sketch = history.agg(bloomAggColumn(col("h64"), BLOOM_BITS).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val sketch = buildSketch(history, col("h64"))
     val candidates =
       if (sketch == null) batch.filter(lit(false)) // empty history
       else batch.filter(mightContain(sketch, col("h64")))

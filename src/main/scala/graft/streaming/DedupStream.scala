@@ -106,6 +106,45 @@ object DedupStream {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** [[dedupAgainstHistory]] with a Bloom prefilter — same result,
+    * different data movement: the history manifest is sketched ONCE
+    * at stream start (a bounded bit array, not per-batch state), and
+    * every micro-batch splits on `might_contain`: definite-new rows
+    * (the overwhelming majority when the stream is mostly novel)
+    * bypass the anti-join entirely, only possible-dups probe the
+    * manifest. False positives just take the slow path — the split ∪
+    * is exhaustive, so output equals the plain variant row-for-row.
+    * This is the streaming twin of [[graft.operators.BloomDedup]] and
+    * the closest analog of the reference's "store hashes f.ex in
+    * Redis" fast-membership deployment note (Deduplicator.java:27) —
+    * the sketch answers "possibly seen?" without a store round-trip.
+    *
+    * The sketch is built when the query is DEFINED; a long-running
+    * stream whose manifest grows should rebuild it on redeploy (the
+    * prefilter only needs to be a superset of history at build time
+    * to stay exact, since newer history rows are still caught by the
+    * in-stream dropDuplicates state).
+    */
+  def dedupAgainstHistoryBloom(events: DataFrame, historyKeys: DataFrame,
+                               watermark: String = "10 minutes"): DataFrame = {
+    val keyCols = graft.operators.Dedup.contentCols
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val sketch = graft.operators.BloomDedup.buildSketch(
+      historyKeys.select(keyCols.map(col): _*), keyHash)
+    val wm = events.withWatermark("ts", watermark)
+    val deduped =
+      if (sketch == null) wm // empty history: nothing to anti-join
+      else {
+        val maybeSeen = graft.operators.BloomDedup.mightContain(sketch, keyHash)
+        // unionByName: the USING anti-join fronts the key columns,
+        // so a positional union would misalign the branches
+        wm.filter(!maybeSeen).unionByName(
+          wm.filter(maybeSeen)
+            .join(historyKeys.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      }
+    deduped.dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Streaming exact-chain TTL dedup (reference cache semantics).
     * State per content key = the anchor prime's ts; event-time
     * timeout at anchor + ttl + watermark slack evicts it.

@@ -76,6 +76,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered stream-static dedup matches the plain variant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val history = Seq(ev(100, base - 999999, user = 9)).toDF()
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupAgainstHistoryBloom(input.toDF(), history)
+    val q = out.writeStream.format("memory").queryName("bloom_hist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same scenario as the plain dedupAgainstHistory test: 20
+      // collides with history, 21 novel, 22 dups 21 in-stream
+      input.addData(ev(20, base, user = 9), ev(21, base + 1000, user = 5))
+      q.processAllAvailable()
+      input.addData(ev(22, base + 2000, user = 5), ev(23, base + 3000, user = 6))
+      q.processAllAvailable()
+      val got = spark.table("bloom_hist_out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(21L, 23L))
+    } finally q.stop()
+  }
+
+  test("bloom stream-static dedup with empty history keeps in-stream dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val history = Seq.empty[Ev].toDF()
+    val input = MemoryStream[Ev]
+    val out = DedupStream.dedupAgainstHistoryBloom(input.toDF(), history)
+    val q = out.writeStream.format("memory").queryName("bloom_empty_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, base), ev(2, base + 1000))
+      q.processAllAvailable()
+      val got = spark.table("bloom_empty_out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L)) // 1 and 2 share content; no history drop
+    } finally q.stop()
+  }
+
   test("multi-schema content keys drive a streaming dedup (parsePayload dispatch, streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
