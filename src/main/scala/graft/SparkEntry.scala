@@ -98,6 +98,7 @@ object SparkEntry {
     "docs_dedup_normalized" -> ((s, d) => present(NearDup.docsDedupNormalized(s, d), "content_hash")),
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
     "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
+    "docs_minhash_sig" -> ((s, d) => present(NearDup.minhashSignatures(s, d), "doc_id")),
     "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
     "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
     "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
@@ -270,6 +271,26 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM sims)
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** docs_minhash_sig oracle: full signature replay — the mod-p
+    * universal-hash family evaluated in HUGEINT (int128) with the
+    * same (a_i, b_i) constants inlined, over the same distinct word
+    * 3-shingles and the same 60-bit md5-prefix shingle hash.
+    */
+  private def minhashSigOracleSql: String = {
+    val sigs = (0 until graft.functions.MinHashSig.PERMS).map { i =>
+      val (a, b) = graft.functions.MinHashSig.coeff(i)
+      f"       CAST(min((CAST($a AS HUGEINT) * h + $b) %% ${graft.functions.MinHashSig.P}) AS BIGINT) AS sig_$i%02d"
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+       |       FROM tok WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh)
+       |SELECT doc_id,
+       |$sigs
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
@@ -905,6 +926,7 @@ object SparkEntry {
     // The oracle independently recomputes bucketing, candidates, and
     // the exact-cosine rerank from the raw table.
     "ann_lsh" -> annLshOracleSql,
+    "docs_minhash_sig" -> minhashSigOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps

@@ -356,6 +356,38 @@ object NearDup {
       .agg(sigAgg(col("h")).as("sig"))
   }
 
+  /** Cross-engine-VERIFIABLE MinHash signatures: the mod-p family of
+    * [[graft.functions.MinHashSig]] (p = 2⁶¹−1, h = first 60 bits of
+    * md5(shingle)), evaluated in exact DECIMAL(38,0) arithmetic so an
+    * external engine replays every signature bit-for-bit with 128-bit
+    * integers — closing the gap that the production 64-bit wrapping
+    * family ([[graft.functions.MinHashSigAgg]], used by
+    * [[minhashLshPairs]]) can only be verified indirectly via exact
+    * Jaccard. Shape: one shingle explode, 16 map-combinable min
+    * aggregates, one shuffle on doc_id. Decimal math costs ~2-3× the
+    * long kernel per permutation — this operator is the audit/
+    * interchange path (signatures you can hand to ANY engine), the
+    * wrapping Aggregator stays the throughput path.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
+    // 60-bit md5 prefix: positive in any signed-64 engine, < p
+    val h = conv(substring(md5(col("sh")), 1, 15), 16, 10)
+      .cast("long").cast(dec)
+    val aggs = (0 until MinHashSig.PERMS).map { i =>
+      val (a, b) = MinHashSig.coeff(i)
+      min((lit(BigDecimal(a)).cast(dec) * col("h") + lit(BigDecimal(b)).cast(dec))
+        % lit(BigDecimal(MinHashSig.P)).cast(dec))
+        .cast("long").as(f"sig_$i%02d")
+    }
+    sh.withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash + LSH near-dup pairs: band the 128-wide signature into
     * 32 x 4, bucket-join per band, then verify candidates with exact
     * shingle Jaccard (≥ threshold). Verified output ⊆ jaccardPairs,

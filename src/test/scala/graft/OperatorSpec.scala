@@ -746,6 +746,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mod-p minhash signatures replay exactly via BigInt") {
+    import graft.operators.NearDup
+    import graft.functions.MinHashSig
+    val got = NearDup.minhashSignatures(spark, sf).collect()
+      .map(r => (r.getLong(0), (1 to MinHashSig.PERMS).map(r.getLong))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+      if (shingles.isEmpty) assert(!got.contains(id))
+      else {
+        val hs = shingles.map { s =>
+          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(15), 16)
+        }
+        val expect = (0 until MinHashSig.PERMS).map { i =>
+          val (a, b) = MinHashSig.coeff(i)
+          hs.map(h => ((BigInt(a) * h + b) mod BigInt(MinHashSig.P)).toLong).min
+        }
+        assert(got(id) === expect)
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
