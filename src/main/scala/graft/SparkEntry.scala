@@ -126,6 +126,7 @@ object SparkEntry {
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
+    "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
@@ -691,6 +692,21 @@ object SparkEntry {
         |       (10000 * CAST(sum(df.df) AS BIGINT)) // count(*) AS mean_df_e4
         |FROM terms JOIN df USING (term)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sequence packing: integer running sums cut at a 256-token
+    // budget; HUGEINT window sums cast back to BIGINT
+    "docs_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT doc_id, lang, n_tok,
+        |       (cum - n_tok) // 256 AS pack_id,
+        |       (cum - n_tok) % 256 AS pack_offset,
+        |       ((cum - n_tok) // 256) <> ((cum - 1) // 256) AS spills_over
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
         |            WHERE event_type = 'click' GROUP BY 1),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling (SURVEY.md §2.4 adjunct) — the
@@ -43,5 +44,33 @@ object Sampling {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (hash32(col("doc_id")) < threshold).as("is_sampled"))
+  }
+
+  /** Sequence-packing plan (the pretraining concat-and-chunk pass):
+    * per language, documents are laid end-to-end in doc_id order and
+    * cut into fixed `budget`-token packs; each doc reports the pack
+    * it STARTS in, its token offset there, and whether it spills
+    * over the pack boundary (the row a loader uses to place/split
+    * the sequence). All integer arithmetic over one running-sum
+    * window per stratum — deterministic on any engine, no float.
+    *
+    * Scale: the cumulative window is one shuffle on (lang) with an
+    * ordered in-partition scan. A whole-corpus stratum outgrows one
+    * partition's sort at extreme scale; production splits the order
+    * key into (lang, shard) with per-shard budgets — same plan
+    * shape, bounded partitions.
+    */
+  def docsPack(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("pack_id"),
+        pmod(col("cum_tok") - col("n_tok"), lit(budget.toLong)).as("pack_offset"),
+        (expr(s"(cum_tok - n_tok) div $budget") =!=
+          expr(s"(cum_tok - 1) div $budget")).as("spills_over"))
   }
 }

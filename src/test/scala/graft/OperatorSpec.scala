@@ -775,6 +775,26 @@ class OperatorSpec extends SparkSpec {
     assert(checked > 0)
   }
 
+  test("sequence packing replays a per-lang running walk") {
+    import graft.operators.Sampling
+    val got = Sampling.docsPack(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    docs.groupBy(_._2).foreach { case (lang, g) =>
+      var cum = 0L
+      g.sortBy(_._1).foreach { case (id, _, n) =>
+        val start = cum
+        cum += n
+        assert(got(id) === ((lang, n, start / 256, start % 256,
+          start / 256 != (cum - 1) / 256)))
+      }
+    }
+    // packs are densely filled: every non-first doc in a pack starts
+    // exactly where the previous doc's tokens ended
+    assert(got.nonEmpty)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
