@@ -151,6 +151,7 @@ object SparkEntry {
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
       "doc_id", "tile_y", "tile_x")),
     "mm_phash" -> ((s, d) => present(Multimodal.mmPhash(s, d), "doc_id")),
+    "mm_scene_cuts" -> ((s, d) => present(Multimodal.mmSceneCuts(s, d), "doc_id", "frame_idx")),
     "mm_phash_pairs" -> ((s, d) => present(
       Multimodal.phashPairs(s, d), "doc_id_a", "doc_id_b")),
     "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
@@ -1075,6 +1076,27 @@ object SparkEntry {
         |      FROM fr)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fb AS INT) AS n_bytes, cksum AS checksum
         |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
+    // scene cuts: energy replay (as mm_audio_energy) + lag window;
+    // the 50% move is cross-multiplied integers, frame 0 never cuts
+    "mm_scene_cuts" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, hx, n, unnest(range(0, CAST((n + 63) // 64 AS INT))) AS fi FROM b),
+        |s AS (SELECT doc_id, fi,
+        |        list_transform(range(CAST(least(n - fi * 64, 64) AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 2 AS INT), 1)) - 1) AS BIGINT) - 128) AS samp
+        |      FROM fr),
+        |e AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |        CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS energy
+        |      FROM s),
+        |l AS (SELECT doc_id, frame_idx, energy,
+        |        lag(energy, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_energy
+        |      FROM e)
+        |SELECT doc_id, frame_idx, energy, prev_energy,
+        |       (prev_energy IS NOT NULL AND abs(energy - prev_energy) * 2 > prev_energy) AS is_cut
+        |FROM l ORDER BY doc_id, frame_idx""".stripMargin,
     // blockhash replay: 64 integer block boundaries b·n//64, byte
     // sums from the hex dump, bit = cross-multiplied mean compare,
     // 16-bit band values rebuilt by the same shift-sum

@@ -127,6 +127,30 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over per-frame energies — the shot-boundary
+    * pass a video pipeline runs before sampling representative
+    * frames: a cut is a frame whose energy moved by more than 50%
+    * of the previous frame's (cross-multiplied integers — no float
+    * ratio: |e−prev|·2 > prev also fires on prev = 0 → any energy).
+    * One lag window per doc over the map-only [[frameEnergy]] rows;
+    * frame 0 is never a cut (no predecessor). Any engine replays the
+    * decision exactly.
+    */
+  def sceneCuts(media: Dataset[MediaRow], frameBytes: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameEnergy(media, frameBytes).toDF()
+      .withColumn("prev_energy", lag("energy", 1).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("energy"), col("prev_energy"),
+        (col("prev_energy").isNotNull &&
+          abs(col("energy") - col("prev_energy")) * 2 > col("prev_energy"))
+          .as("is_cut"))
+  }
+
+  /** Driver-contract wrapper over the documents-as-media corpus. */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame =
+    sceneCuts(mediaFromDocuments(spark, dir))
+
   /** One planned tile: grid coordinates + clipped pixel box. */
   case class Tile(doc_id: Long, tile_x: Int, tile_y: Int,
                   x0: Int, y0: Int, w: Int, h: Int)

@@ -795,6 +795,23 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("scene cuts fire exactly on >50% energy moves") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.mmSceneCuts(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((doc, fi), (e, prev, cut)) =>
+      prev match {
+        case None =>
+          assert(fi === 0 && !cut)
+        case Some(p) =>
+          assert(rows((doc, fi - 1))._1 === p) // prev chains correctly
+          assert(cut === (math.abs(e - p) * 2 > p))
+      }
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
