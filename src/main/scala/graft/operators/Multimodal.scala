@@ -250,10 +250,20 @@ object Multimodal {
   }
 
   /** Driver-contract wrapper: fingerprints over the documents-as-
-    * media corpus.
+    * media corpus, via the codegen'd `block_hash` expression
+    * ([[graft.plans.BlockHash]] — same kernel as the typed [[phash]],
+    * but staying inside whole-stage codegen with no encoder
+    * round-trip).
     */
   def mmPhash(spark: SparkSession, dir: String): DataFrame =
-    phash(mediaFromDocuments(spark, dir)).toDF()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        graft.plans.BlockHash(col("payload")).as("bs"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
+        col("bs").getItem(2).as("b2"), col("bs").getItem(3).as("b3"))
 
   /** Per-payload perceptual hash rows — map-only. */
   def phash(media: Dataset[MediaRow]): Dataset[PHash] = {
@@ -276,12 +286,12 @@ object Multimodal {
     * copies first — exact dups pair at distance 0 anyway.
     */
   def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val p = phash(mediaFromDocuments(spark, dir)).toDF()
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.plans.BlockHash(col("text").cast("binary")).as("bs"))
       // one fingerprint pass shared by both join sides (no exchange
       // reuse across the self-join's two consumers)
       .localCheckpoint(eager = false)
-      .select(col("doc_id"),
-        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs"))
     val ex = p.select(col("doc_id"), col("bs"),
       posexplode(col("bs")).as(Seq("band", "v")))
     val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),

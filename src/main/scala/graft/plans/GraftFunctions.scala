@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.DoubleType
   *  - `containment_sim(a, b)` — |a∩b| / |a| directional containment
   *  - `murmur3_128(bin [, seed])` — the reference's pinned-seed
   *    content hash (seed defaults to 42, Deduplicator.java:27-28)
+  *  - `block_hash(bin)` — 4×16-bit blockhash perceptual-fingerprint
+  *    bands (the mm_phash kernel, SQL-driven)
   *
   * Two entry points: [[GraftFunctions.register]] installs into an
   * already-running session (temp functions); [[GraftExtensions]] is a
@@ -52,7 +54,8 @@ object GraftFunctions {
     "murmur3_128" -> { args =>
       val seed = if (args.length > 1) intArg(args(1), "murmur3_128 seed") else 42
       Murmur3_128(args(0), seed)
-    })
+    },
+    "block_hash" -> { args => BlockHash(args(0)) })
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -53,6 +53,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!r.getBoolean(2))
   }
 
+  test("block_hash on the SQL surface matches the Scala kernel") {
+    GraftFunctions.register(spark)
+    val payload = "some media payload bytes for fingerprinting, long enough to span blocks"
+    val got = spark.sql(
+      s"SELECT block_hash(CAST('$payload' AS BINARY)) AS bs")
+      .collect()(0).getSeq[Int](0)
+    val expect = graft.operators.Multimodal.blockhash(payload.getBytes("UTF-8"))
+    assert(got === expect.toSeq)
+    assert(got.forall(b => b >= 0 && b <= 0xFFFF))
+  }
+
   test("VecDotRewrite swaps the declarative HOF dot product for the kernel, semantics intact") {
     import spark.implicits._
     GraftFunctions.installOptimizations(spark)
