@@ -242,6 +242,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GramAgg: partition-split merges equal the single-pass fold, any split") {
+    val agg = new graft.functions.GramAgg(8)
+    for (_ <- 1 to 20) {
+      val rows = Seq.fill(30)(Array.fill(8)(rnd.nextInt(255).toLong - 127))
+      val whole = rows.foldLeft(agg.zero)(agg.reduce)
+      val cut = 1 + rnd.nextInt(28)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq === whole.toSeq)
+      // diagonal cells are sums of squares
+      for (i <- 0 until 8) assert(whole(i * 8 + i) >= 0L)
+      // symmetry is implicit: only j ≥ i cells populated
+      for (i <- 0 until 8; j <- 0 until i) assert(whole(i * 8 + j) === 0L)
+    }
+  }
+
+  test("MinHashSig: coefficients in range, signatures permutation-invariant and monotone under union") {
+    import graft.functions.MinHashSig
+    for (i <- 0 until MinHashSig.PERMS) {
+      val (a, b) = MinHashSig.coeff(i)
+      assert(a >= 1 && a < MinHashSig.P && b >= 0 && b < MinHashSig.P)
+    }
+    def sig(hs: Seq[Long], i: Int): Long = {
+      val (a, b) = MinHashSig.coeff(i)
+      hs.map(h => ((BigInt(a) * h + b) mod BigInt(MinHashSig.P)).toLong).min
+    }
+    for (_ <- 1 to 20) {
+      val hs = Seq.fill(50)(rnd.nextLong() >>> 4)
+      val shuffled = rnd.shuffle(hs)
+      val extra = hs ++ Seq.fill(10)(rnd.nextLong() >>> 4)
+      for (i <- 0 until 4) {
+        assert(sig(hs, i) === sig(shuffled, i)) // set function, not sequence
+        assert(sig(extra, i) <= sig(hs, i))     // min is monotone under union
+      }
+    }
+  }
+
+  test("blockhash: exact dups collide, band flips bounded by touched blocks") {
+    import graft.operators.Multimodal
+    for (_ <- 1 to 20) {
+      val n = 64 + rnd.nextInt(600)
+      val base = Array.fill(n)(rnd.nextInt(256).toByte)
+      assert(Multimodal.blockhash(base.clone()).toSeq === Multimodal.blockhash(base).toSeq)
+      // perturb k consecutive bytes: at most the touched blocks plus
+      // global-mean drift can flip — bits changed is ≤ 64 trivially,
+      // but a single-block edit keeps the untouched-block sums equal
+      val at = rnd.nextInt(n)
+      val mut = base.clone(); mut(at) = (mut(at) + 97).toByte
+      val (b1, b2) = (Multimodal.blockhash(base), Multimodal.blockhash(mut))
+      val flips = (0 until 4).map(k => Integer.bitCount(b1(k) ^ b2(k))).sum
+      assert(flips <= 64)
+      assert(b2.forall(v => v >= 0 && v <= 0xFFFF))
+    }
+  }
+
   test("VecDot equals a naive sequential double fold, bit-exactly") {
     import spark.implicits._
     val data = (0 until 50).map { _ =>
