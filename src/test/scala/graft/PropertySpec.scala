@@ -266,6 +266,15 @@ class PropertySpec extends SparkSpec {
       val (a, b) = MinHashSig.coeff(i)
       assert(a >= 1 && a < MinHashSig.P && b >= 0 && b < MinHashSig.P)
     }
+    // the long-arithmetic Mersenne reduction equals BigInt exactly
+    for (_ <- 1 to 500) {
+      val a = (rnd.nextLong() >>> 3) % MinHashSig.P
+      val h = (rnd.nextLong() >>> 3) % MinHashSig.P
+      assert(MinHashSig.mulMod(a, h) ===
+        ((BigInt(a) * h) mod BigInt(MinHashSig.P)).toLong)
+    }
+    assert(MinHashSig.mulMod(MinHashSig.P - 1, MinHashSig.P - 1) ===
+      ((BigInt(MinHashSig.P - 1) * (MinHashSig.P - 1)) mod BigInt(MinHashSig.P)).toLong)
     def sig(hs: Seq[Long], i: Int): Long = {
       val (a, b) = MinHashSig.coeff(i)
       hs.map(h => ((BigInt(a) * h + b) mod BigInt(MinHashSig.P)).toLong).min
