@@ -127,6 +127,7 @@ object SparkEntry {
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
+    "docs_pipeline" -> ((s, d) => present(Pipeline.docsPipeline(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
@@ -693,6 +694,48 @@ object SparkEntry {
         |       (10000 * CAST(sum(df.df) AS BIGINT)) // count(*) AS mean_df_e4
         |FROM terms JOIN df USING (term)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full pipeline composition: quality keep-set (same CTEs as
+    // docs_quality_filter), first-wins exact dedup over survivors,
+    // then the docs_pack running-sum cut over what remains
+    "docs_pipeline" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS pr,
+        |        greatest(len(toks) - 2, 0) AS nsh,
+        |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS nd
+        |      FROM tok),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
+        |       FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
+        |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
+        |                           ORDER BY df DESC, ngram LIMIT 20)),
+        |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
+        |      FROM tok),
+        |j AS (SELECT f.doc_id, f.nt, f.pr, f.nsh, f.nd, b.nb, coalesce(m.n_top, 0) AS n_top
+        |      FROM f JOIN b ON f.doc_id = b.doc_id LEFT JOIN m ON f.doc_id = m.doc_id),
+        |keepset AS (SELECT doc_id FROM j
+        |            WHERE NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
+        |              AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2)),
+        |kept AS (SELECT d.doc_id, d.lang, md5(d.text) AS ch,
+        |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |         FROM documents d JOIN keepset USING (doc_id)),
+        |ded AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM kept),
+        |sv AS (SELECT doc_id, lang, n_tok FROM ded WHERE rn = 1),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM sv)
+        |SELECT doc_id, lang, n_tok,
+        |       (cum - n_tok) // 256 AS pack_id,
+        |       (cum - n_tok) % 256 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     // sequence packing: integer running sums cut at a 256-token
     // budget; HUGEINT window sums cast back to BIGINT
     "docs_pack" ->

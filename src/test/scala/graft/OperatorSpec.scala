@@ -812,6 +812,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pipeline = quality gate ∘ exact dedup ∘ packing, stage by stage") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val got = Pipeline.docsPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // stage replay: keep-set from the quality operator, dedup + pack by hand
+    val keep = TextAnalysis.docsQualityFilter(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(d => keep(d._1))
+    val survivors = docs.groupBy(_._3).values.map(_.minBy(_._1)).toSeq
+    val expect = survivors.groupBy(_._2).flatMap { case (lang, g) =>
+      var cum = 0L
+      g.sortBy(_._1).map { case (id, _, text) =>
+        val n = text.split(" ", -1).length.toLong
+        val start = cum; cum += n
+        (id, (lang, n, start / 256, start % 256))
+      }
+    }
+    assert(got === expect)
+    assert(got.size < docs.length + keep.size) // gates actually dropped rows
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
