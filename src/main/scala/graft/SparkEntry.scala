@@ -88,6 +88,8 @@ object SparkEntry {
     "q_activity_gaps" -> ((s, d) => present(Relational.qActivityGaps(s, d), "user_id")),
     "q_outer_join" -> ((s, d) => present(Relational.qOuterJoin(s, d), "user_id")),
     "q_compact_latest" -> ((s, d) => present(Relational.qCompactLatest(s, d), "user_id", "event_type")),
+    "q_mode" -> ((s, d) => present(Relational.qMode(s, d), "user_id")),
+    "q_scd2" -> ((s, d) => present(Relational.qScd2(s, d), "user_id", "run_id")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
@@ -126,11 +128,13 @@ object SparkEntry {
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
+    "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "docs_pipeline" -> ((s, d) => present(Pipeline.docsPipeline(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
+    "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
     // §2.7 multimodal
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
     "mm_decode" -> ((s, d) => present(
@@ -683,6 +687,36 @@ object SparkEntry {
         |                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // modal event type: integer counts, (n DESC, event_type) total
+    // order — the argmax row is engine-deterministic
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY n_events DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT user_id, event_type AS modal_type, CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // SCD2 run collapse: the lag/run-sum windows order on
+    // epoch_us(ts) (q_lag_delta's axis rule); run boundaries and all
+    // outputs are integers
+    "q_scd2" ->
+      """WITH o AS (SELECT event_id, user_id, event_type, ts,
+        |             CASE WHEN lag(event_type, 1) OVER w IS NULL
+        |                    OR lag(event_type, 1) OVER w <> event_type
+        |                  THEN 1 ELSE 0 END AS chg
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS run_id
+        |      FROM o)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+        |       min(epoch_ms(ts)) AS valid_from_ms,
+        |       max(epoch_ms(ts)) AS valid_to_ms,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event_id
+        |FROM r GROUP BY 1, 2, 3 ORDER BY user_id, run_id""".stripMargin,
     // rarity profile: exact integer df sums; the ×10⁴ mean is FLOOR
     // division of two exact integers (portable, no round() edge)
     "text_rarity" ->
@@ -1381,6 +1415,35 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       s"WITH $fingerprintCtes\nSELECT doc_id, fp FROM f ORDER BY doc_id, fp",
+    // mixture plan replay: weights from the source name, W and T as
+    // scalar subqueries, keep decision cross-multiplied in HUGEINT —
+    // the same no-division integer arithmetic as the Spark side
+    "docs_mix_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(substr(source, 4) AS BIGINT) + 1 AS w_num
+        |           FROM documents),
+        |c AS (SELECT source, w_num, count(*) AS n_docs FROM d GROUP BY 1, 2),
+        |w AS (SELECT sum(w_num) AS w_den FROM c),
+        |cap AS (SELECT min((n_docs * (SELECT w_den FROM w)) // w_num) AS t FROM c),
+        |plan AS (SELECT source, w_num, n_docs,
+        |           ((SELECT t FROM cap) * w_num) // (SELECT w_den FROM w) AS planned_keep
+        |         FROM c),
+        |h AS (SELECT doc_id, source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS u
+        |  FROM documents),
+        |kept AS (SELECT h.source, count(*) AS n_kept
+        |         FROM h JOIN plan USING (source)
+        |         WHERE CAST(u AS HUGEINT) * plan.n_docs
+        |               < CAST(plan.planned_keep AS HUGEINT) * 4294967296
+        |         GROUP BY 1)
+        |SELECT plan.source, CAST(plan.n_docs AS BIGINT) AS n_docs,
+        |       CAST(plan.w_num AS BIGINT) AS w_num,
+        |       CAST(plan.planned_keep AS BIGINT) AS planned_keep,
+        |       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM plan LEFT JOIN kept USING (source) ORDER BY plan.source""".stripMargin,
     "text_ngram_topk" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT list_distinct(list_transform(range(1, len(toks)),
@@ -1390,6 +1453,15 @@ object SparkEntry {
         |c AS (SELECT ngram, count(*) AS df FROM ex GROUP BY 1)
         |SELECT ngram, CAST(df AS BIGINT) AS df FROM c
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // BPE first-merge candidates: occurrence counts of 2-char windows
+    // inside words — all integers, (n DESC, pair) total order
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |               i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

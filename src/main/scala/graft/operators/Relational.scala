@@ -549,4 +549,51 @@ object Relational {
         unix_millis(col("ts")).as("last_ms"),
         col("value").as("last_value"))
   }
+
+  /** Per-user modal event type — the categorical argmax profile
+    * (dominant behavior per entity; the label a mixture or routing
+    * pass keys on). One map-combinable count shuffle on
+    * (user_id, event_type), then a per-user row_number argmax with
+    * a (count DESC, event_type ASC) tie-break — integer counts and a
+    * total order, so the winner is engine-deterministic.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n_events"))
+  }
+
+  /** SCD2-style dimension history: collapse each user's event_type
+    * stream into consecutive RUNS — (user_id, run_id, event_type,
+    * valid_from, valid_to, n_events), the slowly-changing-dimension
+    * table a warehouse builds from a CDC/event feed (q_compact_latest
+    * keeps only the final state; this keeps the full validity
+    * history). Gaps-and-islands: a lag marks run starts, a running
+    * sum numbers them, one groupBy collapses — two window passes and
+    * one aggregate over the SAME (user_id → ts, event_id) sort, so
+    * Catalyst plans a single sort+shuffle reused by all three.
+    * Ordering axis: full-resolution ts with event_id tie-break (the
+    * oracle orders on epoch_us(ts) — q_lag_delta's rule); boundary
+    * timestamps emitted as integer millis.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(run))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(
+        min(unix_millis(col("ts"))).as("valid_from_ms"),
+        max(unix_millis(col("ts"))).as("valid_to_ms"),
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"))
+  }
 }

@@ -73,4 +73,49 @@ object Sampling {
         (expr(s"(cum_tok - n_tok) div $budget") =!=
           expr(s"(cum_tok - 1) div $budget")).as("spills_over"))
   }
+
+  /** Target-mixture sampling plan — the data-mixing pass that turns
+    * "train on sources in ratio w₁:w₂:…" into a concrete, auditable
+    * per-source sample. Source `srcN` gets weight N+1 (a stand-in
+    * for an externally supplied weights table — the plan shape is
+    * identical); the largest total T respecting the mixture without
+    * upsampling is min over sources of ⌊n_s·W / w_s⌋ (W = Σw), each
+    * source's planned keep count is k_s = ⌊T·w_s / W⌋, and a doc
+    * survives iff hash32(doc_id)·n_s < k_s·2³² — the same
+    * deterministic hash identity as [[docsSampleStratified]], with
+    * the rate comparison CROSS-MULTIPLIED in DECIMAL(38,0) so there
+    * is no division (and no float) anywhere: exact at any corpus
+    * size, rerun- and partition-layout-stable.
+    *
+    * Shape: one map-combinable count by source, two single-row
+    * aggregates (W, T — broadcast scalars), one broadcast join of
+    * the #sources-row plan back onto the corpus, one count. The only
+    * full-corpus work is the scan; everything keyed is
+    * #sources-bounded. (The per-source caps n_s·W use long
+    * arithmetic — overflow-safe until n_s·W exceeds 2⁶³, i.e.
+    * corpus counts past ~4·10¹⁶ docs; the keep comparison itself is
+    * decimal-exact.)
+    */
+  def docsMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 18).cast("long") + 1L).as("w_num"))
+    val counts = docs.groupBy("source", "w_num").agg(count(lit(1)).as("n_docs"))
+    val wden = counts.agg(sum("w_num").as("w_den"))
+    val caps = counts.crossJoin(broadcast(wden))
+      .withColumn("cap", expr("(n_docs * w_den) div w_num"))
+    val t = caps.agg(min("cap").as("t"))
+    val plan = caps.crossJoin(broadcast(t))
+      .withColumn("planned_keep", expr("(t * w_num) div w_den"))
+      .select(col("source"), col("w_num"), col("n_docs"), col("planned_keep"))
+    val kept = docs
+      .withColumn("u", hash32(col("doc_id")))
+      .join(broadcast(plan.select(col("source"), col("n_docs"), col("planned_keep"))), "source")
+      .filter(col("u").cast("decimal(38,0)") * col("n_docs") <
+        col("planned_keep").cast("decimal(38,0)") * lit(4294967296L))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("w_num"),
+        col("planned_keep"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

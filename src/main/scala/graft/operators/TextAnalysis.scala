@@ -289,4 +289,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("min_df"),
         expr("(10000 * sum_df) div n_tokens").as("mean_df_e4"))
   }
+
+  /** Corpus top-k adjacent character pairs inside words — the first
+    * merge-candidate table of a BPE tokenizer-induction pass (the
+    * highest-count pair is the first merge; rerunning after each
+    * merge is the full algorithm, this is its dominant reduction).
+    * Map side: tokenize, explode, slide a 2-char window over each
+    * word (words shorter than 2 chars contribute nothing); reduce:
+    * one map-combinable count + single-pass TakeOrderedAndProject
+    * with a (count DESC, pair ASC) deterministic tiebreak — the
+    * text_ngram_topk shape at character granularity. Counts are
+    * occurrence totals (not per-doc distinct): BPE merges rank by
+    * raw frequency.
+    */
+  def textBpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      // sequence(1, length-1) is safe under the length ≥ 2 filter
+      // (Spark's sequence RUNS DESCENDING when start > stop — an
+      // unguarded length-1 word would yield [1, 0], not empty)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
 }

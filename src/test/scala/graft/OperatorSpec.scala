@@ -835,6 +835,74 @@ class OperatorSpec extends SparkSpec {
     assert(got.size < docs.length + keep.size) // gates actually dropped rows
   }
 
+  test("mode picks the (count desc, type asc) argmax per user") {
+    import graft.operators.Relational
+    val got = Relational.qMode(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = ev.groupBy(_._1).map { case (u, g) =>
+      val byType = g.groupBy(_._2).map { case (t, rows) => (t, rows.length.toLong) }
+      // argmax: count desc, then type asc
+      (u, byType.toSeq.minBy { case (t, n) => (-n, t) })
+    }
+    assert(got === expect)
+  }
+
+  test("scd2 runs partition each user's ordered stream exactly") {
+    import graft.operators.Relational
+    val got = Relational.qScd2(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // per user: runs cover every event once, types alternate between
+    // consecutive runs, boundaries are the run's min/max millis
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(e => (e._3, e._4))
+      val runs = sorted.foldLeft(Vector.empty[Vector[(Long, String, Long, Long)]]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && acc.last.head._2 == e._2) acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      runs.zipWithIndex.map { case (run, i) =>
+        ((u, (i + 1).toLong),
+          (run.head._2, Math.floorDiv(run.map(_._3).min, 1000L),
+            Math.floorDiv(run.map(_._3).max, 1000L), run.length.toLong, run.map(_._4).min))
+      }
+    }
+    assert(got === expect)
+  }
+
+  test("bpe pairs count every in-word 2-char window") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.textBpePairs(spark, sf, k = 1000000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val expect = docs.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, g) => (p, g.length.toLong) }
+    assert(got === expect)
+  }
+
+  test("mix sample plan: mixture respected, never upsampled, counts consistent") {
+    import graft.operators.Sampling
+    val rows = Sampling.docsMixSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wDen = rows.map(_._3).sum
+    val t = rows.map { case (_, n, w, _, _) => n * wDen / w }.min
+    rows.foreach { case (_, nDocs, wNum, planned, kept) =>
+      assert(planned === t * wNum / wDen) // exact mixture share of T
+      assert(planned <= nDocs)            // never upsamples a source
+      // hash-rate sampling hits the planned count only in expectation
+      assert(kept <= nDocs)
+    }
+    // the whole corpus is partitioned by the plan rows
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === total)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
