@@ -101,6 +101,7 @@ object SparkEntry {
     "docs_jaccard_pairs" -> ((s, d) => present(NearDup.jaccardPairs(s, d), "a_id", "b_id")),
     "docs_minhash_lsh" -> ((s, d) => present(NearDup.minhashLshPairs(s, d), "a_id", "b_id")),
     "docs_minhash_sig" -> ((s, d) => present(NearDup.minhashSignatures(s, d), "doc_id")),
+    "docs_minhash_est" -> ((s, d) => present(NearDup.minhashEstimate(s, d), "a_id", "b_id")),
     "docs_simhash" -> ((s, d) => present(NearDup.simhashPairs(s, d), "a_id", "b_id")),
     "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
     "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
@@ -117,6 +118,7 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
     "emb_dim_stats" -> ((s, d) => present(Ann.embDimStats(s, d), "dim")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
+    "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -298,6 +300,72 @@ object SparkEntry {
        |SELECT doc_id,
        |$sigs
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** docs_minhash_est oracle: exact-jaccard pair set (the same
+    * full-recall contract as docs_minhash_lsh) + full mod-p signature
+    * replay in HUGEINT with the (a_i, b_i) constants as a 128-row
+    * VALUES table, matched component-wise per pair. All-integer
+    * outputs, ×10⁴ ratio floors on both sides.
+    */
+  private def minhashEstOracleSql: String = {
+    val consts = (0 until graft.functions.MinHashSig.PERMS).map { i =>
+      val (a, b) = graft.functions.MinHashSig.coeff(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+    val p = graft.functions.MinHashSig.P
+    s"""WITH $jaccardCtes,
+       |consts(i, ca, cb) AS (VALUES $consts),
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+       |sg AS (SELECT doc_id, i,
+       |         CAST(min((CAST(ca AS HUGEINT) * h + cb) % $p) AS BIGINT) AS sig
+       |       FROM hh CROSS JOIN consts GROUP BY 1, 2),
+       |base AS (SELECT it.a_id, it.b_id, it.inter,
+       |                sa.n + sb.n - it.inter AS uni
+       |         FROM it JOIN sz sa ON it.a_id = sa.doc_id
+       |                 JOIN sz sb ON it.b_id = sb.doc_id
+       |         WHERE CAST(it.inter AS DOUBLE)
+       |               / CAST(sa.n + sb.n - it.inter AS DOUBLE) >= 0.5),
+       |m AS (SELECT b.a_id, b.b_id,
+       |        sum(CASE WHEN va.sig = vb.sig THEN 1 ELSE 0 END) AS sig_matches
+       |      FROM base b JOIN sg va ON va.doc_id = b.a_id
+       |                  JOIN sg vb ON vb.doc_id = b.b_id AND vb.i = va.i
+       |      GROUP BY 1, 2)
+       |SELECT b.a_id, b.b_id, CAST(b.inter AS BIGINT) AS inter,
+       |       CAST(b.uni AS BIGINT) AS uni,
+       |       CAST(m.sig_matches AS BIGINT) AS sig_matches,
+       |       (10000 * CAST(b.inter AS BIGINT)) // b.uni AS jacc_e4,
+       |       (10000 * CAST(m.sig_matches AS BIGINT)) // ${graft.functions.MinHashSig.PERMS} AS est_e4
+       |FROM base b JOIN m ON b.a_id = m.a_id AND b.b_id = m.b_id
+       |ORDER BY b.a_id, b.b_id""".stripMargin
+  }
+
+  /** emb_knn_graph oracle: the node sample replays the md5 identity
+    * hash (docs_sample_stratified's), then exact cosine + top-k over
+    * the sampled×sampled matrix — annExactTopKSql's shape with the
+    * query set = the sample itself.
+    */
+  private def embKnnGraphOracleSql: String = {
+    val t = graft.operators.Sampling.rateThreshold(0.1)
+    s"""WITH hsh AS (SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+       |    (a, x) -> a * 16 + x) AS u
+       |  FROM embeddings),
+       |n AS (SELECT e.vec_id, e.embedding,
+       |             list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+       |      FROM embeddings e JOIN hsh USING (vec_id) WHERE hsh.u < $t),
+       |p AS (SELECT q.vec_id AS vec_id, e.vec_id AS n_id,
+       |             list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |               i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |               / nullif(sqrt(q.n2) * sqrt(e.n2), 0.0) AS sim
+       |      FROM n q JOIN n e ON q.vec_id <> e.vec_id),
+       |r AS (SELECT vec_id, n_id, sim,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
+       |      FROM p)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
   }
 
   /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
@@ -1021,6 +1089,8 @@ object SparkEntry {
     // the exact-cosine rerank from the raw table.
     "ann_lsh" -> annLshOracleSql,
     "docs_minhash_sig" -> minhashSigOracleSql,
+    "docs_minhash_est" -> minhashEstOracleSql,
+    "emb_knn_graph" -> embKnnGraphOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps

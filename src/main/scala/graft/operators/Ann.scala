@@ -305,4 +305,48 @@ object Ann {
         round(avg(col("v") * col("v")), 6).as("m2"),
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
+
+  /** Exact k-NN graph over a deterministic node sample — the
+    * neighborhood structure a clustering / semantic-dedup /
+    * graph-propagation pass consumes (and the calibration set an
+    * ANN index is tuned against). Nodes are the ~`rate` fraction of
+    * vectors selected by the engine's shared identity hash
+    * ([[Sampling.hash32]] — rerun- and layout-stable, replayable by
+    * any engine); edges are each node's top-k cosine neighbors among
+    * the sampled set.
+    *
+    * Shape: the sampled set self-joins via the block-pair scheme
+    * (every vector lands in one of `blocks` hash blocks; the bounded
+    * blocks×blocks pair table is broadcast, so both data sides join
+    * on a block-id equi-key — no BroadcastNestedLoopJoin on data,
+    * same posture as embCosineDedup), then one window top-k per
+    * source node. The FULL ordered matrix is generated directly
+    * (i ≠ j, both directions) instead of half-matrix + union-all —
+    * one pass over the join, no re-execution of the sample subtree.
+    * Work is (rate·n)²/2 sims per block-pair partition; at corpus
+    * scale rate tunes the graph build to the budget, and the exact
+    * graph over the sample is the standard recall baseline for an
+    * ANN-built graph over the full set.
+    */
+  def embKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
+                  rate: Double = 0.1, blocks: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"),
+        pmod(col("vec_id"), lit(blocks)).as("blk"))
+    val blockPairs = broadcast(spark.createDataFrame(
+      for { i <- 0 until blocks; j <- 0 until blocks } yield (i, j))
+      .toDF("bi", "bj"))
+    val sim = V.cosineWithNorms(
+      V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
+    blockPairs
+      .join(e.as("a"), col("a.blk") === col("bi"))
+      .join(e.as("b"), col("b.blk") === col("bj"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"), sim.as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
 }

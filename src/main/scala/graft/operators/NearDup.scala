@@ -372,6 +372,17 @@ object NearDup {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.MinHashSig
+    val sigs = (0 until MinHashSig.PERMS).map(i =>
+      col("sig").getItem(i).as(f"sig_$i%02d"))
+    modPSignatures(spark, dir).select(col("doc_id") +: sigs: _*)
+  }
+
+  /** The mod-p signature pass of [[minhashSignatures]] with the
+    * 128-wide signature kept as ONE array column — the form the
+    * estimate/monitor operators consume (per-pair component matching
+    * wants zip_with over arrays, not 128 column comparisons).
+    */
+  def modPSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("sh"))
     // 60-bit md5 prefix: positive in any signed-64 engine, < p
@@ -381,12 +392,47 @@ object NearDup {
     // bit-identical to the HUGEINT oracle, proven by the BigInt
     // property replay)
     val sigAgg = udaf(new graft.functions.ModPSigAgg)
-    val sigs = (0 until MinHashSig.PERMS).map(i =>
-      col("sig").getItem(i).as(f"sig_$i%02d"))
     sh.select(col("doc_id"), h.as("h"))
       .groupBy("doc_id")
       .agg(sigAgg(col("h")).as("sig"))
-      .select(col("doc_id") +: sigs: _*)
+  }
+
+  /** MinHash estimation-quality monitor: for every verified near-dup
+    * pair, the signature-estimated Jaccard next to the exact one —
+    * the drift check a minhash-based dedup pipeline keeps running
+    * (the recall of banding is only as good as the estimator; a
+    * corpus whose estimate diverges from exact needs more
+    * permutations or a different shingle size — ann_recall's role,
+    * for the dedup path). All outputs are exact integers: matched
+    * signature components of the verifiable mod-p family
+    * (E[matches/PERMS] = J), intersection and union sizes, and both
+    * ratios as ×10⁴ integer floors — no float compare anywhere.
+    *
+    * Shape: the [[minhashLshPairs]] pair set (bounded candidates) +
+    * two broadcast-scale joins onto the signature table and the
+    * shingle sets; per-pair work is one PERMS-wide zip and one array
+    * intersect on candidates only.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.MinHashSig
+    val docs = shingled(spark, dir)
+    val pairs = minhashLshPairs(spark, dir, threshold).select("a_id", "b_id")
+    val sigs = modPSignatures(spark, dir)
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .withColumn("sig_matches",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          b => b)).cast("long"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("sig_matches"),
+        expr("(10000 * inter) div uni").as("jacc_e4"),
+        expr(s"(10000 * sig_matches) div ${MinHashSig.PERMS}").as("est_e4"))
   }
 
   /** MinHash + LSH near-dup pairs: band the 128-wide signature into

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 32-bit uniform hash of the doc id: first 8 hex digits of
-    * md5(decimal string), parsed as an unsigned int.
+    * md5(decimal string), parsed as an unsigned int. Shared with the
+    * other deterministic-sampling operators (embKnnGraph's node
+    * sample) so every sampling decision in the engine replays from
+    * the same identity hash.
     */
-  private def hash32(id: Column): Column =
+  private[operators] def hash32(id: Column): Column =
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Exact integer threshold for a sampling rate. */

@@ -903,6 +903,72 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_._2).sum === total)
   }
 
+  test("knn graph equals brute-force top-k over the hash sample") {
+    import graft.operators.{Ann, Sampling}
+    val got = Ann.embKnnGraph(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // the same sample the operator selects (identity hash replayed
+    // independently: first 8 md5 hex digits of the decimal id)
+    val u = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val sample = Tables.embeddings(spark, sf)
+      .filter(u < Sampling.rateThreshold(0.1))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expect = sample.flatMap { case (q, qe) =>
+      val n2q = dot(qe, qe)
+      sample.filter(_._1 != q)
+        .map { case (n, ne) => (n, dot(qe, ne) / (math.sqrt(n2q) * math.sqrt(dot(ne, ne)))) }
+        .sortBy { case (n, s) => (-s, n) }
+        .take(3).zipWithIndex
+        .map { case ((n, s), i) =>
+          ((q, i + 1), (n, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("minhash estimate replays signatures and exact set overlap") {
+    import graft.operators.NearDup
+    import graft.functions.MinHashSig
+    val got = NearDup.minhashEstimate(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // Scala replication: distinct word 3-shingles, 60-bit md5 prefix,
+    // mod-p minima — the same definitions, independently evaluated
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .map { case (id, ts) =>
+        (id, ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet) }
+      .filter(_._2.nonEmpty).toMap
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def sig(sh: Set[String]): Array[Long] = {
+      val hs = sh.map(h60)
+      Array.tabulate(MinHashSig.PERMS) { i =>
+        val (a, b) = MinHashSig.coeff(i)
+        hs.map(h => MinHashSig.affineMod(a, b, h)).min
+      }
+    }
+    got.foreach { case ((aId, bId), (inter, uni, matches, jaccE4, estE4)) =>
+      val (sa, sb) = (docs(aId), docs(bId))
+      val i = (sa & sb).size.toLong
+      val u = sa.size + sb.size - i
+      assert((inter, uni) === ((i, u)))
+      assert(i.toDouble / u >= 0.5) // only verified near-dup pairs
+      val m = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }.toLong
+      assert(matches === m)
+      assert(jaccE4 === 10000 * i / u)
+      assert(estE4 === 10000 * m / MinHashSig.PERMS)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
