@@ -119,6 +119,7 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, d) => present(Ann.embDimStats(s, d), "dim")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
+    "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -366,6 +367,43 @@ object SparkEntry {
        |      FROM p)
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** emb_pq oracle: full DuckDB replication of Ann.embPq — the same
+    * seed-codebook (vec_id < 16 subvectors), one Lloyd refinement
+    * with 4-decimal rounded means (empty codewords keep their seed),
+    * and the same (score DESC, cid DESC) assignment tie-break; codes
+    * pack with the identical shift-sum. Generic over the 8 subspaces
+    * via unnest — no per-subspace SQL unrolling.
+    */
+  private def embPqOracleSql: String = {
+    val score =
+      """list_sum(list_transform(range(1, 9), i -> sub.s[i] * c.c[i]))
+        |                 - list_sum(list_transform(c.c, x -> x*x)) / 2""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |sub AS (SELECT vec_id, m, emb[CAST(m*8+1 AS INT):CAST(m*8+8 AS INT)] AS s
+       |        FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+       |c0 AS (SELECT m, vec_id AS cid, s AS c FROM sub WHERE vec_id < 16),
+       |a0 AS (SELECT vec_id, m, cid FROM (
+       |         SELECT sub.vec_id, sub.m, c.cid,
+       |                row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                                   ORDER BY $score DESC, c.cid DESC) AS rn
+       |         FROM sub JOIN c0 c ON sub.m = c.m) WHERE rn = 1),
+       |mm AS (SELECT a0.m, a0.cid, i, round(avg(sub.s[CAST(i AS INT)]), 4) AS v
+       |       FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.m = a0.m
+       |       CROSS JOIN (SELECT unnest(range(1, 9)) AS i)
+       |       GROUP BY 1, 2, 3),
+       |c1m AS (SELECT m, cid, list(v ORDER BY i) AS c FROM mm GROUP BY 1, 2),
+       |c1 AS (SELECT c0.m, c0.cid, coalesce(c1m.c, c0.c) AS c
+       |       FROM c0 LEFT JOIN c1m ON c0.m = c1m.m AND c0.cid = c1m.cid),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |         SELECT sub.vec_id, sub.m, c.cid,
+       |                row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                                   ORDER BY $score DESC, c.cid DESC) AS rn
+       |         FROM sub JOIN c1 c ON sub.m = c.m) WHERE rn = 1)
+       |SELECT vec_id,
+       |       CAST(sum(cid * (CAST(1 AS BIGINT) << CAST(4 * m AS INT))) AS BIGINT) AS pq_code
+       |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
@@ -1091,6 +1129,7 @@ object SparkEntry {
     "docs_minhash_sig" -> minhashSigOracleSql,
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
+    "emb_pq" -> embPqOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps

@@ -306,6 +306,69 @@ object Ann {
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
 
+  /** Product-quantization code assignment — the memory-compression
+    * leg of the ANN family (IVF prunes the scan, LSH buckets it, PQ
+    * shrinks the vectors: 64 floats → 8 nibbles, the standard
+    * billion-scale serving layout). The 64-dim space splits into
+    * M = 8 subspaces of 8 dims; each gets K = 16 codewords —
+    * deterministic Lloyd exactly like [[annIvf]] (vectors 0..15 seed
+    * the codebooks, one refinement with means ROUNDED to 4 decimals
+    * so near-tie assignments can't flip by a merge-order ulp, empty
+    * clusters keep their seed) — and every vector's per-subspace
+    * nearest codeword packs into one exact int64
+    * (Σ cid_m · 16^m).
+    *
+    * Unlike IVF's K·64 driver-constant centroids, the codebooks here
+    * stay DISTRIBUTED end-to-end: subvectors explode to (vec_id, m)
+    * rows, the 128-row codebook broadcasts into an equi-join on m,
+    * and the per-(vec_id, m) argmax is a map-combinable
+    * `max_by(cid, (score, cid))` aggregate — no window sort of the
+    * ×K-scored rows, no collect. Two Lloyd passes = two such joins +
+    * one rounded-mean aggregate over 128 keys. Everything after the
+    * scan is bounded by n·M narrow rows.
+    */
+  val PQ_M = 8
+  val PQ_K = 16
+  private val PQ_SUB = DIM / PQ_M
+
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"),
+          slice(embD, m * PQ_SUB + 1, PQ_SUB).as("s"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.s").as("s"))
+
+    val seeds = sub.filter(col("vec_id") < PQ_K)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("s").as("c"))
+
+    // nearest codeword per (vec_id, m): argmax of dot − ‖c‖²/2 with
+    // the (score, cid) lexicographic tie-break (ties take the larger
+    // cid — annIvf's greatest(struct) convention); max_by keeps the
+    // aggregate map-combinable where a row_number window would sort
+    // all K scored rows per key
+    def assign(cents: DataFrame): DataFrame = {
+      val score = graft.plans.VecDot(col("s"), col("c")) -
+        graft.plans.VecDot(col("c"), col("c")) / 2.0
+      sub.join(broadcast(cents), "m")
+        .select(col("vec_id"), col("m"), col("s"), col("cid"), score.as("score"))
+        .groupBy("vec_id", "m")
+        .agg(max_by(col("cid"), struct(col("score"), col("cid"))).as("cid"),
+          first(col("s")).as("s"))
+    }
+
+    val means = assign(seeds)
+      .groupBy("m", "cid")
+      .agg(array((0 until PQ_SUB).map(i =>
+        round(avg(element_at(col("s"), i + 1)), 4)): _*).as("mc"))
+    val cents1 = seeds.join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("mc"), col("c")).as("c"))
+
+    assign(cents1)
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(cast(cid as bigint), cast(4 * m as int))")).as("pq_code"))
+  }
+
   /** Exact k-NN graph over a deterministic node sample — the
     * neighborhood structure a clustering / semantic-dedup /
     * graph-propagation pass consumes (and the calibration set an

@@ -969,6 +969,36 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pq codes replay the deterministic two-pass Lloyd codebook") {
+    import graft.operators.Ann
+    val got = Ann.embPq(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = collection.mutable.Map(embs.map(e => (e._1, 0L)): _*)
+    for (m <- 0 until 8) {
+      val subs = embs.map { case (id, e) => (id, e.slice(m * 8, m * 8 + 8)) }
+      val seeds = subs.filter(_._1 < 16).map { case (id, s) => (id.toInt, s) }.toMap
+      def assign(cents: Map[Int, Array[Double]]): Map[Long, Int] =
+        subs.map { case (id, s) =>
+          // argmax by (score, cid) — ties take the larger cid
+          (id, cents.toSeq.maxBy { case (cid, c) => (dot(s, c) - dot(c, c) / 2.0, cid) }._1)
+        }.toMap
+      val a0 = assign(seeds)
+      val means = subs.groupBy(x => a0(x._1)).map { case (cid, g) =>
+        (cid, Array.tabulate(8)(i => round4(g.map(_._2(i)).sum / g.length)))
+      }
+      val cents1 = seeds.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
+      assign(cents1).foreach { case (id, cid) => expect(id) |= cid.toLong << (4 * m) }
+    }
+    assert(got === expect.toMap)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
