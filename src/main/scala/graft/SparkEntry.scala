@@ -90,6 +90,8 @@ object SparkEntry {
     "q_compact_latest" -> ((s, d) => present(Relational.qCompactLatest(s, d), "user_id", "event_type")),
     "q_mode" -> ((s, d) => present(Relational.qMode(s, d), "user_id")),
     "q_scd2" -> ((s, d) => present(Relational.qScd2(s, d), "user_id", "run_id")),
+    "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
+    "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
@@ -106,6 +108,8 @@ object SparkEntry {
     "docs_fp_overlap" -> ((s, d) => present(NearDup.fingerprintOverlapPairs(s, d), "a_id", "b_id")),
     "docs_containment" -> ((s, d) => present(NearDup.containmentPairs(s, d), "a_id", "b_id")),
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
+    "docs_simhash_groups" -> ((s, d) => present(NearDup.docsSimhashGroups(s, d), "doc_id")),
+    "docs_group_sizes" -> ((s, d) => present(NearDup.docsGroupSizes(s, d), "group_size")),
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
     "docs_dedup_incremental" -> ((s, d) => present(NearDup.dedupIncremental(s, d), "doc_id")),
@@ -120,6 +124,7 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
+    "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -138,6 +143,9 @@ object SparkEntry {
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
+    "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
+    // rank IS the presentation order (assigned post-limit)
+    "text_zipf" -> ((s, d) => present(TextAnalysis.textZipf(s, d), "rank")),
     // §2.7 multimodal
     "mm_meta" -> ((s, d) => present(Multimodal.mmMeta(s, d), "doc_id")),
     "mm_decode" -> ((s, d) => present(
@@ -154,6 +162,7 @@ object SparkEntry {
     "mm_audio_energy" -> ((s, d) => present(
       Multimodal.frameEnergy(Multimodal.mediaFromDocuments(s, d)).toDF(),
       "doc_id", "frame_idx")),
+    "mm_audio_resample" -> ((s, d) => present(Multimodal.mmAudioResample(s, d), "doc_id")),
     "mm_tile" -> ((s, d) => present(
       Multimodal.tilePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
@@ -376,11 +385,16 @@ object SparkEntry {
     * pack with the identical shift-sum. Generic over the 8 subspaces
     * via unnest — no per-subspace SQL unrolling.
     */
-  private def embPqOracleSql: String = {
+  /** Shared CTE chain training the PQ model in DuckDB (mirrors
+    * Ann.pqModel): subvector split, seed codebook, one rounded-mean
+    * Lloyd pass, final assignments `a1` + codebook `c1`. Consumed by
+    * the emb_pq (code packing) and emb_adc (LUT search) oracles.
+    */
+  private def pqCtes: String = {
     val score =
       """list_sum(list_transform(range(1, 9), i -> sub.s[i] * c.c[i]))
         |                 - list_sum(list_transform(c.c, x -> x*x)) / 2""".stripMargin
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
        |sub AS (SELECT vec_id, m, emb[CAST(m*8+1 AS INT):CAST(m*8+8 AS INT)] AS s
        |        FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
        |c0 AS (SELECT m, vec_id AS cid, s AS c FROM sub WHERE vec_id < 16),
@@ -400,11 +414,34 @@ object SparkEntry {
        |         SELECT sub.vec_id, sub.m, c.cid,
        |                row_number() OVER (PARTITION BY sub.vec_id, sub.m
        |                                   ORDER BY $score DESC, c.cid DESC) AS rn
-       |         FROM sub JOIN c1 c ON sub.m = c.m) WHERE rn = 1)
+       |         FROM sub JOIN c1 c ON sub.m = c.m) WHERE rn = 1)""".stripMargin
+  }
+
+  private def embPqOracleSql: String =
+    s"""WITH $pqCtes
        |SELECT vec_id,
        |       CAST(sum(cid * (CAST(1 AS BIGINT) << CAST(4 * m AS INT))) AS BIGINT) AS pq_code
        |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** emb_adc oracle: same PQ model CTEs, then the query-side lookup
+    * table (bounded queries × codebook, partial dots FLOORED to ×10⁴
+    * integers exactly like Ann.embAdc), the (m, cid) code join, the
+    * order-free integer score sum, and the per-query top-k.
+    */
+  private def embAdcOracleSql: String =
+    s"""WITH $pqCtes,
+       |q AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id < 5),
+       |lut AS (SELECT q.q_id, c.m, c.cid,
+       |          CAST(floor(list_sum(list_transform(range(1, 9), i -> q.qs[i] * c.c[i])) * 10000) AS BIGINT) AS partial
+       |        FROM q JOIN c1 c ON q.m = c.m),
+       |sc AS (SELECT l.q_id, a.vec_id, sum(l.partial) AS adc_score
+       |       FROM a1 a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       |       WHERE l.q_id <> a.vec_id GROUP BY 1, 2),
+       |rk AS (SELECT q_id, vec_id, adc_score,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY adc_score DESC, vec_id) AS rnk
+       |       FROM sc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, CAST(adc_score AS BIGINT) AS adc_score
+       |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
     * centroids (vec_id < 16), one Lloyd refinement as SQL aggregates
@@ -467,6 +504,29 @@ object SparkEntry {
       |              round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
       |       FROM it JOIN sz sa ON it.a_id = sa.doc_id JOIN sz sb ON it.b_id = sb.doc_id
       |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** Shared CTE chain replaying the 64-bit simhash fingerprints and
+    * the all-pairs Hamming table `shp` — the oracle core for
+    * docs_simhash (pair filter) and docs_simhash_groups (closure).
+    * Token hash = first 16 hex digits of md5 parsed big-endian;
+    * fingerprints as two 32-bit halves so xor/bit_count never
+    * overflow.
+    */
+  private val simhashCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+      |bits AS (SELECT doc_id, k,
+      |           CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(16 - (k // 4) AS INT), 1)) - 1) >> (k % 4)) & 1 = 1
+      |                THEN 1 ELSE -1 END AS c
+      |         FROM hx CROSS JOIN (SELECT unnest(range(64)) AS k)),
+      |bs AS (SELECT doc_id, k, sum(c) AS bsum FROM bits GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN k < 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS lo,
+      |         CAST(sum(CASE WHEN k >= 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+      |       FROM bs GROUP BY 1),
+      |shp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |               bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+      |        FROM fp a JOIN fp b ON a.doc_id < b.doc_id)""".stripMargin
 
   private val jaccardPairsSql: String =
     s"WITH $jaccardCtes\nSELECT a_id, b_id, jaccard FROM jp ORDER BY a_id, b_id"
@@ -823,6 +883,39 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(event_id) AS first_event_id
         |FROM r GROUP BY 1, 2, 3 ORDER BY user_id, run_id""".stripMargin,
+    // gap-filled 15-min series: integer bucket floor-div, per-type
+    // generate_series grid (inclusive, step-aligned), cents sums
+    "q_time_bucket" ->
+      """WITH a AS (SELECT event_type,
+        |             (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+        |             count(*) AS n_events,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(generate_series(min(bucket_ms), max(bucket_ms), 900000)) AS bucket_ms
+        |      FROM a GROUP BY event_type)
+        |SELECT g.event_type, g.bucket_ms,
+        |       coalesce(a.n_events, 0) AS n_events,
+        |       coalesce(a.value_cents, 0) AS value_cents,
+        |       a.n_events IS NULL AS is_gap
+        |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms
+        |ORDER BY g.event_type, g.bucket_ms""".stripMargin,
+    // correlated subquery decorrelated to aggregate + join; the
+    // above-mean test is exact integer cross-multiplication (prices
+    // are 2-decimal), the displayed average exact integer FLOOR
+    // division (x10^4 dollars — float round(,4) split on a half-way
+    // point at sf0.01)
+    "q_corr_subq" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |             count(*) AS n_orders FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(o.cents AS DOUBLE) / 100.0 AS o_totalprice,
+        |       c.n_orders,
+        |       CAST((c.sum_cents * 100) // c.n_orders AS BIGINT) AS cust_avg_x10000
+        |FROM o JOIN c USING (o_custkey)
+        |WHERE o.cents * c.n_orders > c.sum_cents
+        |ORDER BY o_orderkey""".stripMargin,
     // rarity profile: exact integer df sums; the ×10⁴ mean is FLOOR
     // division of two exact integers (portable, no round() edge)
     "text_rarity" ->
@@ -1009,6 +1102,18 @@ object SparkEntry {
          |      UNION
          |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s ORDER BY doc_id""".stripMargin,
+    // group-size histogram over the same closure: group -> size,
+    // size -> (count, docs) — two exact integer aggregates
+    "docs_group_sizes" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |e AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+         |r AS (SELECT doc_id AS s, doc_id AS d FROM documents
+         |      UNION
+         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+         |g AS (SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s),
+         |gs AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY 1)
+         |SELECT group_size, count(*) AS n_groups, CAST(sum(group_size) AS BIGINT) AS n_docs
+         |FROM gs GROUP BY 1 ORDER BY group_size""".stripMargin,
     // groups (recursive closure, same edge set as docs_dedup_groups)
     // + the text_quality score replica; keeper = first_value by
     // (rounded score DESC, doc_id) — both engines rank the identical
@@ -1088,22 +1193,21 @@ object SparkEntry {
     // pairs = brute-force Hamming ≤ 3 (the banding is complete for
     // d ≤ 3, so bucketed output == brute force)
     "docs_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
-        |bits AS (SELECT doc_id, k,
-        |           CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(16 - (k // 4) AS INT), 1)) - 1) >> (k % 4)) & 1 = 1
-        |                THEN 1 ELSE -1 END AS c
-        |         FROM hx CROSS JOIN (SELECT unnest(range(64)) AS k)),
-        |s AS (SELECT doc_id, k, sum(c) AS bsum FROM bits GROUP BY 1, 2),
-        |fp AS (SELECT doc_id,
-        |         CAST(sum(CASE WHEN k < 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS lo,
-        |         CAST(sum(CASE WHEN k >= 32 AND bsum > 0 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
-        |       FROM s GROUP BY 1),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
-        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
-        |FROM p WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM shp WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+    // components over the simhash edge set: same recursive-closure
+    // rendering as docs_dedup_groups, edges from the shared simhash
+    // CTEs (the banding is complete for d <= 3, so the Spark bucketed
+    // edge set equals this brute-force one)
+    "docs_simhash_groups" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |sp AS (SELECT a_id, b_id FROM shp WHERE hamming <= 3),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM sp UNION SELECT b_id, a_id FROM sp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
+         |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
     "emb_cosine_dedup" ->
       """WITH n AS (SELECT vec_id, embedding,
         |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
@@ -1130,6 +1234,7 @@ object SparkEntry {
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
     "emb_pq" -> embPqOracleSql,
+    "emb_adc" -> embAdcOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps
@@ -1225,6 +1330,24 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS energy,
         |       CAST(list_max(list_transform(samp, x -> abs(x))) AS INT) AS peak
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    // resample replay: n_out = ceil(n·160/441), picked input index
+    // (j·441)//160, rolling-hash checksum over PICKED bytes in output
+    // order, centered energy — all integer arithmetic
+    "mm_audio_resample" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |r AS (SELECT doc_id, n, (n * 160 + 440) // 441 AS n_out, hx FROM b),
+        |samp AS (SELECT doc_id, n, n_out,
+        |           list_transform(range(0, CAST(n_out AS INT)),
+        |             j -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * ((j * 441) // 160) + 1 AS INT), 1)) - 1)
+        |                    + (strpos('0123456789abcdef', substr(hx, CAST(2 * ((j * 441) // 160) + 2 AS INT), 1)) - 1) AS BIGINT)) AS v
+        |         FROM r)
+        |SELECT doc_id, CAST(n AS INT) AS n_in, CAST(n_out AS INT) AS n_out,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+        |              (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS checksum,
+        |       CAST(list_sum(list_transform(v, x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
+        |FROM samp ORDER BY doc_id""".stripMargin,
     // tile-grid replay: stub dims from the checksum, 64px row-major
     // grid, edge tiles clipped — all integer arithmetic
     "mm_tile" ->
@@ -1571,6 +1694,30 @@ object SparkEntry {
         |      FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // feature-hashing replay: same md5-top-32-bit identity hash as
+    // docs_sample_stratified, mod 64; tf is an exact integer count
+    "text_hashing_tf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            i -> CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |          (a, x) -> a * 16 + x) % 64 AS bucket
+        |      FROM tok)
+        |SELECT doc_id, bucket, count(*) AS tf
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // Zipf head: top-k token counts with rank + cumulative share;
+    // shares divide exact integers (one IEEE op each), rounded
+    "text_zipf" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS n FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+        |top AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        |        FROM f ORDER BY n DESC, term LIMIT 100)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |       round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / total, 6) AS cum_share
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -331,14 +331,22 @@ object Ann {
   val PQ_K = 16
   private val PQ_SUB = DIM / PQ_M
 
-  def embPq(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, m, s): every vector split into its M subvectors. */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame = {
     val embD = transform(col("embedding"), x => x.cast("double"))
-    val sub = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(array((0 until PQ_M).map(m =>
         struct(lit(m).as("m"),
           slice(embD, m * PQ_SUB + 1, PQ_SUB).as("s"))): _*)).as("ms"))
       .select(col("vec_id"), col("ms.m").as("m"), col("ms.s").as("s"))
+  }
 
+  /** Trained codebook (m, cid, c) + per-vector assignments
+    * (vec_id, m, cid) — the shared PQ model both [[embPq]] (code
+    * packing) and [[embAdc]] (ADC search) consume.
+    */
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sub = pqSub(spark, dir)
     val seeds = sub.filter(col("vec_id") < PQ_K)
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("s").as("c"))
 
@@ -364,9 +372,49 @@ object Ann {
     val cents1 = seeds.join(means, Seq("m", "cid"), "left")
       .select(col("m"), col("cid"), coalesce(col("mc"), col("c")).as("c"))
 
-    assign(cents1)
+    (cents1, assign(cents1).select(col("vec_id"), col("m"), col("cid")))
+  }
+
+  def embPq(spark: SparkSession, dir: String): DataFrame =
+    pqModel(spark, dir)._2
       .groupBy("vec_id")
       .agg(sum(expr("shiftleft(cast(cid as bigint), cast(4 * m as int))")).as("pq_code"))
+
+  /** PQ asymmetric-distance search (ADC) — the serving-side leg of
+    * the PQ pipeline: queries stay full-precision, the database is
+    * only its codes, and each query scores a vector as
+    * Σ_m ⟨q_m, codeword(code_m)⟩ via a per-query LOOKUP TABLE of
+    * nQ·M·K partial scores (the classic ADC trick — the expensive
+    * float dot products happen nQ·M·K times against the CODEBOOK,
+    * never against the data; the data-side scan is a table lookup
+    * per nibble).
+    *
+    * Plan shape: the LUT (bounded query set × 128-row codebook) is
+    * computed once and BROADCAST into an equi-join on (m, cid)
+    * against the n·M code rows — map-side only — then one
+    * map-combinable sum per (q_id, vec_id) and a per-query top-k
+    * window over score-filtered candidates. Partial scores are
+    * FLOORED to ×10⁴ integers before the sum: the codebook is pinned
+    * (4-decimal means), each partial is one deterministic dot, and
+    * integer summation is order-free — so the ranking can't flip
+    * with partition layout, and any engine replays it exactly.
+    */
+  def embAdc(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val (codebook, codes) = pqModel(spark, dir)
+    val queries = pqSub(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+    val lut = queries.join(codebook, "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        floor(graft.plans.VecDot(col("qs"), col("c")) * 10000).cast("long").as("partial"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("partial").as("adc_score"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("n_id"), col("adc_score"))
   }
 
   /** Exact k-NN graph over a deterministic node sample — the

@@ -127,6 +127,48 @@ object Multimodal {
     }
   }
 
+  /** One resampled audio row: stream sizes + exact content checks. */
+  case class ResampledAudio(doc_id: Long, n_in: Int, n_out: Int,
+                            checksum: Long, energy: Long)
+
+  /** Integer audio resampling (rate conversion by nearest-input
+    * index): payload bytes read as 8-bit PCM at `inRate`, output
+    * stream at `outRate` picks input sample floor(j·inRate/outRate)
+    * for output position j — the index map a real resampler follows
+    * before interpolating (the interpolation kernel itself would
+    * replace the byte pick inside the same loop; codecs are absent
+    * here by design, per [[stubDecode]]). n_out = ceil(n·out/in), so
+    * every picked index is provably in range. Reduced per doc to the
+    * output length, a rolling-hash checksum over the PICKED samples
+    * (order-sensitive — proves the index map, not just the sample
+    * multiset) and the centered energy sum. All integer arithmetic;
+    * map-only over the same typed batch shape as [[decodeFeatures]].
+    */
+  def audioResample(media: Dataset[MediaRow],
+                    inRate: Int = 441, outRate: Int = 160): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    val P = 1000000007L
+    media.map { r =>
+      val n = r.payload.length
+      val nOut = ((n.toLong * outRate + inRate - 1) / inRate).toInt
+      var cksum = 0L
+      var energy = 0L
+      var j = 0
+      while (j < nOut) {
+        val b = r.payload((j.toLong * inRate / outRate).toInt) & 0xFF
+        cksum = (cksum * 31 + b) % P
+        val s = b - 128
+        energy += s.toLong * s
+        j += 1
+      }
+      ResampledAudio(r.doc_id, n, nOut, cksum, energy)
+    }
+  }
+
+  /** Driver-contract wrapper over the documents-as-media corpus. */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame =
+    audioResample(mediaFromDocuments(spark, dir)).toDF()
+
   /** Scene-cut detection over per-frame energies — the shot-boundary
     * pass a video pipeline runs before sampling representative
     * frames: a cut is a frame whose energy moved by more than 50%

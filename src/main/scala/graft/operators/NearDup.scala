@@ -700,6 +700,41 @@ object NearDup {
     (labels, rounds)
   }
 
+  /** Connected components over the SIMHASH near-dup graph — the
+    * grouping pass for the fingerprint dedup path, exactly as
+    * [[dedupGroups]] groups the minhash path: edges are
+    * [[simhashPairs]] (Hamming ≤ maxHamming — banding-complete, so
+    * the edge set equals brute force), components via
+    * [[starComponents]] (O(log n) rounds — simhash clusters chain
+    * through near-identical revisions more than jaccard clusters
+    * do, so the diameter-proof rendering is the right default here).
+    * group_id = min doc_id reachable; singletons label themselves.
+    */
+  def docsSimhashGroups(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val pairs = simhashPairs(spark, dir, maxHamming).select("a_id", "b_id")
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    starComponents(nodes, pairs, maxRounds)._1
+  }
+
+  /** Duplicate-group SIZE distribution — the histogram a dedup run
+    * reports (how much of the corpus sits in 2-copy vs 100-copy
+    * clusters decides whether near-dup removal is worth its cost;
+    * cluster-size skew is also the scale hazard every grouping
+    * operator here documents, so the pipeline should SEE it). Two
+    * map-combinable aggregates over [[dedupGroups]]' output: group →
+    * size, size → (count, docs); singleton groups are reported too
+    * (group_size = 1 row) — they are the denominator of any dup-rate
+    * claim.
+    */
+  def docsGroupSizes(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame =
+    dedupGroups(spark, dir, threshold)
+      .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(
+        count(lit(1)).as("n_groups"),
+        sum("group_size").as("n_docs"))
+
   /** Embedding-cosine near-dup pairs (sim ≥ threshold), EXACT, via
     * block-pair partitioning.
     *

@@ -596,4 +596,63 @@ object Relational {
         count(lit(1)).as("n_events"),
         min("event_id").as("first_event_id"))
   }
+
+  /** Gap-filled 15-minute time series per event type — the
+    * densification pass a monitoring/feature pipeline runs so
+    * downstream window math sees EVERY bucket, including empty ones
+    * (a raw groupBy silently drops them). Shape: one map-combinable
+    * aggregate on (event_type, bucket), then the per-type [min, max]
+    * bucket span explodes into the dense grid via `sequence` (grid
+    * cardinality = types × span/step — bounded by the time range, not
+    * the row count), and the big aggregated side joins back on the
+    * grid's equi-key. At 100 TB the raw scan collapses to the bucket
+    * aggregate before anything joins; the grid side stays tiny and
+    * broadcastable. All-integer bucket arithmetic; sums emitted in
+    * exact cents.
+    */
+  def qTimeBucket(spark: SparkSession, dir: String, stepMs: Long = 900000L): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(unix_millis(ts) div $stepMs) * $stepMs").as("bucket_ms"),
+        col("value"))
+      .groupBy("event_type", "bucket_ms")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    val grid = agg.groupBy("event_type")
+      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(stepMs))).as("bucket_ms"))
+    grid.join(agg, Seq("event_type", "bucket_ms"), "left")
+      .select(col("event_type"), col("bucket_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  /** Correlated-subquery shape: orders priced strictly above their
+    * own customer's average order value (`WHERE o_totalprice >
+    * (SELECT avg(...) FROM orders o2 WHERE o2.o_custkey =
+    * o.o_custkey)`), decorrelated the way Catalyst rewrites it — one
+    * per-customer aggregate joined back on the correlation key, so
+    * the fact table shuffles once on o_custkey and the filter runs
+    * stream-side. The mean test is exact integer cross-multiplication
+    * (cents·n > Σcents — prices are 2-decimal), so no float-summation
+    * ulp can flip a borderline row on either engine; the displayed
+    * average is FLOOR division of two exact integers (×10⁴ dollars) —
+    * a float `round(·, 4)` here sat exactly on a half-way point at
+    * sf0.01 and split across engines.
+    */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+    val perCust = orders.groupBy("o_custkey")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_orders"))
+    orders.join(perCust, "o_custkey")
+      .filter(col("cents") * col("n_orders") > col("sum_cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("cents").cast("double") / 100.0).as("o_totalprice"),
+        col("n_orders"),
+        expr("(sum_cents * 100) div n_orders").as("cust_avg_x10000"))
+  }
 }

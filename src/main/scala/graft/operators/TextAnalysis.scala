@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over documents (SURVEY.md §2.6): token counting,
@@ -313,4 +314,51 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** Feature-hashing term frequencies (the HashingTF transform): each
+    * token occurrence is bucketed by the engine's shared identity
+    * hash ([[Sampling.hash32]] — md5-derived, replayable by any
+    * engine) mod `numBuckets`, yielding the fixed-width sparse
+    * vector (doc_id, bucket, tf) a downstream model consumes without
+    * a vocabulary pass. No vocabulary state is the point: the
+    * transform is stateless map-side work plus ONE map-combinable
+    * count on (doc_id, bucket) — no df table, no join, so it
+    * pipelines at scan speed at 100 TB where a dictionary-based
+    * vectorizer needs a global vocabulary build first. Output rows
+    * per doc are bounded by min(n_tokens, numBuckets); tf is an exact
+    * integer.
+    */
+  def textHashingTf(spark: SparkSession, dir: String, numBuckets: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), pmod(Sampling.hash32(col("term")), lit(numBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus Zipf profile: the top-k token frequency table with rank
+    * and cumulative share — the curve a corpus-health check eyeballs
+    * (a healthy natural-language crawl tracks rank·freq ≈ const;
+    * boilerplate-heavy or deduplicate-worthy corpora bulge at the
+    * head). One map-combinable token count, one single-pass top-k
+    * (TakeOrderedAndProject on count DESC, token ASC), then rank and
+    * cumulative arithmetic over the k surviving rows only. The share
+    * divides two exact integers (one correctly-rounded IEEE op per
+    * row) and rounds for presentation.
+    */
+  def textZipf(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val top = counts.orderBy(col("n").desc, col("term")).limit(k)
+    // un-partitioned window is safe here: it runs AFTER the limit,
+    // over exactly k rows
+    val w = Window.orderBy(col("n").desc, col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum_n", sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("term"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"))
+  }
 }

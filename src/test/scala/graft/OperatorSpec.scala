@@ -999,6 +999,137 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect.toMap)
   }
 
+  test("time buckets form a dense step-aligned grid covering every event") {
+    import graft.operators.Relational
+    val got = Relational.qTimeBucket(spark, sf).collect()
+    val step = 900000L
+    // dense per-type grid: consecutive buckets differ by exactly the step
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val buckets = rows.map(_.getLong(1)).sorted
+      buckets.sliding(2).foreach {
+        case Array(a, b) => assert(b - a === step)
+        case _           =>
+      }
+      assert(buckets.forall(_ % step === 0))
+    }
+    // gap flag <=> empty bucket; totals cover every source event
+    got.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(2) == 0L))
+      if (r.getBoolean(4)) assert(r.getLong(3) === 0L)
+    }
+    assert(got.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+  }
+
+  test("corr subquery keeps exactly the orders strictly above their customer mean") {
+    import graft.operators.Relational
+    val got = Relational.qCorrSubquery(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = cents.groupBy(_._2).map { case (k, rs) =>
+      k -> (rs.map(_._3).sum, rs.length) }
+    val expect = cents.collect {
+      case (ok, ck, c) if c * byCust(ck)._2 > byCust(ck)._1 => ok
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("simhash groups: edge endpoints share a label, label = min reachable id") {
+    import graft.operators.NearDup
+    val labels = NearDup.docsSimhashGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = NearDup.simhashPairs(spark, sf).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+    // every label is the minimum of its member set, and a member itself
+    labels.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.keys.min === g)
+    }
+    assert(labels.size === Tables.documents(spark, sf).count())
+  }
+
+  test("group-size histogram partitions the whole corpus") {
+    import graft.operators.NearDup
+    val hist = NearDup.docsGroupSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    hist.foreach { case (sz, n, d) => assert(sz * n === d) }
+    assert(hist.map(_._3).sum === Tables.documents(spark, sf).count())
+    val groups = NearDup.dedupGroups(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).values.map(_.length.toLong)
+    val expect = groups.groupBy(identity).map { case (sz, g) => (sz, g.size.toLong) }
+    assert(hist.map(t => (t._1, t._2)).toMap === expect)
+  }
+
+  test("adc search: k ranked neighbors per query, scores descending, no self") {
+    import graft.operators.Ann
+    val got = Ann.embAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to 5L))
+      // descending score with vec_id tie-break, never the query itself
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+      assert(sorted.forall(_._3 != q))
+    }
+  }
+
+  test("hashing tf: per-doc tf sums to the token count, buckets in range") {
+    val got = TextAnalysis.textHashingTf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, b, tf) => b >= 0 && b < 64 && tf > 0 })
+    val perDoc = got.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc === expect.filter(_._2 > 0))
+  }
+
+  test("zipf head: ranked by frequency, cumulative share is a monotone prefix sum") {
+    val got = TextAnalysis.textZipf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === (1L to got.length))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        assert(a._5 <= b._5)
+      case _ =>
+    }
+    // the top-1 token really is the corpus argmax
+    val top = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).first()
+    assert(got.head._2 === top.getString(0) && got.head._3 === top.getLong(1))
+  }
+
+  test("audio resample replays the nearest-index pick per output sample") {
+    val got = Multimodal.mmAudioResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val payloads = Multimodal.mediaFromDocuments(spark, sf).collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    assert(got.length === payloads.size)
+    got.foreach { case (id, nIn, nOut, cksum, energy) =>
+      val p = payloads(id)
+      assert(nIn === p.length)
+      assert(nOut === ((p.length.toLong * 160 + 440) / 441).toInt)
+      var c = 0L; var e = 0L
+      (0 until nOut).foreach { j =>
+        val b = p((j.toLong * 441 / 160).toInt) & 0xFF
+        c = (c * 31 + b) % 1000000007L
+        val s = b - 128
+        e += s.toLong * s
+      }
+      assert(cksum === c && energy === e)
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
