@@ -125,6 +125,7 @@ object SparkEntry {
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
     "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
+    "emb_ivf_adc" -> ((s, d) => present(Ann.embIvfAdc(s, d), "q_id", "rnk")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -442,6 +443,53 @@ object SparkEntry {
        |       FROM sc)
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, CAST(adc_score AS BIGINT) AS adc_score
        |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** emb_ivf_adc oracle: the IVF coarse-quantizer CTEs (iv-prefixed
+    * — same Lloyd replay as the ann_ivf oracle, 4-decimal rounded
+    * means, assignment ties cid DESC / probe-rank ties cid ASC,
+    * exactly the Spark greatest-struct / Window semantics) feed the
+    * probe list `qp`; the PQ CTEs feed codes `a1` + codebook `c1`;
+    * candidates = probed-cluster members, scored by the floored ×10⁴
+    * LUT sum as in emb_adc.
+    */
+  private def embIvfAdcOracleSql: String = {
+    def score(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> $v.embedding[i]::DOUBLE * $c.c[i]))
+         |                   - list_sum(list_transform($c.c, x -> x*x)) / 2""".stripMargin
+    s"""WITH $pqCtes,
+       |ive AS (SELECT vec_id, embedding FROM embeddings),
+       |ivc0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < 16),
+       |iva0 AS (SELECT vec_id, cid FROM (
+       |          SELECT v.vec_id, c.cid,
+       |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |          FROM ive v CROSS JOIN ivc0 c) WHERE rn = 1),
+       |ivm AS (SELECT iva0.cid, i, round(avg(v.embedding[i]::DOUBLE), 4) AS mv
+       |        FROM iva0 JOIN ive v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |ivc1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM ivm GROUP BY cid),
+       |ivc1 AS (SELECT ivc0.cid, coalesce(ivc1m.c, ivc0.c) AS c FROM ivc0 LEFT JOIN ivc1m ON ivc0.cid = ivc1m.cid),
+       |iva1 AS (SELECT vec_id, cid FROM (
+       |          SELECT v.vec_id, c.cid,
+       |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |          FROM ive v CROSS JOIN ivc1 c) WHERE rn = 1),
+       |qp AS (SELECT q_id, cid FROM (
+       |         SELECT v.vec_id AS q_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid ASC) AS crnk
+       |         FROM ive v CROSS JOIN ivc1 c WHERE v.vec_id < 5) WHERE crnk <= 4),
+       |q AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id < 5),
+       |lut AS (SELECT q.q_id, c.m, c.cid,
+       |          CAST(floor(list_sum(list_transform(range(1, 9), i -> q.qs[i] * c.c[i])) * 10000) AS BIGINT) AS partial
+       |        FROM q JOIN c1 c ON q.m = c.m),
+       |cand AS (SELECT qp.q_id, iva1.vec_id FROM qp JOIN iva1 USING (cid) WHERE qp.q_id <> iva1.vec_id),
+       |sc AS (SELECT cd.q_id, cd.vec_id, sum(l.partial) AS adc_score
+       |       FROM cand cd JOIN a1 a ON a.vec_id = cd.vec_id
+       |       JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m AND l.cid = a.cid
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT q_id, vec_id, adc_score,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY adc_score DESC, vec_id) AS rnk
+       |       FROM sc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, CAST(adc_score AS BIGINT) AS adc_score
+       |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** ann_ivf oracle: full DuckDB replication of Ann.annIvf — seed
     * centroids (vec_id < 16), one Lloyd refinement as SQL aggregates
@@ -1235,6 +1283,7 @@ object SparkEntry {
     "emb_knn_graph" -> embKnnGraphOracleSql,
     "emb_pq" -> embPqOracleSql,
     "emb_adc" -> embAdcOracleSql,
+    "emb_ivf_adc" -> embIvfAdcOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps

@@ -218,29 +218,28 @@ object Ann {
     * query pass joins on cluster id, scanning ~nprobe/K of the
     * corpus. Deterministic end-to-end (no RNG).
     */
-  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-             clusters: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+  /** Argmin over centroids of squared distance == argmax of
+    * (dot - ||c||²/2) for fixed vector norm.
+    */
+  private def nearestCentroid(cs: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    val scored = cs.map { case (cid, c) =>
+      val score = graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+        lit(c.map(x => x * x).sum / 2.0)
+      struct(score.as("s"), lit(cid).as("cid"))
+    }
+    greatest(scored: _*).getField("cid")
+  }
 
-    // centroids as a local Seq[(cid, Array[Double])]: K·dim doubles —
-    // tiny; refined with Lloyd iterations executed as Spark aggregates
+  /** Trained IVF coarse quantizer: centroids as a local
+    * Seq[(cid, Array[Double])] — K·dim doubles, driver constants —
+    * refined with `iters` Lloyd iterations executed as Spark
+    * aggregates. Shared by [[annIvf]] and [[embIvfAdc]].
+    */
+  private def ivfCentroids(e: DataFrame, clusters: Int, iters: Int): Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < clusters)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq.sortBy(_._1)
-
-    def nearestCentroid(cs: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
-      // argmin over centroids of squared distance == argmax of
-      // (dot - ||c||²/2) for fixed vector norm
-      val scored = cs.map { case (cid, c) =>
-        val score = graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
-          lit(c.map(x => x * x).sum / 2.0)
-        struct(score.as("s"), lit(cid).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
-    }
-
     for (_ <- 0 until iters) {
       val assigned = e.withColumn("cid", nearestCentroid(cents))
       // means are ROUNDED to 4 decimals: a distributed avg's partial-
@@ -257,7 +256,14 @@ object Ann {
       val kept = cents.toMap ++ means.toMap
       cents = kept.toSeq.sortBy(_._1)
     }
+    cents
+  }
 
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             clusters: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val cents = ivfCentroids(e, clusters, iters)
     val assigned = e.withColumn("cid", nearestCentroid(cents))
     // per-query probe list: nprobe nearest centroids (computed the
     // same declarative way — a tiny cross of queries x centroids;
@@ -408,6 +414,65 @@ object Ann {
         floor(graft.plans.VecDot(col("qs"), col("c")) * 10000).cast("long").as("partial"))
     val scored = codes.join(broadcast(lut), Seq("m", "cid"))
       .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("partial").as("adc_score"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("n_id"), col("adc_score"))
+  }
+
+  /** IVF + ADC composed search — the standard billion-scale serving
+    * stack (FAISS's IVFPQ layout): the IVF coarse quantizer prunes
+    * the scan to `nprobe` of `clusters` inverted lists, and within
+    * the probed lists vectors are scored from their PQ CODES via the
+    * per-query lookup table — full-precision data is never touched
+    * at query time. [[annIvf]] proves the pruning leg alone (exact
+    * rerank), [[embAdc]] the compression leg alone (whole-corpus code
+    * scan); this is their composition, the thing a serving deployment
+    * actually runs.
+    *
+    * Plan shape: the probe list (nQueries·nprobe rows) and the LUT
+    * (nQueries·M·K rows) are both bounded broadcasts; the data-side
+    * work is one broadcast-join of the assignment column against the
+    * probe list (pruning to ~nprobe/clusters of the corpus), one
+    * equi-join to the code rows, one map-combinable integer sum and
+    * a per-query top-k. Scored candidates ≈ n·nQueries·nprobe/
+    * clusters — the scan fraction IS the knob. Same floored ×10⁴
+    * integer partials as [[embAdc]]: the composition stays exactly
+    * replayable.
+    */
+  def embIvfAdc(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+                clusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(e, clusters, iters = 1)
+    val assigned = e.withColumn("ivf_cid", nearestCentroid(cents))
+      .select(col("vec_id"), col("ivf_cid"))
+    val (codebook, codes) = pqModel(spark, dir)
+    // per-query probe list: nprobe nearest coarse centroids — the
+    // K-row centroid table is the broadcast side of the bounded cross
+    val centDf = spark.createDataFrame(cents.map { case (cid, c) => (cid, c) })
+      .toDF("ivf_cid", "cvec")
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score", graft.plans.VecDot(col("embedding"), col("cvec")) -
+        graft.plans.VecDot(col("cvec"), col("cvec")) / 2.0)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("ivf_cid"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("ivf_cid"))
+    val lut = pqSub(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+      .join(codebook, "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        floor(graft.plans.VecDot(col("qs"), col("c")) * 10000).cast("long").as("partial"))
+    val cand = assigned.join(broadcast(probes), "ivf_cid")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
       .groupBy("q_id", "vec_id")
       .agg(sum("partial").as("adc_score"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("vec_id"))

@@ -1081,6 +1081,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ivf-adc: every result comes from a probed cluster with its full-scan adc score") {
+    import graft.operators.Ann
+    // the composed search must agree with the whole-corpus ADC scan
+    // (emb_adc) on the scores it emits — pruning may drop candidates,
+    // never rescore them
+    val full = Ann.embAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val fullAll = Ann.embAdc(spark, sf, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = Ann.embIvfAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length))
+    }
+    got.foreach { case (q, _, n, s) =>
+      assert(fullAll((q, n)) === s, s"score mismatch for ($q, $n)")
+    }
+    // sanity: pruning keeps most of the true top-k (recall floor, not
+    // an exactness claim — nprobe/clusters trades recall for scan)
+    val hits = full.keySet.count { case (q, n) => got.exists(g => g._1 == q && g._3 == n) }
+    assert(hits >= full.size / 2, s"ivf-adc recall collapsed: $hits/${full.size}")
+  }
+
   test("hashing tf: per-doc tf sums to the token count, buckets in range") {
     val got = TextAnalysis.textHashingTf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
