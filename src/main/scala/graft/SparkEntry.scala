@@ -145,6 +145,7 @@ object SparkEntry {
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
     "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
+    "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
     // rank IS the presentation order (assigned post-limit)
     "text_zipf" -> ((s, d) => present(TextAnalysis.textZipf(s, d), "rank")),
     // §2.7 multimodal
@@ -1755,6 +1756,19 @@ object SparkEntry {
         |      FROM tok)
         |SELECT doc_id, bucket, count(*) AS tf
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // bigram-LM replay: corpus bigram/prefix counts, floor(1e6*c2/c1)
+    // per bigram, floor mean per doc — all exact integer division
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+        |       FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |       WHERE len(t) >= 2),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum((c2t.c2 * 1000000) // c1t.c1) // count(*) AS BIGINT) AS lm_score_x1e6
+        |FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Zipf head: top-k token counts with rank + cumulative share;
     // shares divide exact integers (one IEEE op each), rounded
     "text_zipf" ->

@@ -335,6 +335,45 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("tf"))
 
+  /** Bigram language-model fluency score — the n-gram-LM quality
+    * signal a pretraining filter computes per document: for each
+    * in-doc bigram (w₁, w₂), the corpus continuation ratio
+    * c(w₁w₂)/c(w₁·) (count of the bigram over the count of w₁ as a
+    * bigram PREFIX — both from the corpus itself), and per doc the
+    * MEAN of those ratios. Machine-generated or shuffled text scores
+    * low (its bigrams rarely continue the way the corpus does);
+    * natural prose scores high. Every ratio is FLOOR(10⁶·c₂/c₁) —
+    * exact integer division — and the doc mean is again a floor of
+    * two exact integers, so the score replays bit-identically on any
+    * engine.
+    *
+    * Shape at 100 TB: one map-combinable bigram count (the LM), one
+    * re-aggregate of that (already-reduced) table for prefix counts,
+    * then the doc-bigram stream equi-joins the LM on its natural key
+    * and reduces per doc — the joins are key-partitioned
+    * shuffle joins whose right sides are DISTINCT-bigram-sized, and
+    * hot keys (stop-word bigrams, Zipf) are exactly what AQE skew
+    * splitting handles: no per-key state grows with corpus size.
+    * Docs under 2 tokens have no bigrams and are absent by
+    * construction.
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cPre = cBg.groupBy("w1").agg(sum("c2").as("c1"))
+    bg.join(cBg, Seq("w1", "w2"))
+      .join(cPre, Seq("w1"))
+      .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(term) div count(1)").as("lm_score_x1e6"))
+  }
+
   /** Corpus Zipf profile: the top-k token frequency table with rank
     * and cumulative share — the curve a corpus-health check eyeballs
     * (a healthy natural-language crawl tracks rank·freq ≈ const;

@@ -1117,6 +1117,22 @@ class OperatorSpec extends SparkSpec {
     assert(perDoc === expect.filter(_._2 > 0))
   }
 
+  test("bigram lm score replays the corpus continuation-ratio mean") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bigrams = docs.flatMap { case (id, t) => t.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, a, b) => c2((a, b)) * 1000000L / c1(a) }
+      id -> (bs.length.toLong, terms.sum / bs.length)
+    }
+    val got = TextAnalysis.textBigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
   test("zipf head: ranked by frequency, cumulative share is a monotone prefix sum") {
     val got = TextAnalysis.textZipf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
