@@ -112,6 +112,7 @@ object SparkEntry {
     "docs_group_sizes" -> ((s, d) => present(NearDup.docsGroupSizes(s, d), "group_size")),
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
+    "docs_overlap_spans" -> ((s, d) => present(NearDup.docsOverlapSpans(s, d), "doc_id", "bench_id")),
     "docs_dedup_incremental" -> ((s, d) => present(NearDup.dedupIncremental(s, d), "doc_id")),
     "docs_dedup_stats" -> ((s, d) => NearDup.docsDedupStats(s, d)),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
@@ -1199,6 +1200,35 @@ object SparkEntry {
         |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_ngrams,
         |       count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM t JOIN b USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // span replay: positional 8-shingles, diagonal run segmentation
+    // via lag-gap flag + running sum, longest run per pair (ties to
+    // the smallest start), runs >= 3 shingles only
+    "docs_overlap_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |              array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS s
+        |       FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+        |       WHERE len(t) >= 8),
+        |b AS (SELECT doc_id AS bench_id, pos AS pos_b, s FROM ps WHERE doc_id < 50),
+        |a AS (SELECT doc_id, pos AS pos_a, s FROM ps WHERE doc_id >= 50),
+        |h AS (SELECT a.doc_id, b.bench_id, a.pos_a, b.pos_b, a.pos_a - b.pos_b AS diag
+        |      FROM a JOIN b USING (s)),
+        |r AS (SELECT *, CASE WHEN lag(pos_a) OVER w IS NULL
+        |                       OR lag(pos_a) OVER w <> pos_a - 1 THEN 1 ELSE 0 END AS nr
+        |      FROM h WINDOW w AS (PARTITION BY doc_id, bench_id, diag ORDER BY pos_a)),
+        |g AS (SELECT doc_id, bench_id, diag, pos_a, pos_b,
+        |             sum(nr) OVER (PARTITION BY doc_id, bench_id, diag ORDER BY pos_a) AS run_id
+        |      FROM r),
+        |runs AS (SELECT doc_id, bench_id, count(*) AS run_len,
+        |                min(pos_a) AS a_start, min(pos_b) AS b_start
+        |         FROM g GROUP BY doc_id, bench_id, diag, run_id),
+        |best AS (SELECT doc_id, bench_id, run_len, a_start, b_start,
+        |                row_number() OVER (PARTITION BY doc_id, bench_id
+        |                                   ORDER BY run_len DESC, a_start, b_start) AS rn
+        |         FROM runs)
+        |SELECT doc_id, bench_id, CAST(run_len AS BIGINT) AS longest_run,
+        |       CAST(run_len + 7 AS BIGINT) AS longest_tokens, a_start, b_start
+        |FROM best WHERE rn = 1 AND run_len >= 3 ORDER BY doc_id, bench_id""".stripMargin,
     // incremental ingest dedup: history manifest = distinct hashes of
     // the 80% split; batch ranked within itself by the same hash
     "docs_dedup_incremental" ->

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over the documents/embeddings tables
@@ -73,6 +74,64 @@ object NearDup {
       .groupBy("doc_id")
       .agg(countDistinct(col("s")).as("n_shared_ngrams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Span-level train/bench overlap — the decontamination pass that
+    * finds not just "how many n-grams leak" ([[docsContamination]])
+    * but the LONGEST CONTIGUOUS leaked span per (train, bench) pair:
+    * the quantity published decontamination rules threshold on
+    * (e.g. "drop any training doc sharing a ≥ N-token span with an
+    * eval set"). A shared span of s consecutive k-shingles = s+k−1
+    * contiguous shared tokens.
+    *
+    * Method: POSITIONAL k-shingles on both sides; every shared
+    * shingle is a hit (pos_a, pos_b); hits on one DIAGONAL
+    * (pos_a − pos_b constant) with consecutive pos_a form a run —
+    * the classic dot-plot diagonal-run rendering of local exact
+    * matching. Within a (train, bench, diag) group pos_a is unique
+    * (diag + pos_a determines pos_b), so a lag-gap flag + running
+    * sum segments runs exactly.
+    *
+    * Shape at scale: the bench side is a bounded eval corpus —
+    * BROADCAST — so hit generation is map-only over the train scan;
+    * hits (not corpora) shuffle once on (train, bench, diag) for the
+    * run windows, and everything after is bounded by hit count. Hot
+    * boilerplate shingles inflate hits linearly (df_bench ≤ bench
+    * size), never quadratically. Emitted pairs need a run of ≥
+    * `minRun` shingles; ties on longest run break to the smallest
+    * (a_start, b_start).
+    */
+  def docsOverlapSpans(spark: SparkSession, dir: String,
+                       benchBound: Long = 50, k: Int = 8, minRun: Int = 3): DataFrame = {
+    val ps = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
+        .as(Seq("pos", "s")))
+    val bench = ps.filter(col("doc_id") < benchBound)
+      .select(col("doc_id").as("bench_id"), col("pos").as("pos_b"), col("s"))
+    val hits = ps.filter(col("doc_id") >= benchBound)
+      .join(broadcast(bench), "s")
+      .select(col("doc_id"), col("bench_id"),
+        col("pos").cast("long").as("pos_a"), col("pos_b").cast("long").as("pos_b"),
+        (col("pos") - col("pos_b")).cast("long").as("diag"))
+    val wd = Window.partitionBy("doc_id", "bench_id", "diag").orderBy("pos_a")
+    val runs = hits
+      .withColumn("nr", when(lag("pos_a", 1).over(wd).isNull
+        .or(lag("pos_a", 1).over(wd) =!= col("pos_a") - 1), 1L).otherwise(0L))
+      .withColumn("run_id", sum("nr").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "bench_id", "diag", "run_id")
+      .agg(count(lit(1)).as("run_len"),
+        min("pos_a").as("a_start"), min("pos_b").as("b_start"))
+    val wp = Window.partitionBy("doc_id", "bench_id")
+      .orderBy(col("run_len").desc, col("a_start"), col("b_start"))
+    runs.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1 && col("run_len") >= minRun)
+      .select(col("doc_id"), col("bench_id"), col("run_len").as("longest_run"),
+        (col("run_len") + (k - 1)).as("longest_tokens"),
+        col("a_start"), col("b_start"))
   }
 
   /** Documents with their distinct word-3-shingle sets. The

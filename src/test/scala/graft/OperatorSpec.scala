@@ -1117,6 +1117,56 @@ class OperatorSpec extends SparkSpec {
     assert(perDoc === expect.filter(_._2 > 0))
   }
 
+  test("overlap spans find the longest diagonal run of shared positional shingles") {
+    import graft.operators.NearDup
+    val k = 8
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def shingles(t: Seq[String]) =
+      if (t.length < k) Seq.empty
+      else (0 to t.length - k).map(i => i.toLong -> t.slice(i, i + k).mkString(" "))
+    val bench = docs.filter(_._1 < 50).map { case (id, t) => id -> shingles(t) }
+    val train = docs.filter(_._1 >= 50).map { case (id, t) => id -> shingles(t) }
+    val expect = (for {
+      (aId, as) <- train; (bId, bs) <- bench
+      bPos = bs.groupBy(_._2).map { case (s, v) => s -> v.map(_._1) }
+      hits = as.flatMap { case (pa, s) => bPos.getOrElse(s, Seq.empty).map(pb => (pa, pb)) }
+      if hits.nonEmpty
+    } yield {
+      val runs = hits.groupBy { case (pa, pb) => pa - pb }.values.flatMap { dh =>
+        // pos_a unique per diagonal: segment consecutive pos_a
+        val sorted = dh.map(_._1).sorted
+        val starts = sorted.zipWithIndex.collect {
+          case (p, 0) => p
+          case (p, i) if sorted(i - 1) != p - 1 => p
+        }
+        starts.map { st =>
+          val len = sorted.dropWhile(_ < st).zipWithIndex.takeWhile { case (p, i) => p == st + i }.length
+          (len.toLong, st, st - dh.head._1 + dh.head._2) // (run_len, a_start, b_start-ish)
+        }
+      }
+      val best = runs.toSeq.map { case (len, aSt, _) => (len, aSt) }
+        .sortBy { case (len, aSt) => (-len, aSt) }.head
+      ((aId, bId), best)
+    }).toMap
+    val got = NearDup.docsOverlapSpans(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    got.foreach { case ((a, b), (run, toks, aSt, bSt)) =>
+      assert(toks === run + k - 1)
+      val (eLen, eASt) = expect((a, b))
+      assert(run === eLen, s"pair ($a,$b) longest run")
+      assert(aSt === eASt, s"pair ($a,$b) a_start")
+      // the claimed span really is a shared contiguous token run
+      val aT = docs.toMap.apply(a); val bT = docs.toMap.apply(b)
+      assert(aT.slice(aSt.toInt, aSt.toInt + toks.toInt) ===
+        bT.slice(bSt.toInt, bSt.toInt + toks.toInt), s"pair ($a,$b) span content")
+    }
+    // completeness: every pair with a >=3-shingle run is emitted
+    val expectedPairs = expect.filter(_._2._1 >= 3).keySet
+    assert(got.map(_._1).toSet === expectedPairs)
+  }
+
   test("bigram lm score replays the corpus continuation-ratio mean") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
