@@ -122,6 +122,7 @@ object SparkEntry {
     "emb_label_centroids" -> ((s, d) => present(Ann.labelCentroids(s, d), "label", "dim")),
     "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
     "emb_dim_stats" -> ((s, d) => present(Ann.embDimStats(s, d), "dim")),
+    "emb_drift" -> ((s, d) => present(Ann.embDrift(s, d), "label")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
@@ -1323,6 +1324,25 @@ object SparkEntry {
         |       round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE), 6) AS c
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // drift replay: even/odd snapshot centroids pinned to x10^4
+    // integers (one rounded float aggregate), then exact int64
+    // dot/norm/L2 sums; the cosine divides identical exact integers
+    "emb_drift" ->
+      """WITH cd AS (SELECT label, vec_id % 2 AS snap, i AS dim,
+        |              CAST(round(avg(embedding[CAST(i + 1 AS INT)]::DOUBLE) * 10000) AS BIGINT) AS c4,
+        |              count(*) AS n
+        |            FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |            GROUP BY 1, 2, 3),
+        |p AS (SELECT label, dim,
+        |        sum(CASE WHEN snap = 0 THEN c4 END) AS c0,
+        |        sum(CASE WHEN snap = 1 THEN c4 END) AS c1,
+        |        max(CASE WHEN snap = 0 THEN n END) AS n0,
+        |        max(CASE WHEN snap = 1 THEN n END) AS n1
+        |      FROM cd GROUP BY 1, 2)
+        |SELECT label, CAST(max(n0) AS BIGINT) AS n_a, CAST(max(n1) AS BIGINT) AS n_b,
+        |       CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS l2_x1e8,
+        |       round(sum(c0 * c1) / nullif(sqrt(sum(c0 * c0)::DOUBLE) * sqrt(sum(c1 * c1)::DOUBLE), 0.0), 6) AS cos_sim
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // recall of the (already-oracled) IVF path against the exact
     // top-k: both sides are the existing oracle queries, composed
     "ann_recall" ->

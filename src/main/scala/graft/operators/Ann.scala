@@ -312,6 +312,49 @@ object Ann {
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
 
+  /** Per-label centroid DRIFT between two corpus snapshots — the
+    * monitor an embedding pipeline runs between ingest batches: if a
+    * label's centroid moves, the upstream encoder or the data mix
+    * changed, and every ANN index / dedup threshold tuned on the old
+    * geometry silently degrades. Snapshots here are the even/odd
+    * vec_id halves (a stand-in for batch N vs N+1 — the plan shape
+    * is identical for any snapshot predicate).
+    *
+    * Numeric contract: per-(label, snapshot, dim) centroids are
+    * pinned to exact ×10⁴ integers (one rounded float aggregate, the
+    * same pin [[annIvf]] uses for its Lloyd means); everything
+    * derived — dot, squared norms, squared L2 drift — is then exact
+    * int64 arithmetic, order-free under any partitioning. The
+    * displayed cosine divides/sqrt's those exact integers: identical
+    * IEEE inputs, identical result on any engine. Shape: one narrow
+    * posexplode + map-combinable avg (keyed by labels×2×64), one
+    * 64-row-per-label pivot aggregate, one per-label reduce — no
+    * joins wider than the centroid table.
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cdim = Tables.embeddings(spark, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("snap"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "snap", "dim")
+      .agg(round(avg(col("v").cast("double")) * 10000).cast("long").as("c4"),
+        count(lit(1)).as("n"))
+    val piv = cdim.groupBy("label", "dim")
+      .agg(sum(when(col("snap") === 0, col("c4"))).as("c0"),
+        sum(when(col("snap") === 1, col("c4"))).as("c1"),
+        max(when(col("snap") === 0, col("n"))).as("n0"),
+        max(when(col("snap") === 1, col("n"))).as("n1"))
+    piv.groupBy("label")
+      .agg(max("n0").as("n_a"), max("n1").as("n_b"),
+        sum(col("c0") * col("c1")).as("dot"),
+        sum(col("c0") * col("c0")).as("na2"),
+        sum(col("c1") * col("c1")).as("nb2"),
+        sum((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("l2_x1e8"))
+      .select(col("label"), col("n_a"), col("n_b"), col("l2_x1e8"),
+        round(col("dot").cast("double") /
+          nullif(sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")), lit(0.0)), 6)
+          .as("cos_sim"))
+  }
+
   /** Product-quantization code assignment — the memory-compression
     * leg of the ANN family (IVF prunes the scan, LSH buckets it, PQ
     * shrinks the vectors: 64 floats → 8 nibbles, the standard

@@ -1106,6 +1106,34 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= full.size / 2, s"ivf-adc recall collapsed: $hits/${full.size}")
   }
 
+  test("embedding drift replays exact integer centroid geometry per label") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val expect = vecs.groupBy(_._3).map { case (label, vs) =>
+      def cent(snap: Long): (Array[Long], Long) = {
+        val sel = vs.filter(v => v._1 % 2 == snap).map(_._2)
+        (Array.tabulate(64)(i => math.round(sel.map(_(i)).sum / sel.length * 10000)),
+          sel.length.toLong)
+      }
+      val ((c0, n0), (c1, n1)) = (cent(0), cent(1))
+      val dot = (0 until 64).map(i => c0(i) * c1(i)).sum
+      val l2 = (0 until 64).map(i => (c0(i) - c1(i)) * (c0(i) - c1(i))).sum
+      val na2 = c0.map(x => x * x).sum; val nb2 = c1.map(x => x * x).sum
+      val cos = BigDecimal(dot.toDouble / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      label -> (n0, n1, l2, cos)
+    }
+    val got = Ann.embDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (label, (na, nb, l2, cos)) =>
+      val (ena, enb, el2, ecos) = expect(label)
+      assert((na, nb, l2) === ((ena, enb, el2)), s"label $label integer geometry")
+      assert(math.abs(cos - ecos) < 2e-6, s"label $label cosine")
+    }
+  }
+
   test("hashing tf: per-doc tf sums to the token count, buckets in range") {
     val got = TextAnalysis.textHashingTf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
