@@ -91,6 +91,7 @@ object SparkEntry {
     "q_mode" -> ((s, d) => present(Relational.qMode(s, d), "user_id")),
     "q_scd2" -> ((s, d) => present(Relational.qScd2(s, d), "user_id", "run_id")),
     "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
+    "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
     "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
@@ -950,6 +951,18 @@ object SparkEntry {
         |       a.n_events IS NULL AS is_gap
         |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms
         |ORDER BY g.event_type, g.bucket_ms""".stripMargin,
+    // ranking family over exact-cents ordering; the two ratio
+    // functions divide exact small integers, rounded for display
+    "q_rank_family" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, cents,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents)
+        |ORDER BY o_orderkey""".stripMargin,
     // correlated subquery decorrelated to aggregate + join; the
     // above-mean test is exact integer cross-multiplication (prices
     // are 2-decimal), the displayed average exact integer FLOOR

@@ -597,6 +597,26 @@ object Relational {
         min("event_id").as("first_event_id"))
   }
 
+  /** The ranking-function family over one window — rank, dense_rank,
+    * percent_rank, cume_dist side by side (the remaining ANSI window
+    * rank functions; row_number/ntile live in their own queries).
+    * One shuffle on the partition key. Ordering is on exact cents
+    * (ties are REAL and semantically meaningful to rank vs
+    * dense_rank); percent_rank/cume_dist divide exact small integers
+    * — one correctly-rounded IEEE op each, rounded for display.
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("cents")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** Gap-filled 15-minute time series per event type — the
     * densification pass a monitoring/feature pipeline runs so
     * downstream window math sees EVERY bucket, including empty ones
