@@ -597,6 +597,31 @@ object Relational {
         min("event_id").as("first_event_id"))
   }
 
+  /** Sketch aggregates — the approximate family that makes exact-
+    * unaffordable questions answerable at 100 TB: HyperLogLog++
+    * distinct counts and KLL-style quantiles are one map-combinable
+    * pass with a CONSTANT-size state per group (vs exact distinct's
+    * per-key shuffle of every value and exact percentile's full
+    * sort). NOT on the DuckDB oracle gate: sketch internals are
+    * engine-specific (DuckDB's HLL ≠ Spark's), so equality-replay is
+    * impossible by construction — correctness is the published error
+    * bound, asserted against the exact aggregates in ScalaTest
+    * (AggregateSketchSpec), same contract as the streaming rows.
+    *
+    * `rsd` is the HLL++ standard-error knob (state ≈ 1.04/rsd²
+    * registers); `accuracy` the percentile_approx bound (error ≤
+    * 1/accuracy of the rank).
+    */
+  def qSketchProfile(spark: SparkSession, dir: String,
+                     rsd: Double = 0.02, accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(accuracy)).as("approx_p"),
+        count(lit(1)).as("n_events"))
+
   /** The ranking-function family over one window — rank, dense_rank,
     * percent_rank, cume_dist side by side (the remaining ANSI window
     * rank functions; row_number/ntile live in their own queries).

@@ -999,6 +999,37 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect.toMap)
   }
 
+  test("sketch profile: HLL distinct counts and KLL quantiles inside published bounds") {
+    import graft.operators.Relational
+    val got = Relational.qSketchProfile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2), r.getLong(3))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val values = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (et, (au, ap, an)) =>
+      val (eu, en) = exact(et)
+      assert(an === en)
+      // HLL++ rsd=0.02: allow 5 sigma
+      assert(math.abs(au - eu) <= math.max(2.0, eu * 0.10), s"$et distinct: $au vs $eu")
+      // percentile_approx's guarantee is in RANK space (error ≤
+      // n/accuracy): the returned value's rank fraction must sit next
+      // to the requested quantile (the returned value is a real
+      // element, so value-space distance is unbounded in sparse tails)
+      val vs = values(et)
+      ap.zip(Seq(0.5, 0.9, 0.99)).foreach { case (a, q) =>
+        val frac = vs.count(_ <= a).toDouble / vs.length
+        assert(math.abs(frac - q) <= 0.01 + 1.0 / vs.length,
+          s"$et q=$q: value $a has rank fraction $frac")
+      }
+    }
+  }
+
   test("time buckets form a dense step-aligned grid covering every event") {
     import graft.operators.Relational
     val got = Relational.qTimeBucket(spark, sf).collect()
