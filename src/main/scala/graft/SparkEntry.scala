@@ -124,6 +124,7 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => present(Ann.embQuantize(s, d), "vec_id")),
     "emb_dim_stats" -> ((s, d) => present(Ann.embDimStats(s, d), "dim")),
     "emb_drift" -> ((s, d) => present(Ann.embDrift(s, d), "label")),
+    "emb_whiten" -> ((s, d) => present(Ann.embWhiten(s, d), "vec_id")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
@@ -1356,6 +1357,18 @@ object SparkEntry {
         |       CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS l2_x1e8,
         |       round(sum(c0 * c1) / nullif(sqrt(sum(c0 * c0)::DOUBLE) * sqrt(sum(c1 * c1)::DOUBLE), 0.0), 6) AS cos_sim
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // whitening replay: per-dim mean/stddev pinned to 4 decimals,
+    // then pure per-element IEEE arithmetic and exact integer floors
+    "emb_whiten" ->
+      """WITH x AS (SELECT vec_id, i AS dim, embedding[CAST(i + 1 AS INT)]::DOUBLE AS v
+        |           FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT dim, round(avg(v), 4) AS m4, round(stddev_pop(v), 4) AS sd4
+        |      FROM x GROUP BY 1),
+        |w AS (SELECT vec_id, CAST(floor((v - m4) / nullif(sd4, 0) * 10000) AS BIGINT) AS wi
+        |      FROM x JOIN s USING (dim))
+        |SELECT vec_id, CAST(sum(wi) AS BIGINT) AS w_sum_x1e4,
+        |       min(wi) AS w_min_x1e4, max(wi) AS w_max_x1e4
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // recall of the (already-oracled) IVF path against the exact
     // top-k: both sides are the existing oracle queries, composed
     "ann_recall" ->

@@ -355,6 +355,36 @@ object Ann {
           .as("cos_sim"))
   }
 
+  /** Whitening transform applied per vector — the normalization leg
+    * that consumes [[embDimStats]]: every coordinate mean-centered
+    * and scaled by its dimension's inverse stddev, the standard
+    * pre-pass before cosine/PCA on anisotropic embeddings. The
+    * per-dim (mean, stddev) constants are PINNED to 4 decimals (two
+    * rounded float aggregates — the only order-sensitive step); the
+    * per-element transform is then pure deterministic IEEE arithmetic
+    * on identical inputs, and the emitted profile (sum/min/max of the
+    * ×10⁴-floored whitened coordinates) is exact integers.
+    *
+    * Shape: one narrow posexplode + map-combinable stats aggregate
+    * (64 keys), stats broadcast back onto the posexploded stream,
+    * one regroup per vec_id — no collect, one data-sized shuffle.
+    */
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val narrow = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val stats = narrow.groupBy("dim")
+      .agg(round(avg("v"), 4).as("m4"), round(stddev_pop(col("v")), 4).as("sd4"))
+    narrow.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        floor((col("v") - col("m4")) / nullif(col("sd4"), lit(0.0)) * 10000)
+          .cast("long").as("wi"))
+      .groupBy("vec_id")
+      .agg(sum("wi").as("w_sum_x1e4"),
+        min("wi").as("w_min_x1e4"),
+        max("wi").as("w_max_x1e4"))
+  }
+
   /** Product-quantization code assignment — the memory-compression
     * leg of the ANN family (IVF prunes the scan, LSH buckets it, PQ
     * shrinks the vectors: 64 floats → 8 nibbles, the standard

@@ -1137,6 +1137,29 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= full.size / 2, s"ivf-adc recall collapsed: $hits/${full.size}")
   }
 
+  test("whitening profile replays the pinned-stats transform") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stats = (0 until 64).map { i =>
+      val col = vecs.map(_._2(i))
+      val m = col.sum / n
+      (r4(m), r4(math.sqrt(col.map(x => (x - m) * (x - m)).sum / n)))
+    }
+    val expect = vecs.map { case (id, v) =>
+      val wi = (0 until 64).map { i =>
+        val (m4, sd4) = stats(i)
+        math.floor((v(i) - m4) / sd4 * 10000).toLong
+      }
+      id -> (wi.sum, wi.min, wi.max)
+    }.toMap
+    val got = Ann.embWhiten(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+  }
+
   test("embedding drift replays exact integer centroid geometry per label") {
     import graft.operators.Ann
     val vecs = Tables.embeddings(spark, sf).collect()
