@@ -142,6 +142,7 @@ object SparkEntry {
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
+    "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "docs_pipeline" -> ((s, d) => present(Pipeline.docsPipeline(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
@@ -1773,6 +1774,21 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       s"WITH $fingerprintCtes\nSELECT doc_id, fp FROM f ORDER BY doc_id, fp",
+    // shard-plan replay: same md5-top-32-bit identity hash mod S,
+    // exact integer doc/token accounting and x10^4 share floors
+    "docs_shard_plan" ->
+      """WITH h AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) % 16 AS shard
+        |  FROM documents),
+        |p AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+        |      FROM h GROUP BY 1),
+        |t AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM p)
+        |SELECT shard, n_docs, shard_tokens,
+        |       CAST((shard_tokens * 16 * 10000) // total_tokens AS BIGINT) AS share_x1e4
+        |FROM p, t ORDER BY shard""".stripMargin,
     // mixture plan replay: weights from the source name, W and T as
     // scalar subqueries, keep decision cross-multiplied in HUGEINT —
     // the same no-division integer arithmetic as the Spark side

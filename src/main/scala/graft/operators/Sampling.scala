@@ -77,6 +77,34 @@ object Sampling {
           expr(s"(cum_tok - 1) div $budget")).as("spills_over"))
   }
 
+  /** Output-shard planning — the publishing pass that splits a
+    * finished corpus into S shards and PROVES the split is balanced:
+    * deterministic hash round-robin (the same md5-derived identity
+    * hash as [[docsSampleStratified]] — rerun-stable, no RNG) with
+    * per-shard document and token accounting plus each shard's
+    * token-mass deviation from the uniform share in exact ×10⁴
+    * integer floors. Hash sharding is THE 100 TB answer here: an
+    * LPT/greedy bin-pack needs a global sequential walk (a
+    * single-partition sort at any scale), while the law of large
+    * numbers bounds hash imbalance at millions of docs per shard —
+    * this operator emits the evidence for that claim. One
+    * map-combinable aggregate on S keys; nothing shuffles but the
+    * S-row summary.
+    */
+  def docsShardPlan(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val perShard = Tables.documents(spark, dir)
+      .select(pmod(hash32(col("doc_id")), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"))
+    val total = perShard.agg(sum("shard_tokens").as("total_tokens"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        // deviation of this shard's mass from the uniform 1/S share,
+        // in exact x10^4 floors: floor(1e4 * tokens * S / total)
+        expr(s"(shard_tokens * $shards * 10000) div total_tokens").as("share_x1e4"))
+  }
+
   /** Target-mixture sampling plan — the data-mixing pass that turns
     * "train on sources in ratio w₁:w₂:…" into a concrete, auditable
     * per-source sample. Source `srcN` gets weight N+1 (a stand-in

@@ -886,6 +886,28 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("shard plan: hash assignment replays, masses account for the whole corpus") {
+    import graft.operators.Sampling
+    import java.security.MessageDigest
+    val got = Sampling.docsShardPlan(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    def shardOf(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val expect = docs.groupBy(d => shardOf(d._1)).map { case (s, ds) =>
+      s -> (ds.length.toLong, ds.map(_._2).sum) }
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expect)
+    val total = docs.map(_._2).sum
+    got.foreach { case (_, (_, toks, share)) =>
+      assert(share === toks * 16L * 10000L / total)
+    }
+    assert(got.values.map(_._1).sum === docs.length)
+  }
+
   test("mix sample plan: mixture respected, never upsampled, counts consistent") {
     import graft.operators.Sampling
     val rows = Sampling.docsMixSample(spark, sf).collect()

@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "emb_ivf_adc", // bounded centroid-table broadcast (probe ranking)
     "sql_cosine", // 10x10 query-vector pair join, pure inequality keys
     "docs_mix_sample", // single-row scalar broadcasts (W, T aggregates)
+    "docs_shard_plan", // single-row total-tokens broadcast onto S rows
     "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
   )
 
