@@ -92,6 +92,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => present(Relational.qScd2(s, d), "user_id", "run_id")),
     "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
     "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
+    "q_interval_overlap" -> ((s, d) => present(Relational.qIntervalOverlap(s, d), "event_type")),
     "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
@@ -953,6 +954,22 @@ object SparkEntry {
         |       a.n_events IS NULL AS is_gap
         |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms
         |ORDER BY g.event_type, g.bucket_ms""".stripMargin,
+    // sweep-line replay: +1/-1 interval deltas, close-before-open at
+    // equal instants (half-open), running sum, first peak instant
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS t0 FROM events),
+        |d AS (SELECT event_type, t0 AS t, 1 AS delta FROM e
+        |      UNION ALL
+        |      SELECT event_type, t0 + 1800000, -1 FROM e),
+        |o AS (SELECT event_type, t,
+        |             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |                              ROWS UNBOUNDED PRECEDING) AS open
+        |      FROM d),
+        |p AS (SELECT event_type, t, open,
+        |             max(open) OVER (PARTITION BY event_type) AS peak FROM o)
+        |SELECT event_type, CAST(max(peak) AS BIGINT) AS peak_concurrency,
+        |       min(t) AS peak_at_ms
+        |FROM p WHERE open = peak GROUP BY 1 ORDER BY 1""".stripMargin,
     // ranking family over exact-cents ordering; the two ratio
     // functions divide exact small integers, rounded for display
     "q_rank_family" ->

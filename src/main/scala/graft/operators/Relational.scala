@@ -597,6 +597,38 @@ object Relational {
         min("event_id").as("first_event_id"))
   }
 
+  /** Peak interval concurrency per event type — the sweep-line
+    * answer to "how many 30-minute event windows were open at once,
+    * and when did the peak first happen": every interval explodes to
+    * a +1 open / −1 close delta, one ordered running sum per type
+    * finds the max. Close sorts BEFORE open at the same instant
+    * (delta asc) — half-open [ts, ts+30m) semantics, so touching
+    * intervals don't double-count. All-integer (unix millis).
+    *
+    * Scale: the running sum is inherently a per-key ordered scan —
+    * one shuffle on event_type, then a linear in-partition pass. A
+    * single key's whole timeline lands in one partition (the same
+    * bound [[qSessionize]] documents); the production split is
+    * per-day partial sweeps + a carry-in prefix sum across days,
+    * same plan shape one level down.
+    */
+  def qIntervalOverlap(spark: SparkSession, dir: String, winMs: Long = 1800000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts)").as("t0"))
+    val deltas = ev.select(col("event_type"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct((col("t0") + winMs).as("t"), lit(-1L).as("delta")))).as("d"))
+      .select(col("event_type"), col("d.t").as("t"), col("d.delta").as("delta"))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum("delta").over(w))
+      .withColumn("peak", max("open").over(Window.partitionBy("event_type")))
+      .filter(col("open") === col("peak"))
+      .groupBy("event_type")
+      .agg(max("peak").as("peak_concurrency"), min("t").as("peak_at_ms"))
+  }
+
   /** Sketch aggregates — the approximate family that makes exact-
     * unaffordable questions answerable at 100 TB: HyperLogLog++
     * distinct counts and KLL-style quantiles are one map-combinable

@@ -1052,6 +1052,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: sweep-line peak equals the brute-force concurrency max") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_millis(ts)").as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (et, rows) =>
+      val ts = rows.map(_._2)
+      // concurrency just after instant t = opens in (t-30m, t]
+      val peak = ts.map(t => ts.count(s => s > t - 1800000L && s <= t)).max
+      val peakAt = ts.filter(t => ts.count(s => s > t - 1800000L && s <= t) == peak).min
+      et -> (peak.toLong, peakAt)
+    }
+    val got = Relational.qIntervalOverlap(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
   test("time buckets form a dense step-aligned grid covering every event") {
     import graft.operators.Relational
     val got = Relational.qTimeBucket(spark, sf).collect()
