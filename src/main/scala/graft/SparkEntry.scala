@@ -152,6 +152,8 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
     "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
     "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
+    "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
+    "text_ngram_novelty" -> ((s, d) => present(TextAnalysis.textNgramNovelty(s, d), "doc_id")),
     // rank IS the presentation order (assigned post-limit)
     "text_zipf" -> ((s, d) => present(TextAnalysis.textZipf(s, d), "rank")),
     // §2.7 multimodal
@@ -1683,6 +1685,41 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, lang_pred, (lang_pred = lang) AS matches_label
         |FROM p ORDER BY doc_id""".stripMargin,
+    // novelty replay: distinct bigrams per doc, min-doc_id owner per
+    // bigram, exact counts + x10^4 floor ratio
+    "text_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |db AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' ')))) AS b
+        |       FROM tok WHERE len(toks) >= 2),
+        |o AS (SELECT b, min(doc_id) AS owner FROM db GROUP BY 1)
+        |SELECT db.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN o.owner = db.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST((sum(CASE WHEN o.owner = db.doc_id THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_x1e4
+        |FROM db JOIN o USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // confusion-matrix replay: same marker scores/tie order as
+    // text_langid, exact integer cells and x10^4 recall floors
+    "docs_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |        len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS s_fr,
+        |        len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+        |      FROM t),
+        |p AS (SELECT lang,
+        |        CASE WHEN s_zh > 0 THEN 'zh'
+        |             WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |             WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |             WHEN s_es >= s_fr THEN 'es'
+        |             ELSE 'fr' END AS lang_pred
+        |      FROM s),
+        |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_label FROM c GROUP BY 1)
+        |SELECT c.lang, c.lang_pred, c.n,
+        |       CAST((c.n * 10000) // tt.n_label AS BIGINT) AS recall_x1e4
+        |FROM c JOIN tt USING (lang) ORDER BY lang, lang_pred""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

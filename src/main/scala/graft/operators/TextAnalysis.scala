@@ -61,6 +61,61 @@ object TextAnalysis {
         (pred === col("lang")).as("matches_label"))
   }
 
+  /** N-gram novelty profile — what fraction of a document's distinct
+    * bigrams are FIRST INTRODUCED by it (the corpus-order owner = min
+    * doc_id over the bigram's occurrences; here ingestion order).
+    * The memorization/curriculum signal a data-mixing pass reads:
+    * late documents with near-zero novelty are recombinations of
+    * earlier text — prime near-dup suspects even when no single pair
+    * crosses a similarity threshold. All counts exact; the ratio is
+    * a ×10⁴ integer floor.
+    *
+    * Shape: one distinct (doc, bigram) projection feeds BOTH a
+    * map-combinable min-owner aggregate per bigram and the join
+    * probe; everything is keyed on the bigram — two key-partitioned
+    * shuffles, Zipf keys left to AQE skew splitting, no per-key
+    * state.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val db = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), 2)).as("b"))
+    val owner = db.groupBy("b").agg(min("doc_id").as("owner"))
+    db.join(owner, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        expr("(n_novel * 10000) div n_bigrams").as("novelty_x1e4"))
+  }
+
+  /** Language-ID confusion matrix — the classifier-audit report for
+    * [[textLangId]] against the stored label: one cell per
+    * (label, predicted) pair with count and the per-LABEL recall
+    * share in exact ×10⁴ floors. This is the evaluation table any
+    * heuristic gate ships with (is 'fr' being eaten by 'es'? which
+    * label's recall pays for a marker-list change?). Shape: the
+    * prediction is map-side expression work on the scan; one
+    * map-combinable count on ≤ |langs|² keys; the per-label total
+    * joins back on the label key (|langs| rows, broadcast).
+    */
+  def docsLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val scores = T.langMarkers.map { case (l, ms) => l -> T.markerScore(col("text"), ms) }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    val pred = when(T.cjkCount(col("text")) > 0, "zh")
+      .when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("n_label"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("(n * 10000) div n_label").as("recall_x1e4"))
+  }
+
   /** Top-3 characteristic terms per doc by tf·(N/df) rarity weight.
     * Same ranking family as tf-idf but ln-free on purpose: libm log
     * is not bit-identical across engines, while tf·N/df is exact

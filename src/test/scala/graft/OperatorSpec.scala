@@ -1288,6 +1288,42 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._1).toSet === expectedPairs)
   }
 
+  test("ngram novelty replays the min-owner attribution") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val perDoc = docs.collect { case (id, t) if t.length >= 2 =>
+      id -> t.sliding(2).map(_.mkString(" ")).toSet }
+    val owner = perDoc.flatMap { case (id, bs) => bs.map(_ -> id) }
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).min }
+    val expect = perDoc.map { case (id, bs) =>
+      val novel = bs.count(owner(_) == id).toLong
+      id -> (bs.size.toLong, novel, novel * 10000L / bs.size)
+    }.toMap
+    val got = TextAnalysis.textNgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+  }
+
+  test("lang confusion matrix cells reconcile with the per-doc langid output") {
+    val perDoc = TextAnalysis.textLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labels = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectCells = labels.toSeq
+      .groupBy { case (id, lang) => (lang, perDoc(id)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = TextAnalysis.docsLangConfusion(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap === expectCells)
+    // recall floors: cells of one label sum to <= 10000, > 10000 - |cells|
+    got.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val total = labels.values.count(_ == lang).toLong
+      cells.foreach { case ((_, _), (n, rec)) =>
+        assert(rec === n * 10000L / total)
+      }
+    }
+  }
+
   test("bigram lm score replays the corpus continuation-ratio mean") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
