@@ -555,6 +555,15 @@ object NearDup {
         .bitwiseAND(lit((1L << SIMHASH_BLOCK_BITS(b)) - 1))
     }.reduce((acc, v) => shiftleft(acc, 11) + v) // 11 ≥ every block width
 
+  /** The 20 Manku combo (band, block) rows for a fingerprint column,
+    * as an explodable array — shared by the batch pair join and the
+    * streaming bucket state (streaming.NearDupStream).
+    */
+  private[graft] def simhashBandArray(fp: Column): Column =
+    array(SIMHASH_COMBOS.zipWithIndex.map { case (combo, i) =>
+      struct(lit(i).as("band"), simhashComboKey(fp, combo).as("block"))
+    }: _*)
+
   /** SimHash near-dup pairs with Hamming distance ≤ 3: 20 combo
     * tables (Manku permute-and-split, see [[simhashComboKey]]), exact
     * Hamming verify on bucket-mates. COMPLETE for d ≤ 3 — identical
@@ -563,9 +572,7 @@ object NearDup {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(spark, dir)
     val bands = fp.select(col("doc_id"), col("simhash"),
-      explode(array(SIMHASH_COMBOS.zipWithIndex.map { case (combo, i) =>
-        struct(lit(i).as("band"), simhashComboKey(col("simhash"), combo).as("block"))
-      }: _*)).as("bb"))
+      explode(simhashBandArray(col("simhash"))).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.block").as("block"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.block") === col("b.block") &&

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.operators.NearDup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate candidate detection — the ingest-time
+  * analog of the batch simhash family (NearDup.simhashPairs): every
+  * arriving document's fingerprint is banded into the same 20 Manku
+  * combo buckets, and a stateful operator keyed by (band, block)
+  * emits a candidate pair the moment a new arrival lands in a bucket
+  * with a previously seen fingerprint. This is the shape an ingest
+  * dedup service runs so near-dups are flagged ON ARRIVAL instead of
+  * in a nightly batch join — the same move the reference makes for
+  * exact dups (its TTL cache keyed by content hash,
+  * Deduplicator.java:46-52), lifted to near-duplicates.
+  *
+  * Semantics: with an unbounded bucket cap the emitted pair set
+  * (after a downstream distinct over the 20 bands) EQUALS the batch
+  * simhashPairs output on the same fingerprints, independent of how
+  * the stream is split into micro-batches — every pair shares some
+  * bucket, and whichever member arrives second sees the first in
+  * state (intra-batch arrivals see earlier rows of the same group
+  * iterator). `maxBucket` bounds per-bucket state at scale (31-33-bit
+  * bucket keys keep natural occupancy tiny; a hot bucket is
+  * degenerate near-dup mass, where dropping candidates loses nothing
+  * a dedup pass cares about). Production eviction (TTL on bucket
+  * entries, mirroring dedupBounded's size bound) composes via
+  * GroupStateTimeout without changing the shape.
+  */
+object NearDupStream {
+
+  /** One banded arrival: which bucket, plus the full fingerprint for
+    * the exact Hamming verify against bucket-mates.
+    */
+  case class BandedDoc(band: Int, block: Long, doc_id: Long, simhash: Long)
+
+  /** An emitted candidate: a_id < b_id, exact Hamming distance. May
+    * repeat across bands — distinct() downstream (the batch join
+    * pays the same distinct).
+    */
+  case class CandidatePair(a_id: Long, b_id: Long, hamming: Long)
+
+  /** Fingerprints already seen in one bucket (capped). */
+  case class BucketState(members: List[(Long, Long)])
+
+  /** Streaming candidate pairs over a (doc_id, simhash) stream. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("simhash"),
+        explode(NearDup.simhashBandArray(col("simhash"))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.block").as("block"),
+        col("doc_id"), col("simhash"))
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.block))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Seq.newBuilder[CandidatePair]
+          rows.foreach { r =>
+            members.foreach { case (id, fp) =>
+              if (id != r.doc_id) {
+                val h = java.lang.Long.bitCount(fp ^ r.simhash).toLong
+                if (h <= maxHamming)
+                  out += CandidatePair(math.min(id, r.doc_id),
+                    math.max(id, r.doc_id), h)
+              }
+            }
+            if (members.size < maxBucket)
+              members = (r.doc_id, r.simhash) :: members
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+}

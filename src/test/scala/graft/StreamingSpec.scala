@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash candidates across micro-batches equal the batch pair join") {
+    import graft.operators.NearDup
+    import graft.streaming.NearDupStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fps = NearDup.simhashFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (b1, b2) = fps.splitAt(fps.length / 2)
+    val input = MemoryStream[(Long, Long)]
+    val out = NearDupStream.simhashCandidates(
+      input.toDF().toDF("doc_id", "simhash"))
+    val q = out.writeStream.format("memory").queryName("simhash_cand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("simhash_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = NearDup.simhashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
