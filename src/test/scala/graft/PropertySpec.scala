@@ -50,6 +50,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlap spans equal brute-force longest common token runs on random near-dups") {
+    import graft.operators.NearDup
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val k = 8
+    for (round <- 1 to 5) {
+      // bench docs + trains built by splicing bench spans into noise,
+      // so real shared runs exist at known-ish lengths
+      val vocab = (0 until 30).map(i => s"w$i")
+      def words(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val bench = (0L until 3L).map(i => i -> words(40 + rnd.nextInt(40)))
+      val train = (50L until 56L).map { i =>
+        val src = bench(rnd.nextInt(bench.size))._2
+        val st = rnd.nextInt(math.max(1, src.length - 15))
+        val span = src.slice(st, st + 10 + rnd.nextInt(10))
+        i -> (words(10 + rnd.nextInt(10)) ++ span ++ words(10))
+      }
+      val all = bench ++ train
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(all.map { case (id, t) =>
+          Row(id, t.mkString(" "), "en", "src0", t.mkString(" ").length.toLong) }),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+      val dir = s"/tmp/graft_spans_prop_$round"
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = NearDup.docsOverlapSpans(spark, dir, benchBound = 50, k = k, minRun = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      // brute force: longest common contiguous token run per pair
+      val expect = (for {
+        (aId, aT) <- train; (bId, bT) <- bench
+        best = (for {
+          i <- aT.indices; j <- bT.indices
+          if aT(i) == bT(j) && (i == 0 || j == 0 || aT(i - 1) != bT(j - 1))
+        } yield Iterator.from(0)
+          .takeWhile(d => i + d < aT.length && j + d < bT.length && aT(i + d) == bT(j + d))
+          .size).foldLeft(0)(math.max)
+        if best >= k + 2 // run of >=3 shingles == k+2 tokens
+      } yield (aId, bId) -> best.toLong).toMap
+      assert(got.keySet === expect.keySet, s"round $round pair set")
+      got.foreach { case (pair, toks) => assert(toks === expect(pair), s"round $round $pair") }
+    }
+  }
+
+  test("interval sweep peak equals brute force on random timelines") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val win = 1800000L
+    for (round <- 1 to 5) {
+      val base = 1700000000000L
+      // ts written as NANOS-in-long — the wire shape Tables.events reads
+      val rows = (0 until 300).map { i =>
+        Row(i.toLong, (base + rnd.nextLong(4 * win)) * 1000000L,
+          rnd.nextInt(3).toLong, s"t${rnd.nextInt(3)}", rnd.nextDouble() * 100, "{}")
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val dir = s"/tmp/graft_sweep_prop_$round"
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Relational.qIntervalOverlap(spark, dir, win).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ev = rows.map(r => (r.getString(3), r.getLong(1) / 1000000L))
+      val expect = ev.groupBy(_._1).map { case (et, rs) =>
+        val ts = rs.map(_._2)
+        val conc = ts.map(t => t -> ts.count(s => s > t - win && s <= t))
+        val peak = conc.map(_._2).max
+        et -> (peak.toLong, conc.filter(_._2 == peak).map(_._1).min)
+      }
+      assert(got === expect, s"round $round")
+    }
+  }
+
   test("minhash signature agreement estimates jaccard") {
     val agg = new MinHashSigAgg(128)
     def sig(tokens: Seq[String]): Array[Long] = {

@@ -1,0 +1,58 @@
+package graft
+
+/** Scan-hygiene regression net: filters must reach the parquet scan
+  * (`PushedFilters`) and projections must prune columns
+  * (`ReadSchema`) — the two properties that decide whether a 100 TB
+  * scan reads 100 TB or the few columns/rows the query needs. A
+  * refactor that wraps a filter in a non-pushable expression or
+  * widens a projection silently costs a full-corpus re-read at
+  * scale; this spec pins the representative cases.
+  */
+class PushdownSpec extends SparkSpec {
+
+  // formatted mode: FileScan details (PushedFilters/ReadSchema) are
+  // printed in full — the default toString truncates long scan lines
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6_filter pushes every predicate to the lineitem scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters:"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(p.contains(s"GreaterThanOrEqual($c") || p.contains(s"LessThan($c")
+        || p.contains(s"LessThanOrEqual($c"), s"no pushed range filter on $c")
+    }
+  }
+
+  test("selective doc_id splits push down in the decontamination family") {
+    Seq("docs_contamination", "docs_overlap_spans").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LessThan(doc_id,50)"), s"$q: bench-side bound not pushed")
+      assert(p.contains("GreaterThanOrEqual(doc_id,50)"), s"$q: train-side bound not pushed")
+    }
+  }
+
+  test("projections prune to the columns the query touches") {
+    // embeddings: vec-only ops must not read the label column
+    val dims = plan("emb_dim_stats")
+    assert(dims.contains("ReadSchema: struct<embedding:array<float>>"),
+      "emb_dim_stats reads more than the embedding column")
+    // documents: text analytics must not read n_chars/source
+    val tok = plan("text_tokens")
+    assert(!tok.contains("n_chars") && !tok.contains("source"),
+      "text_tokens reads unused document columns")
+    // lineitem q1 reads its 4 aggregate inputs + 2 keys, not all 16
+    val q1 = plan("q1_agg")
+    val rs = q1.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_comment") && !rs.contains("l_partkey"),
+      s"q1_agg scan not pruned: $rs")
+  }
+
+  test("query-bounded ANN sides push their vec_id bounds") {
+    Seq("ann_bruteforce" -> "LessThan(vec_id,10)",
+        "emb_adc" -> "LessThan(vec_id,5)").foreach { case (q, f) =>
+      assert(plan(q).contains(f), s"$q: query-set bound $f not pushed")
+    }
+  }
+}
