@@ -127,6 +127,7 @@ object SparkEntry {
     "emb_drift" -> ((s, d) => present(Ann.embDrift(s, d), "label")),
     "emb_whiten" -> ((s, d) => present(Ann.embWhiten(s, d), "vec_id")),
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
+    "ann_recall_lsh" -> ((s, d) => present(Ann.annRecallLsh(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
     "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
@@ -181,6 +182,7 @@ object SparkEntry {
     "mm_scene_cuts" -> ((s, d) => present(Multimodal.mmSceneCuts(s, d), "doc_id", "frame_idx")),
     "mm_phash_pairs" -> ((s, d) => present(
       Multimodal.phashPairs(s, d), "doc_id_a", "doc_id_b")),
+    "mm_phash_groups" -> ((s, d) => present(Multimodal.phashGroups(s, d), "doc_id")),
     "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
     "docs_dedup_bloom" -> ((s, d) => present(BloomDedup.dedupBloom(s, d), "doc_id")),
   )
@@ -569,6 +571,40 @@ object SparkEntry {
     * fingerprints as two 32-bit halves so xor/bit_count never
     * overflow.
     */
+  /** mm_phash_pairs replay: blockhash fingerprints from raw bytes,
+    * banded candidates, exact per-block Hamming — shared by the pair
+    * query and the mm_phash_groups closure.
+    */
+  private val mmPhashPairsSql: String =
+    """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |                  octet_length(encode(text)) AS n
+      |           FROM documents),
+      |bl AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS blk FROM b),
+      |s AS (SELECT doc_id, n, blk, ((blk + 1) * n) // 64 - (blk * n) // 64 AS blen,
+      |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |          range(CAST((blk * n) // 64 AS INT), CAST(((blk + 1) * n) // 64 AS INT)),
+      |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+      |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT)))) AS BIGINT) AS bsum
+      |      FROM bl),
+      |t AS (SELECT doc_id, sum(bsum) AS total FROM s GROUP BY 1),
+      |bits AS (SELECT s.doc_id, s.blk,
+      |           CASE WHEN s.blen > 0 AND s.bsum * s.n > t.total * s.blen
+      |                THEN 1 ELSE 0 END AS bit
+      |         FROM s JOIN t ON s.doc_id = t.doc_id),
+      |bands AS (SELECT doc_id, blk // 16 AS band,
+      |            CAST(sum(bit * (1 << CAST(blk % 16 AS INT))) AS INT) AS v
+      |          FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+      |         FROM bands a JOIN bands c
+      |           ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+      |SELECT cand.doc_id_a, cand.doc_id_b,
+      |       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+      |FROM cand
+      |JOIN bits x ON x.doc_id = cand.doc_id_a
+      |JOIN bits y ON y.doc_id = cand.doc_id_b AND y.blk = x.blk
+      |GROUP BY 1, 2 HAVING sum(abs(x.bit - y.bit)) <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   private val simhashCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
       |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
@@ -1398,6 +1434,14 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // LSH recall monitor: identical composition over the LSH oracle
+    "ann_recall_lsh" ->
+      s"""WITH exact AS (SELECT * FROM ($annExactTopKSql)),
+         |approx AS (SELECT * FROM (${annLshOracleSql})),
+         |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 END AS m
+         |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
+         |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
     // int8 quantization replay: same explicit half-up rounding
     // (floor(x/scale + 0.5)), same sequential double folds; q_sum is
     // exact integer, sqrt is IEEE-correctly-rounded on both engines
@@ -1580,37 +1624,20 @@ object SparkEntry {
         |       max(CASE WHEN band = 2 THEN v END) AS b2,
         |       max(CASE WHEN band = 3 THEN v END) AS b3
         |FROM b JOIN bands USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
-    // banded-candidate generation + exact per-block Hamming replay;
-    // complete for distance ≤ 3 by the 4-band pigeonhole
-    "mm_phash_pairs" ->
-      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-        |                  octet_length(encode(text)) AS n
-        |           FROM documents),
-        |bl AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS blk FROM b),
-        |s AS (SELECT doc_id, n, blk, ((blk + 1) * n) // 64 - (blk * n) // 64 AS blen,
-        |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
-        |          range(CAST((blk * n) // 64 AS INT), CAST(((blk + 1) * n) // 64 AS INT)),
-        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
-        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT)))) AS BIGINT) AS bsum
-        |      FROM bl),
-        |t AS (SELECT doc_id, sum(bsum) AS total FROM s GROUP BY 1),
-        |bits AS (SELECT s.doc_id, s.blk,
-        |           CASE WHEN s.blen > 0 AND s.bsum * s.n > t.total * s.blen
-        |                THEN 1 ELSE 0 END AS bit
-        |         FROM s JOIN t ON s.doc_id = t.doc_id),
-        |bands AS (SELECT doc_id, blk // 16 AS band,
-        |            CAST(sum(bit * (1 << CAST(blk % 16 AS INT))) AS INT) AS v
-        |          FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
-        |         FROM bands a JOIN bands c
-        |           ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
-        |SELECT cand.doc_id_a, cand.doc_id_b,
-        |       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
-        |FROM cand
-        |JOIN bits x ON x.doc_id = cand.doc_id_a
-        |JOIN bits y ON y.doc_id = cand.doc_id_b AND y.blk = x.blk
-        |GROUP BY 1, 2 HAVING sum(abs(x.bit - y.bit)) <= 3
-        |ORDER BY 1, 2""".stripMargin,
+    // banded-candidate generation + exact per-block Hamming replay
+    // (see mmPhashPairsSql); complete for d ≤ 3 by the 4-band
+    // pigeonhole
+    "mm_phash_pairs" -> mmPhashPairsSql,
+    // components over the phash edge set: same recursive closure as
+    // docs_simhash_groups, edges from the pairs replay
+    "mm_phash_groups" ->
+      s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmPhashPairsSql)),
+         |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
+         |       UNION SELECT doc_id_b, doc_id_a FROM pp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
+         |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
     // exact int64 gram over the emb_quantize codes: the qv lists
     // replay the same IEEE divisions, then every upper-triangle
     // (i, j) cell sums integer products — no float merge order

@@ -83,6 +83,23 @@ object Ann {
         round(count(col("m")).cast("double") / k, 4).as("recall"))
   }
 
+  /** Recall@k of the LSH path against the exact top-k — the same
+    * monitor as [[annRecall]] for the other approximate index. A
+    * serving deployment tracks BOTH curves: LSH recall moves with
+    * table/probe counts, IVF recall with nprobe — regressions point
+    * at different knobs.
+    */
+  def annRecallLsh(spark: SparkSession, dir: String,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = annBruteForce(spark, dir, nQueries, k).select(col("q_id"), col("n_id"))
+    val approx = annLsh(spark, dir).select(col("q_id"), col("n_id"))
+      .withColumn("m", lit(1))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column —
     * the storage/bandwidth step before any large-scale ANN serve
     * (4 B float → 1 B int per dim): per-vector scale = max|x|/127,

@@ -351,6 +351,21 @@ object Multimodal {
       .distinct()
   }
 
+  /** Connected components over the perceptual-hash near-dup graph —
+    * the image-dedup grouping pass, completing the detector → groups
+    * symmetry (jaccard → dedupGroups, simhash → docsSimhashGroups,
+    * phash → here): edges are [[phashPairs]] (banded, pigeonhole-
+    * complete for d ≤ 3), components via NearDup.starComponents
+    * (log-round stars — image dup clusters chain through resize/
+    * re-encode generations). group_id = min doc_id reachable.
+    */
+  def phashGroups(spark: SparkSession, dir: String,
+                  maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val pairs = phashPairs(spark, dir, maxDist).select("doc_id_a", "doc_id_b")
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    graft.operators.NearDup.starComponents(nodes, pairs, maxRounds)._1
+  }
+
   /** documents → MediaRow dataset (text bytes as stand-in payloads). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

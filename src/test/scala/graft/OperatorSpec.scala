@@ -1120,6 +1120,21 @@ class OperatorSpec extends SparkSpec {
     assert(labels.size === Tables.documents(spark, sf).count())
   }
 
+  test("phash groups: edge endpoints share a label, label = min reachable id") {
+    val labels = Multimodal.phashGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Multimodal.phashPairs(spark, sf).select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+    labels.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.keys.min === g)
+    }
+    // no text-byte phash collisions in this corpus → all singletons,
+    // which the closure must label as themselves
+    if (edges.isEmpty) labels.foreach { case (id, g) => assert(id === g) }
+    assert(labels.size === Tables.documents(spark, sf).count())
+  }
+
   test("group-size histogram partitions the whole corpus") {
     import graft.operators.NearDup
     val hist = NearDup.docsGroupSizes(spark, sf).collect()
