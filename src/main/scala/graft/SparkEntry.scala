@@ -93,6 +93,7 @@ object SparkEntry {
     "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
     "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
     "q_interval_overlap" -> ((s, d) => present(Relational.qIntervalOverlap(s, d), "event_type")),
+    "q_benford" -> ((s, d) => present(Relational.qBenford(s, d), "digit")),
     "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
@@ -992,6 +993,15 @@ object SparkEntry {
         |       a.n_events IS NULL AS is_gap
         |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms
         |ORDER BY g.event_type, g.bucket_ms""".stripMargin,
+    // first-digit replay: integer string math, exact counts, x10^6
+    // observed-share floors (the Benford overlay is consumer-side)
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders),
+        |n AS (SELECT digit, count(*) AS n FROM c WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM n)
+        |SELECT digit, n, CAST((n * 1000000) // total AS BIGINT) AS share_x1e6
+        |FROM n, t ORDER BY digit""".stripMargin,
     // sweep-line replay: +1/-1 interval deltas, close-before-open at
     // equal instants (half-open), running sum, first peak instant
     "q_interval_overlap" ->

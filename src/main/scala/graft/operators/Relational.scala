@@ -629,6 +629,27 @@ object Relational {
       .agg(max("peak").as("peak_concurrency"), min("t").as("peak_at_ms"))
   }
 
+  /** Benford first-digit audit over order totals — the
+    * data-integrity screen auditors run on money columns (organic
+    * amounts track log-uniform first digits; fabricated or
+    * clipped data bulges). Pure map-combinable shape: first digit
+    * extracted per row by integer string math, one 9-key count, the
+    * observed share an exact ×10⁶ integer floor against the total.
+    * The ideal Benford curve is the CONSUMER's overlay — emitting
+    * log10 floats here would only import libm cross-engine noise.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val counts = Tables.orders(spark, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("share_x1e6"))
+  }
+
   /** Sketch aggregates — the approximate family that makes exact-
     * unaffordable questions answerable at 100 TB: HyperLogLog++
     * distinct counts and KLL-style quantiles are one map-combinable

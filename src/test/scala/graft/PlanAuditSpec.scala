@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "sql_cosine", // 10x10 query-vector pair join, pure inequality keys
     "docs_mix_sample", // single-row scalar broadcasts (W, T aggregates)
     "docs_shard_plan", // single-row total-tokens broadcast onto S rows
+    "q_benford", // single-row total broadcast onto 9 digit rows
     "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
   )
 
