@@ -156,6 +156,7 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
     "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
     "text_ngram_novelty" -> ((s, d) => present(TextAnalysis.textNgramNovelty(s, d), "doc_id")),
+    "docs_chunk_dedup" -> ((s, d) => present(TextAnalysis.docsChunkDedup(s, d), "doc_id")),
     // rank IS the presentation order (assigned post-limit)
     "text_zipf" -> ((s, d) => present(TextAnalysis.textZipf(s, d), "rank")),
     // §2.7 multimodal
@@ -1847,6 +1848,19 @@ object SparkEntry {
         |       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text,
         |       CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT) AS n_chars
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chunk-dedup replay: same chunk grid as docs_chunk, md5 per
+    // chunk, distinct-doc df per hash, x10^4 floor share
+    "docs_chunk_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |             unnest(range(0, CAST(greatest((length(text) - 50 + 149) // 150, 1) AS BIGINT))) AS chunk_idx,
+        |             text
+        |           FROM documents),
+        |ch AS (SELECT doc_id, md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS h FROM c),
+        |df AS (SELECT h, count(*) AS n_docs_with FROM (SELECT DISTINCT doc_id, h FROM ch) GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN df.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST((sum(CASE WHEN df.n_docs_with > 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS shared_x1e4
+        |FROM ch JOIN df USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
     // deterministic hash-rate sampling: u = first 32 bits of
     // md5(doc_id string); thresholds are exact integer literals
     // computed by Sampling.rateThreshold (no float cast in SQL)

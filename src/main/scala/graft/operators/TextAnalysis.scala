@@ -243,6 +243,35 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("chunk_text")).cast("long"))
   }
 
+  /** Chunk-level partial-duplication rate — the granularity between
+    * whole-doc dedup (misses embedded boilerplate) and n-gram
+    * near-dup (pair-wise, expensive): chunk every document exactly
+    * as the RAG/packing pass does ([[chunk]] — same size/overlap),
+    * hash each chunk, and report per doc how much of it also exists
+    * ELSEWHERE in the corpus (chunks whose hash has df > 1 outside
+    * self-overlap… rendered simply: df counted over DISTINCT docs
+    * per hash). High shared-share docs are recombinations/mirrors —
+    * exactly what chunk-level dedup (the common production middle
+    * ground) would drop. Exact integers; ×10⁴ floor share.
+    *
+    * Shape: chunking is map-side; one map-combinable distinct-doc df
+    * per chunk hash; one equi-join back on the hash (Zipf-hot hashes
+    * ARE the boilerplate — AQE skew split); one per-doc reduce.
+    */
+  def docsChunkDedup(spark: SparkSession, dir: String,
+                     size: Int = 200, overlap: Int = 50): DataFrame = {
+    val chunks = chunk(Tables.documents(spark, dir), size, overlap)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val df = chunks.distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+    chunks.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        expr("(n_shared * 10000) div n_chunks").as("shared_x1e4"))
+  }
+
   /** The composite QUALITY GATE — the decision operator a cleaning
     * pipeline actually executes over the per-doc signals: length
     * bounds, punctuation ratio, intra-doc repetition, boilerplate

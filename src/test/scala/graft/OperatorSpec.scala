@@ -1303,6 +1303,25 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._1).toSet === expectedPairs)
   }
 
+  test("chunk dedup rate replays per-chunk cross-doc membership") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def chunksOf(t: String): Seq[String] = {
+      val n = math.max((t.length - 50 + 149) / 150, 1)
+      (0 until n).map(i => t.slice(i * 150, i * 150 + 200))
+    }
+    val perDoc = docs.map { case (id, t) => id -> chunksOf(t) }
+    val docsWith = perDoc.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, v) => c -> v.map(_._2).distinct.size }
+    val expect = perDoc.map { case (id, cs) =>
+      val shared = cs.count(docsWith(_) > 1).toLong
+      id -> (cs.length.toLong, shared, shared * 10000L / cs.length)
+    }.toMap
+    val got = TextAnalysis.docsChunkDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+  }
+
   test("ngram novelty replays the min-owner attribution") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
