@@ -94,6 +94,7 @@ object SparkEntry {
     "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
     "q_interval_overlap" -> ((s, d) => present(Relational.qIntervalOverlap(s, d), "event_type")),
     "q_benford" -> ((s, d) => present(Relational.qBenford(s, d), "digit")),
+    "q_time_profile" -> ((s, d) => present(Relational.qTimeProfile(s, d), "dow", "hour")),
     "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
@@ -994,6 +995,15 @@ object SparkEntry {
         |       a.n_events IS NULL AS is_gap
         |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms
         |ORDER BY g.event_type, g.bucket_ms""".stripMargin,
+    // heatmap replay: identical epoch integer math (no engine date
+    // functions — DOW/week-start conventions differ, div doesn't)
+    "q_time_profile" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events)
+        |SELECT ((ms // 86400000) + 4) % 7 AS dow,
+        |       (ms % 86400000) // 3600000 AS hour,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // first-digit replay: integer string math, exact counts, x10^6
     // observed-share floors (the Benford overlay is consumer-side)
     "q_benford" ->

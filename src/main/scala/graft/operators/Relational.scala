@@ -629,6 +629,24 @@ object Relational {
       .agg(max("peak").as("peak_concurrency"), min("t").as("peak_at_ms"))
   }
 
+  /** Day-of-week × hour activity heatmap — the traffic-shape profile
+    * behind capacity planning and anomaly baselines. Deliberately
+    * PURE INTEGER EPOCH MATH (dow = (epoch_days + 4) mod 7 with
+    * 0 = Sunday — 1970-01-01 was a Thursday; hour = in-day millis
+    * div 3600000, UTC): engine date functions differ in locale
+    * conventions (DOW numbering, week start), integer division
+    * doesn't. One map-combinable count on ≤ 168 keys.
+    */
+  def qTimeProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("unix_millis(ts)").as("ms"), col("value"))
+      .select(expr("((ms div 86400000) + 4) % 7").as("dow"),
+        expr("(ms % 86400000) div 3600000").as("hour"),
+        col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
   /** Benford first-digit audit over order totals — the
     * data-integrity screen auditors run on money columns (organic
     * amounts track log-uniform first digits; fabricated or
