@@ -101,6 +101,7 @@ object SparkEntry {
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
     "sql_shingles" -> ((s, d) => present(sqlShingles(s, d), "doc_id")),
     "sql_cosine" -> ((s, d) => present(sqlCosine(s, d), "a_id", "b_id")),
+    "sql_simhash" -> ((s, d) => present(sqlSimhash(s, d), "doc_id")),
     // §2.4 dedup family
     "docs_dedup_exact" -> ((s, d) => present(NearDup.docsDedupExact(s, d), "content_hash")),
     "docs_dedup_normalized" -> ((s, d) => present(NearDup.docsDedupNormalized(s, d), "content_hash")),
@@ -243,6 +244,22 @@ object SparkEntry {
         |       round(cosine_sim(a.embedding, b.embedding), 6) AS sim
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < 10 AND b.vec_id < 10 AND a.vec_id < b.vec_id""".stripMargin)
+  }
+
+  /** SimHashAgg driven from SQL text — the custom AGGREGATOR on the
+    * SQL surface (expressions register via GraftFunctions; typed
+    * Aggregators go through spark.udf.register). Fingerprints are
+    * identical to NearDup.simhashFingerprints, so the oracle is the
+    * shared simhash replay.
+    */
+  private def sqlSimhash(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("simhash_agg",
+      org.apache.spark.sql.functions.udaf(new graft.functions.SimHashAgg))
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, simhash_agg(tok) AS simhash
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id""".stripMargin)
   }
 
   private def qAsOf(spark: SparkSession, dir: String): DataFrame = {
@@ -1745,6 +1762,14 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o.owner = db.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |       CAST((sum(CASE WHEN o.owner = db.doc_id THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_x1e4
         |FROM db JOIN o USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL-surface UDAF replay: the shared simhash CTEs produce the
+    // fingerprint halves; the signed recombination keeps hi*2^32 in
+    // int64 range (hi's bit 31 is the sign bit of the long)
+    "sql_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id,
+         |       CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS simhash
+         |FROM fp ORDER BY doc_id""".stripMargin,
     // confusion-matrix replay: same marker scores/tie order as
     // text_langid, exact integer cells and x10^4 recall floors
     "docs_lang_confusion" ->
