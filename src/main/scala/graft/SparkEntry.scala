@@ -115,6 +115,7 @@ object SparkEntry {
     "docs_dedup_groups" -> ((s, d) => present(NearDup.dedupGroups(s, d), "doc_id")),
     "docs_simhash_groups" -> ((s, d) => present(NearDup.docsSimhashGroups(s, d), "doc_id")),
     "docs_group_sizes" -> ((s, d) => present(NearDup.docsGroupSizes(s, d), "group_size")),
+    "docs_detector_venn" -> ((s, d) => present(NearDup.docsDetectorVenn(s, d), "f_exact", "f_jaccard", "f_simhash")),
     "docs_dedup_keep" -> ((s, d) => present(NearDup.dedupKeep(s, d), "doc_id")),
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
     "docs_overlap_spans" -> ((s, d) => present(NearDup.docsOverlapSpans(s, d), "doc_id", "bench_id")),
@@ -1261,6 +1262,27 @@ object SparkEntry {
          |      UNION
          |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s ORDER BY doc_id""".stripMargin,
+    // detector Venn: jaccard + simhash CTEs composed (simhash's tok
+    // renamed to avoid the collision), exact-dup via md5 df, three
+    // flag semi-joins, one 2^3-cell count
+    "docs_detector_venn" -> {
+      val simRenamed = simhashCtes.replaceAll("\\btok\\b", "stok")
+      s"""WITH $jaccardCtes,
+         |$simRenamed,
+         |fe AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) > 1 AS f FROM documents),
+         |fj AS (SELECT DISTINCT doc_id FROM (SELECT a_id AS doc_id FROM jp UNION ALL SELECT b_id FROM jp)),
+         |fs AS (SELECT DISTINCT doc_id FROM (SELECT a_id AS doc_id FROM shp WHERE hamming <= 3
+         |                                    UNION ALL SELECT b_id FROM shp WHERE hamming <= 3))
+         |SELECT fe.f AS f_exact,
+         |       fj.doc_id IS NOT NULL AS f_jaccard,
+         |       fs.doc_id IS NOT NULL AS f_simhash,
+         |       count(*) AS n_docs
+         |FROM documents d
+         |JOIN fe ON d.doc_id = fe.doc_id
+         |LEFT JOIN fj ON d.doc_id = fj.doc_id
+         |LEFT JOIN fs ON d.doc_id = fs.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
     // group-size histogram over the same closure: group -> size,
     // size -> (count, docs) — two exact integer aggregates
     "docs_group_sizes" ->

@@ -134,6 +134,42 @@ object NearDup {
         col("a_start"), col("b_start"))
   }
 
+  /** Detector-coverage Venn — the evaluation table a dedup-pipeline
+    * owner reads before picking detectors: every document flagged by
+    * (a) exact hash, (b) 3-shingle Jaccard ≥ 0.5, (c) simhash
+    * Hamming ≤ 3, reduced to the 2³-cell count table. The off-
+    * diagonal cells are the argument for running more than one
+    * detector (exact misses paraphrases, jaccard misses short docs,
+    * simhash misses low-overlap containment); the all-zeros cell is
+    * the clean-corpus denominator. Three existing candidate
+    * pipelines feed three semi-join flags; one ≤8-key count.
+    */
+  def docsDetectorVenn(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("n") > 1).select(col("doc_id")).distinct()
+      .withColumn("f_exact", lit(true))
+    def endpoints(pairs: DataFrame, a: String, b: String) =
+      pairs.select(col(a).as("doc_id")).union(pairs.select(col(b).as("doc_id")))
+        .distinct()
+    val jac = endpoints(jaccardPairs(spark, dir, threshold), "a_id", "b_id")
+      .withColumn("f_jaccard", lit(true))
+    val sim = endpoints(simhashPairs(spark, dir, maxHamming), "a_id", "b_id")
+      .withColumn("f_simhash", lit(true))
+    docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(jac, Seq("doc_id"), "left")
+      .join(sim, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("f_exact"), lit(false)).as("f_exact"),
+        coalesce(col("f_jaccard"), lit(false)).as("f_jaccard"),
+        coalesce(col("f_simhash"), lit(false)).as("f_simhash"))
+      .groupBy("f_exact", "f_jaccard", "f_simhash")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Documents with their distinct word-3-shingle sets. The
     * repartition spreads per-doc shingling/hashing across cores —
     * the test tables arrive as one parquet file (one input split),
