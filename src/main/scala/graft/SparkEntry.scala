@@ -160,6 +160,7 @@ object SparkEntry {
     "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
     "text_ngram_novelty" -> ((s, d) => present(TextAnalysis.textNgramNovelty(s, d), "doc_id")),
     "docs_chunk_dedup" -> ((s, d) => present(TextAnalysis.docsChunkDedup(s, d), "doc_id")),
+    "docs_yield_report" -> ((s, d) => present(Pipeline.docsYieldReport(s, d), "source")),
     // rank IS the presentation order (assigned post-limit)
     "text_zipf" -> ((s, d) => present(TextAnalysis.textZipf(s, d), "rank")),
     // §2.7 multimodal
@@ -592,6 +593,43 @@ object SparkEntry {
     * fingerprints as two 32-bit halves so xor/bit_count never
     * overflow.
     */
+  /** Shared pipeline oracle chain: quality-gate keepset (replaying
+    * docsQualityFilter's integer cross-multiplied flags) and exact-
+    * dedup survivors `sv` — consumed by docs_pipeline (packing) and
+    * docs_yield_report (per-source accounting).
+    */
+  private val pipelineSvCtes: String =
+    """tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS nt,
+      |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS pr,
+      |        greatest(len(toks) - 2, 0) AS nsh,
+      |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS nd
+      |      FROM tok),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+      |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
+      |       FROM tok WHERE len(toks) >= 2),
+      |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
+      |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
+      |                           ORDER BY df DESC, ngram LIMIT 20)),
+      |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
+      |b AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
+      |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
+      |      FROM tok),
+      |j AS (SELECT f.doc_id, f.nt, f.pr, f.nsh, f.nd, b.nb, coalesce(m.n_top, 0) AS n_top
+      |      FROM f JOIN b ON f.doc_id = b.doc_id LEFT JOIN m ON f.doc_id = m.doc_id),
+      |keepset AS (SELECT doc_id FROM j
+      |            WHERE NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
+      |              AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2)),
+      |kept AS (SELECT d.doc_id, d.lang, md5(d.text) AS ch,
+      |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      |         FROM documents d JOIN keepset USING (doc_id)),
+      |ded AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM kept),
+      |sv AS (SELECT doc_id, lang, n_tok FROM ded WHERE rn = 1)""".stripMargin
+
   /** mm_phash_pairs replay: blockhash fingerprints from raw bytes,
     * banded candidates, exact per-block Hamming — shared by the pair
     * query and the mm_phash_groups closure.
@@ -1091,36 +1129,7 @@ object SparkEntry {
     // docs_quality_filter), first-wins exact dedup over survivors,
     // then the docs_pack running-sum cut over what remains
     "docs_pipeline" ->
-      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |f AS (SELECT doc_id,
-        |        CAST(len(toks) AS BIGINT) AS nt,
-        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-        |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS pr,
-        |        greatest(len(toks) - 2, 0) AS nsh,
-        |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
-        |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS nd
-        |      FROM tok),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
-        |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
-        |       FROM tok WHERE len(toks) >= 2),
-        |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
-        |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
-        |                           ORDER BY df DESC, ngram LIMIT 20)),
-        |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
-        |b AS (SELECT doc_id,
-        |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
-        |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
-        |      FROM tok),
-        |j AS (SELECT f.doc_id, f.nt, f.pr, f.nsh, f.nd, b.nb, coalesce(m.n_top, 0) AS n_top
-        |      FROM f JOIN b ON f.doc_id = b.doc_id LEFT JOIN m ON f.doc_id = m.doc_id),
-        |keepset AS (SELECT doc_id FROM j
-        |            WHERE NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
-        |              AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2)),
-        |kept AS (SELECT d.doc_id, d.lang, md5(d.text) AS ch,
-        |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
-        |         FROM documents d JOIN keepset USING (doc_id)),
-        |ded AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM kept),
-        |sv AS (SELECT doc_id, lang, n_tok FROM ded WHERE rn = 1),
+      s"""WITH $pipelineSvCtes,
         |c AS (SELECT doc_id, lang, n_tok,
         |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
@@ -1129,6 +1138,25 @@ object SparkEntry {
         |       (cum - n_tok) // 256 AS pack_id,
         |       (cum - n_tok) % 256 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // per-source yield through the same gate + dedup chain: exact
+    // doc/token counts at each stage, x10^4 floor survival share
+    "docs_yield_report" ->
+      s"""WITH $pipelineSvCtes,
+        |src AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |        FROM documents),
+        |tin AS (SELECT source, count(*) AS docs_in, CAST(sum(nt) AS BIGINT) AS tokens_in
+        |        FROM src GROUP BY 1),
+        |tk AS (SELECT s.source, count(*) AS docs_kept
+        |       FROM keepset k JOIN src s USING (doc_id) GROUP BY 1),
+        |tout AS (SELECT s.source, count(*) AS docs_out, CAST(sum(s.nt) AS BIGINT) AS tokens_out
+        |         FROM sv JOIN src s USING (doc_id) GROUP BY 1)
+        |SELECT tin.source, tin.docs_in, tin.tokens_in,
+        |       coalesce(tk.docs_kept, 0) AS docs_kept,
+        |       coalesce(tout.docs_out, 0) AS docs_out,
+        |       coalesce(tout.tokens_out, 0) AS tokens_out,
+        |       CAST((coalesce(tout.tokens_out, 0) * 10000) // tin.tokens_in AS BIGINT) AS token_yield_x1e4
+        |FROM tin LEFT JOIN tk USING (source) LEFT JOIN tout USING (source)
+        |ORDER BY source""".stripMargin,
     // sequence packing: integer running sums cut at a 256-token
     // budget; HUGEINT window sums cast back to BIGINT
     "docs_pack" ->

@@ -44,4 +44,40 @@ object Pipeline {
         expr(s"(cum_tok - n_tok) div $budget").as("pack_id"),
         pmod(col("cum_tok") - col("n_tok"), lit(budget.toLong)).as("pack_offset"))
   }
+
+  /** Per-source YIELD report through the same gate + dedup chain —
+    * the accounting artifact every pipeline run ships: docs/tokens
+    * in, docs surviving the quality gate, docs/tokens surviving
+    * dedup, and the exact ×10⁴ token-yield floor. A source whose
+    * yield collapses is the first thing a corpus owner investigates
+    * (crawler regression? boilerplate flood? mirror site?). All
+    * counts exact; three map-combinable per-source aggregates joined
+    * on the |sources|-key — nothing wider than the corpus scan
+    * itself moves twice.
+    */
+  def docsYieldReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val keep = TextAnalysis.docsQualityFilter(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val kept = Tables.documents(spark, dir)
+      .join(keep, "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+    val sv = kept
+      .withColumn("rn", row_number().over(Window.partitionBy("ch").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id")
+    val tin = src.groupBy("source")
+      .agg(count(lit(1)).as("docs_in"), sum("n_tok").as("tokens_in"))
+    val tk = kept.join(src, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"))
+    val tout = sv.join(src, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("docs_out"), sum("n_tok").as("tokens_out"))
+    tin.join(tk, Seq("source"), "left").join(tout, Seq("source"), "left")
+      .select(col("source"), col("docs_in"), col("tokens_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("docs_out"), lit(0L)).as("docs_out"),
+        coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+        expr("(coalesce(tokens_out, 0) * 10000) div tokens_in").as("token_yield_x1e4"))
+  }
 }
