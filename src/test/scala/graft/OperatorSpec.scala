@@ -812,6 +812,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("yield report reconciles with the pipeline's survivor set") {
+    import graft.operators.Pipeline
+    val rep = Pipeline.docsYieldReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // per-source input accounting covers the whole corpus
+    assert(rep.map(_._2).sum === Tables.documents(spark, sf).count())
+    // stage monotonicity and survivor-count agreement with the pipeline
+    rep.foreach { case (s, in, tin, kept, out, tout, y) =>
+      assert(kept <= in && out <= kept, s"source $s stage counts not monotone")
+      assert(tout <= tin && y === tout * 10000L / tin, s"source $s yield math")
+    }
+    assert(rep.map(_._5).sum === Pipeline.docsPipeline(spark, sf).count())
+  }
+
   test("pipeline = quality gate ∘ exact dedup ∘ packing, stage by stage") {
     import graft.operators.{Pipeline, TextAnalysis}
     val got = Pipeline.docsPipeline(spark, sf).collect()
