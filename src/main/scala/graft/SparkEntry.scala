@@ -136,6 +136,7 @@ object SparkEntry {
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
     "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
     "emb_ivf_adc" -> ((s, d) => present(Ann.embIvfAdc(s, d), "q_id", "rnk")),
+    "emb_pq_distortion" -> ((s, d) => present(Ann.embPqDistortion(s, d), "m")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -1474,6 +1475,20 @@ object SparkEntry {
     "emb_pq" -> embPqOracleSql,
     "emb_adc" -> embAdcOracleSql,
     "emb_ivf_adc" -> embIvfAdcOracleSql,
+    // distortion replay: same PQ model CTEs; per-row error is an
+    // 8-element sequential fold over the pinned codebook, floored
+    // to x10^6 integers before the exact per-subspace reduction
+    "emb_pq_distortion" ->
+      s"""WITH $pqCtes
+         |SELECT a1.m,
+         |       count(*) AS n_vectors,
+         |       CAST(sum(CAST(floor(list_sum(list_transform(range(1, 9),
+         |              i -> (sub.s[i] - c.c[i]) * (sub.s[i] - c.c[i]))) * 1000000) AS BIGINT)) AS BIGINT) AS total_dist_x1e6,
+         |       CAST(sum(CAST(floor(list_sum(list_transform(range(1, 9),
+         |              i -> (sub.s[i] - c.c[i]) * (sub.s[i] - c.c[i]))) * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS mean_dist_x1e6
+         |FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m = sub.m
+         |JOIN c1 c ON a1.m = c.m AND a1.cid = c.cid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf" -> annIvfOracleSql,
     // float→double casts happen per element BEFORE the avg on both
     // sides; round(·, 6) absorbs the engines' summation-order ulps

@@ -513,6 +513,33 @@ object Ann {
         col("vec_id").as("n_id"), col("adc_score"))
   }
 
+  /** Per-subspace PQ quantization distortion — the codebook-quality
+    * monitor next to [[embPq]]/[[embAdc]]: for every vector's
+    * assigned codeword, the squared reconstruction error
+    * ‖s − c‖², reduced per subspace to count / total / mean. A
+    * subspace whose distortion dominates is where PQ recall dies
+    * first (retrain that codebook, or give the subspace more bits).
+    * Per-row error is a fixed 8-element fold over the PINNED
+    * (4-decimal) codebook — deterministic IEEE — FLOORED to ×10⁶
+    * integers, so the per-m reduction is exact integer arithmetic
+    * with an exact floor mean. One broadcast join (128-row model),
+    * one 8-key map-combinable aggregate.
+    */
+  def embPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (codebook, codes) = pqModel(spark, dir)
+    val err2 = aggregate(
+      zip_with(col("s"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    pqSub(spark, dir)
+      .join(codes, Seq("vec_id", "m"))
+      .join(broadcast(codebook), Seq("m", "cid"))
+      .select(col("m"), floor(err2 * 1000000).cast("long").as("d6"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("d6").as("total_dist_x1e6"),
+        expr("sum(d6) div count(1)").as("mean_dist_x1e6"))
+  }
+
   /** IVF + ADC composed search — the standard billion-scale serving
     * stack (FAISS's IVFPQ layout): the IVF coarse quantizer prunes
     * the scan to `nprobe` of `clusters` inverted lists, and within
