@@ -192,6 +192,11 @@ object SparkEntry {
     "mm_phash_groups" -> ((s, d) => present(Multimodal.phashGroups(s, d), "doc_id")),
     "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
     "docs_dedup_bloom" -> ((s, d) => present(BloomDedup.dedupBloom(s, d), "doc_id")),
+    "q_transitions" -> ((s, d) => present(Relational.qTransitions(s, d), "from_type", "to_type")),
+    "q_rolling_dau" -> ((s, d) => present(Relational.qRollingDau(s, d), "day")),
+    "q_running_distinct" -> ((s, d) => present(Relational.qRunningDistinct(s, d), "day")),
+    "docs_length_profile" -> ((s, d) => present(TextAnalysis.docsLengthProfile(s, d), "lang")),
+    "text_len_hist" -> ((s, d) => present(TextAnalysis.textLenHist(s, d), "lang", "tok_len")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2084,5 +2089,57 @@ object SparkEntry {
         |       sha256(text) AS sha256,
         |       lower(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // transition-matrix replay: lag over the same (epoch_us, event_id)
+    // order both engines share (the q_lag_delta rule), exact counts,
+    // x10^4 integer-floor shares against the broadcast total
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       CAST((n * 10000) // total AS BIGINT) AS share_x1e4
+        |FROM c, t ORDER BY from_type, to_type""".stripMargin,
+    // DAU/WAU replay: distinct (day,user) first, each active day
+    // contributed to its next-7 target windows via generate_series,
+    // distinct-count per target day, x10^4 stickiness floor
+    "q_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |wd AS (SELECT unnest(generate_series(day, day + 6)) AS day, user_id FROM du),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM wd GROUP BY 1)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        |       CAST((dau.dau * 10000) // wau.wau AS BIGINT) AS stickiness_x1e4
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // cumulative-reach replay: first-seen day per user, per-day new
+    // users, prefix sum over the day axis
+    "q_running_distinct" ->
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    // exact discrete order statistics on the unique (n_chars, doc_id)
+    // rank axis — element AT rank ceil(q*n/100), integer math only
+    "docs_length_profile" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id,
+        |             CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT lang, max(n) AS n_docs, min(n_chars) AS len_min, max(n_chars) AS len_max,
+        |       max(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END) AS p10,
+        |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // token-length histogram: same whitespace split as T.tokens,
+    // exact token + distinct-type counts per (lang, length) cell
+    "text_len_hist" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, CAST(len(tok) AS BIGINT) AS tok_len,
+        |       count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

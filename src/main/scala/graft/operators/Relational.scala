@@ -771,4 +771,82 @@ object Relational {
         col("n_orders"),
         expr("(sum_cents * 100) div n_orders").as("cust_avg_x10000"))
   }
+
+  /** Event-type transition matrix — the first-order Markov profile of
+    * user behavior (session-flow analysis, anomaly baselines, and the
+    * curriculum/ordering statistics a sequence-data pipeline reports).
+    * Each user's events are ordered on the MICROSECOND epoch axis
+    * with event_id tie-break (Spark timestamps are µs; ordering on the
+    * raw timestamp would tie-break differently from an engine that
+    * keeps nanos — the q_lag_delta lesson), `lag` pairs each event
+    * with its predecessor, and one map-combinable count lands on the
+    * tiny types×types key space. Shares are exact ×10⁴ integer floors
+    * against the broadcast total — no float division.
+    *
+    * Scale: one shuffle on user_id for the window sort (per-user
+    * timelines are watermark-bounded in practice), then a ≤ |types|²
+    * aggregate — reduce side is constant-size regardless of corpus.
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000) div total").as("share_x1e4"))
+  }
+
+  /** Rolling 7-day active users per day (DAU/WAU + stickiness) — the
+    * engagement family where the naive rendering (per-day COUNT
+    * DISTINCT over a sliding self-join window) explodes at scale.
+    * Shape here: dedup to distinct (day, user) FIRST (one
+    * map-combinable distinct over day×user — the only data-sized
+    * shuffle), then each active day CONTRIBUTES itself to the next 7
+    * target days via a bounded ×7 `sequence` explode, a second
+    * distinct collapses multi-active users per target window, and the
+    * trailing distinct count becomes a plain count. Equi-keys
+    * everywhere — no range self-join, no theta join; the explode
+    * factor is the window length, a constant. Stickiness = exact
+    * ×10⁴ integer floor of DAU/WAU. Only days with activity are
+    * emitted (inner join), each with its full trailing window.
+    */
+  def qRollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_x1e4"))
+  }
+
+  /** Cumulative distinct-user reach by day — "how many unique users
+    * has the product EVER seen as of day d". Exact running distinct
+    * is unaffordable as a per-day COUNT DISTINCT over growing
+    * prefixes; the decomposition is the standard one: a user counts
+    * only on their FIRST-SEEN day (one map-combinable min per user —
+    * the only data-sized shuffle), days collapse to new-user counts,
+    * and the running total is a prefix sum over the tiny day axis.
+    * The final window is unpartitioned by construction (one row per
+    * day, bounded by the calendar, not the corpus) — the same
+    * single-partition tail every cumulative report ends in.
+    */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(expr("unix_millis(ts) div 86400000")).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cum_users", sum("new_users").over(w))
+  }
 }

@@ -484,4 +484,49 @@ object TextAnalysis {
         round(col("n").cast("double") / col("total"), 6).as("share"),
         round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"))
   }
+
+  /** Per-language document-length quantile profile — the length
+    * distribution table every corpus card ships (and the input to
+    * truncation/packing budget decisions). Quantiles are EXACT
+    * DISCRETE order statistics, all-integer: rank each lang's docs on
+    * (n_chars, doc_id) — a unique total order, so the element AT rank
+    * ⌈q·n/100⌉ is well-defined on any engine — and pick p10/p50/p90
+    * with a conditional max. No percentile interpolation, no floats.
+    *
+    * Scale: one shuffle on lang for the window sort. Per-lang
+    * timelines are corpus-sized, so at 100 TB this exact rendering is
+    * the AUDIT path; the streaming-friendly scale path is the sketch
+    * family ([[Relational.qSketchProfile]]'s percentile_approx) —
+    * same contract, bounded state.
+    */
+  def docsLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+    ranked.groupBy("lang")
+      .agg(max("n").as("n_docs"),
+        min("n_chars").as("len_min"),
+        max("n_chars").as("len_max"),
+        max(when(col("rn") === expr("(n * 10 + 99) div 100"), col("n_chars"))).as("p10"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("n_chars"))).as("p90"))
+  }
+
+  /** Token-length histogram per language — the width distribution a
+    * tokenizer-training pass profiles first (subword vocab sizing,
+    * truncation budgets, and a cheap language sanity check: length
+    * distributions differ per script). Pure map-side explode + one
+    * map-combinable count on the tiny (lang × length) key space;
+    * `n_distinct` adds the type-level view next to the token-level
+    * one. All-integer, single shuffle, reduce side bounded by
+    * langs × max word length.
+    */
+  def textLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), length(col("tok")).cast("long").as("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct"))
 }

@@ -1427,6 +1427,83 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("transition matrix counts every consecutive pair exactly once") {
+    import graft.operators.Relational
+    val got = Relational.qTransitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // replay: per-user (us, event_id)-ordered timelines, counted by hand
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { tl =>
+      tl.sortBy(e => (e._4, e._2)).map(_._3).toList.sliding(2).collect { case List(a, b) => (a, b) }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.view.mapValues(_._1).toMap === expect)
+    val total = expect.values.sum
+    got.foreach { case (_, (n, share)) => assert(share === n * 10000L / total) }
+  }
+
+  test("rolling 7-day WAU matches a brute-force trailing window") {
+    import graft.operators.Relational
+    val got = Relational.qRollingDau(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val du = Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted
+    assert(got.keySet === days.toSet) // only active days emitted
+    days.foreach { d =>
+      val dau = du.count(_._1 == d).toLong
+      val wau = du.filter(u => u._1 <= d && u._1 >= d - 6).map(_._2).distinct.length.toLong
+      assert(got(d) === ((dau, wau, dau * 10000L / wau)), s"day $d")
+    }
+  }
+
+  test("cumulative reach ends at the total distinct-user count") {
+    import graft.operators.Relational
+    val rows = Relational.qRunningDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === totalUsers)
+    assert(rows.last._3 === totalUsers)
+    // prefix-sum consistency, strictly increasing cum
+    rows.foldLeft(0L) { case (acc, (_, nu, cum)) =>
+      assert(cum === acc + nu); cum
+    }
+  }
+
+  test("length profile percentiles are exact order statistics") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.docsLengthProfile(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = Tables.documents(spark, sf).select("lang", "n_chars", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (d._2, d._3)).map(_._2)
+      val n = sorted.length
+      def pick(q: Int) = sorted(((n.toLong * q + 99) / 100).toInt - 1)
+      assert(got(lang) === ((n.toLong, sorted.min, sorted.max,
+        pick(10), pick(50), pick(90))), s"lang $lang")
+    }
+  }
+
+  test("token-length histogram accounts for every token") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.textLenHist(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    got.foreach { case ((_, len), (n, nd)) =>
+      assert(len >= 0 && nd >= 1 && nd <= n)
+    }
+    // token mass per lang reconciles with the corpus token count
+    val perLang = got.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum).toMap
+    val expect = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("nt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perLang === expect)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "docs_mix_sample", // single-row scalar broadcasts (W, T aggregates)
     "docs_shard_plan", // single-row total-tokens broadcast onto S rows
     "q_benford", // single-row total broadcast onto 9 digit rows
+    "q_transitions", // single-row total broadcast onto <=|types|^2 rows
     "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
   )
 

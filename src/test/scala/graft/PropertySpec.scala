@@ -262,7 +262,17 @@ class PropertySpec extends SparkSpec {
       val sets = docs.map { case (id, t) => id -> shingles(t.split(" ", -1).toSeq) }
         .filter(_._2.nonEmpty).toMap
 
-      for (t <- Seq(0.3, 0.5, 0.8)) {
+      // fixed thresholds + randomized RATIONALS k/d (d ≤ 12): rational
+      // t makes t·n / t·(na+nb) land on exact integers often, which is
+      // precisely the boundary where a naively-rounded prune could get
+      // one-too-tight (the ADVICE double-rounding concern) — drawing
+      // them at random sweeps boundaries the fixed set never hits
+      val randTs = Seq.fill(3) {
+        val d = 3 + rnd.nextInt(10)
+        val k = 1 + rnd.nextInt(d - 1)
+        k.toDouble / d
+      }
+      for (t <- Seq(0.3, 0.5, 0.8) ++ randTs) {
         val gotJ = graft.operators.NearDup.jaccardPairsOn(df, t)
           .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val expJ = (for {
@@ -272,7 +282,7 @@ class PropertySpec extends SparkSpec {
         } yield (a, b)).toSet
         assert(gotJ === expJ, s"trial $trial jaccard t=$t")
       }
-      for (t <- Seq(0.6, 0.8); (hotDf, salts) <- Seq((1024, 16), (1, 4))) {
+      for (t <- Seq(0.6, 0.8) ++ randTs.take(1); (hotDf, salts) <- Seq((1024, 16), (1, 4))) {
         // (hotDf=1, salts=4) forces EVERY index key through salting —
         // exactness must be unaffected
         val gotC = graft.operators.NearDup.containmentPairsOn(df, t, hotDf, salts)
