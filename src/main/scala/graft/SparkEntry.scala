@@ -197,6 +197,10 @@ object SparkEntry {
     "q_running_distinct" -> ((s, d) => present(Relational.qRunningDistinct(s, d), "day")),
     "docs_length_profile" -> ((s, d) => present(TextAnalysis.docsLengthProfile(s, d), "lang")),
     "text_len_hist" -> ((s, d) => present(TextAnalysis.textLenHist(s, d), "lang", "tok_len")),
+    "q_anomaly" -> ((s, d) => present(Relational.qAnomaly(s, d), "event_id")),
+    "q_pareto" -> ((s, d) => present(Relational.qPareto(s, d), "decile")),
+    "q_attribution" -> ((s, d) => present(Relational.qAttribution(s, d), "event_id")),
+    "docs_cooc_lift" -> ((s, d) => present(TextAnalysis.docsCoocLift(s, d), "a", "b")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2141,5 +2145,66 @@ object SparkEntry {
         |SELECT lang, CAST(len(tok) AS BIGINT) AS tok_len,
         |       count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 2-sigma replay: the identical cross-multiplied integer test in
+    // HUGEINT (DuckDB's decimal128 twin of Spark's DECIMAL(38,0))
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |             CAST(sum(cents * cents) AS BIGINT) AS sumsq FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |       (CAST(n AS HUGEINT) * e.cents - sum_cents) * (CAST(n AS HUGEINT) * e.cents - sum_cents)
+        |         > 4 * (CAST(n AS HUGEINT) * sumsq - CAST(sum_cents AS HUGEINT) * sum_cents) AS is_outlier
+        |FROM e JOIN s USING (event_type) ORDER BY event_id""".stripMargin,
+    // Pareto replay: one global window rank (the oracle CAN afford
+    // it), same (spend DESC, user) unique order, floor-decile cut
+    "q_pareto" ->
+      """WITH p AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT user_id, spend_cents,
+        |             row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rn,
+        |             count(*) OVER () AS nu FROM p),
+        |d AS (SELECT ((rn - 1) * 10) // nu AS decile, count(*) AS n_users,
+        |             CAST(sum(spend_cents) AS BIGINT) AS spend_cents FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(spend_cents) AS BIGINT) AS total FROM d),
+        |c AS (SELECT decile, n_users, spend_cents,
+        |             CAST(sum(spend_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+        |      FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+        |       spend_cents, cum_spend_cents,
+        |       CAST((cum_spend_cents * 10000) // total AS BIGINT) AS cum_share_x1e4
+        |FROM c, t ORDER BY decile""".stripMargin,
+    // last-touch replay: three IGNORE-NULLS last_value carries over
+    // the same [unbounded, -1] frame — consistent because all three
+    // are non-null on exactly the non-purchase rows
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT user_id, event_id, event_type, us,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS) OVER w AS src_event_id,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS src_type,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS) OVER w AS src_us
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, src_event_id, src_type,
+        |       (us - src_us) // 1000 AS gap_ms,
+        |       coalesce(us - src_us <= 1800000000, false) AS within_30m
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // skip-gram replay: positional self-join within the +1..+3
+    // window, exact counts, x10^4 integer-floor lift
+    "docs_cooc_lift" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS INT)] AS tok
+        |      FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+        |pr AS (SELECT a.tok AS a, b.tok AS b, count(*) AS c_ab
+        |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |m AS (SELECT tok, count(*) AS c FROM p GROUP BY 1),
+        |t2 AS (SELECT count(*) AS n_total FROM p)
+        |SELECT pr.a, pr.b, CAST(pr.c_ab AS BIGINT) AS c_ab,
+        |       CAST(ma.c AS BIGINT) AS c_a, CAST(mb.c AS BIGINT) AS c_b,
+        |       CAST((pr.c_ab * n_total * 10000) // (ma.c * mb.c) AS BIGINT) AS lift_x1e4
+        |FROM pr JOIN m ma ON pr.a = ma.tok JOIN m mb ON pr.b = mb.tok, t2
+        |ORDER BY a, b""".stripMargin,
   )
 }

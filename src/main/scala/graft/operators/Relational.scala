@@ -849,4 +849,99 @@ object Relational {
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDay.withColumn("cum_users", sum("new_users").over(w))
   }
+
+  /** Per-type 2σ outlier flags with EXACT integer arithmetic — the
+    * anomaly gate a monitoring pipeline runs on every value column.
+    * |x − μ| > 2σ is evaluated as the cross-multiplied integer test
+    * (n·x − Σ)² > 4·(n·Σx² − Σ²): no float mean, no sqrt, no
+    * engine-divergent rounding anywhere. The squared sides exceed
+    * int64 (n·x ≈ 5·10⁹ at sf0.1 squares past 2⁶³) so they widen to
+    * DECIMAL(38,0) — Spark's decimal128, DuckDB's HUGEINT — which
+    * holds to n ≈ 10⁹ rows/type; past that the scale path is
+    * per-partition Welford merge (float) with a documented tolerance.
+    *
+    * Scale: one map-combinable stats pass (5 groups), stats broadcast
+    * back onto the stream — the event scan stays map-only.
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        sum(expr("cents * cents")).as("sumsq"))
+    val d = (col("n") * col("cents") - col("sum_cents")).cast("decimal(38,0)")
+    val varN2 = // n²·σ² = n·Σx² − Σ², in decimal128
+      col("n").cast("decimal(38,0)") * col("sumsq").cast("decimal(38,0)") -
+        col("sum_cents").cast("decimal(38,0)") * col("sum_cents").cast("decimal(38,0)")
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        (d * d > lit(4).cast("decimal(38,0)") * varN2).as("is_outlier"))
+  }
+
+  /** Spend-concentration (Pareto) decile table: rank purchasers by
+    * exact spend, cut into 10 rank deciles, report each decile's user
+    * count, spend, and cumulative ×10⁴ share. The global rank is the
+    * part that breaks naively at scale (an unpartitioned window is a
+    * single-partition sort), so it's computed DISTRIBUTED: range-
+    * repartition on the sort key, rank within each partition in
+    * parallel, then add per-partition offsets (a #partitions-row
+    * prefix sum, broadcast back). The only single-partition window
+    * left runs over ≤ 32 offset rows and 10 decile rows.
+    */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("spend_cents"))
+    val parted = spend
+      .repartitionByRange(32, col("spend_cents").desc, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy(col("spend_cents").desc, col("user_id"))).cast("long"))
+    val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = cnts // ≤ 32 rows: the single-partition window is bounded
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nu", sum("cnt").over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ranked = local.join(broadcast(offsets.select("pid", "off", "nu")), "pid")
+      .withColumn("rn", col("off") + col("lrn"))
+    val deciles = ranked
+      .groupBy(expr("((rn - 1) * 10) div nu").as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum("spend_cents").as("spend_cents"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = deciles.agg(sum("spend_cents").as("total"))
+    deciles.withColumn("cum_spend_cents", sum("spend_cents").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_users"), col("spend_cents"), col("cum_spend_cents"),
+        expr("(cum_spend_cents * 10000) div total").as("cum_share_x1e4"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRIOR non-purchase event, with the gap in ms and a
+    * 30-minute attribution-window flag. One per-user window pass —
+    * `last(..., ignoreNulls)` over rows [unbounded, −1) carries the
+    * latest non-purchase (us, event_id, type) struct forward, so no
+    * self-join and no per-row scan-back; ordering is the shared
+    * (µs, event_id) axis. Purchases with no prior touch keep NULL
+    * source columns and within_30m = false.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("src", last(when(col("event_type") =!= "purchase",
+        struct(col("us"), col("event_id"), col("event_type"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("src.event_id").as("src_event_id"),
+        col("src.event_type").as("src_type"),
+        expr("(us - src.us) div 1000").as("gap_ms"),
+        coalesce(col("us") - col("src.us") <= lit(30L * 60 * 1000000), lit(false))
+          .as("within_30m"))
+  }
 }

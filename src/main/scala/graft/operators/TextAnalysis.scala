@@ -529,4 +529,41 @@ object TextAnalysis {
       .groupBy(col("lang"), length(col("tok")).cast("long").as("tok_len"))
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("tok")).as("n_distinct"))
+
+  /** Directional skip-gram co-occurrence with EXACT integer lift —
+    * collocation mining (the word2vec/PMI window statistic) with no
+    * transcendental in sight: lift = N·c(a,b) / (c(a)·c(b)) reported
+    * as a ×10⁴ integer floor, PMI's log deferred to the consumer.
+    * Window pairs (a precedes b within 3) come from a bounded ×3
+    * `sequence` explode joined back on the (doc_id, position)
+    * EQUI-key — no positional range self-join. c(a,b) ≥ 5 bounds the
+    * output to genuinely collocated pairs.
+    *
+    * Scale: the pair count and both marginal joins shuffle on token
+    * keys; hot tokens skew the marginal join — at corpus scale salt
+    * the marginal broadcast-side (df-style split, see
+    * [[NearDup.containmentPairsOn]]'s hot-key treatment). Integer
+    * ranges: c·N·10⁴ ≤ 10¹⁸ holds to ~10⁹-token corpora per count
+    * cell; past that, widen to decimal128.
+    */
+  def docsCoocLift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("i", "tok")))
+    val followers = toks
+      .withColumn("d", explode(sequence(lit(1), lit(3))))
+      .select(col("doc_id"), (col("i") + col("d")).as("j"), col("tok").as("a"))
+    val pairs = followers
+      .join(toks.select(col("doc_id"), col("i").as("j"), col("tok").as("b")),
+        Seq("doc_id", "j"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val marg = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(marg.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(marg.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
+  }
 }

@@ -1504,6 +1504,90 @@ class OperatorSpec extends SparkSpec {
     assert(perLang === expect)
   }
 
+  test("anomaly flags match exact BigInt mean/variance replay") {
+    import graft.operators.Relational
+    val got = Relational.qAnomaly(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.size === ev.length)
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val sq = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.foreach { case (id, _, x) =>
+        val d = n * x - s
+        val expect = d * d > 4 * (n * sq - s * s) // |x-mu| > 2 sigma, exactly
+        assert(got(id) === ((x, expect)), s"event $id")
+      }
+    }
+    assert(got.values.exists(_._2) && got.values.exists(!_._2)) // both classes occur
+  }
+
+  test("pareto deciles: distributed rank equals a driver-side sort") {
+    import graft.operators.Relational
+    val got = Relational.qPareto(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    val spend = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = spend.sortBy { case (u, s) => (-s, u) }.zipWithIndex
+    val nu = ranked.length.toLong
+    val deciles = ranked.groupBy { case (_, i) => i.toLong * 10 / nu }
+      .map { case (d, rows) => d -> (rows.length.toLong, rows.map(_._1._2).sum) }
+    val total = spend.map(_._2).sum
+    var cum = 0L
+    got.foreach { case (d, (n, sp, cumGot, share)) =>
+      assert((n, sp) === deciles(d), s"decile $d")
+      cum += sp
+      assert(cumGot === cum && share === cum * 10000L / total, s"decile $d cumulative")
+    }
+    assert(got.map(_._1) === (0L to 9L).toArray.toSeq || nu < 10)
+  }
+
+  test("attribution picks the latest prior non-purchase touch") {
+    import graft.operators.Relational
+    val got = Relational.qAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), (if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4), r.getBoolean(5)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { tl =>
+      val sorted = tl.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.collect { case ((_, id, "purchase", us), idx) =>
+        sorted.take(idx).filter(_._3 != "purchase").lastOption match {
+          case Some((_, sid, st, sus)) =>
+            id -> ((sid, st, (us - sus) / 1000, us - sus <= 1800000000L))
+          case None => id -> ((-1L, "", Long.MinValue, false))
+        }
+      }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("co-occurrence lift reconciles with brute-force window pairs") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.docsCoocLift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.split(" ", -1))
+    val marg = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = toks.map(_.length.toLong).sum
+    val pairs = toks.flatMap { t =>
+      t.indices.flatMap(i => (i + 1 to math.min(i + 3, t.length - 1)).map(j => (t(i), t(j))))
+    }.groupBy(identity).view.mapValues(_.length.toLong).filter(_._2 >= 5).toMap
+    assert(got.keySet === pairs.keySet)
+    got.foreach { case (k @ (a, b), (cab, ca, cb, lift)) =>
+      assert(cab === pairs(k) && ca === marg(a) && cb === marg(b))
+      assert(lift === cab * n * 10000L / (ca * cb))
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

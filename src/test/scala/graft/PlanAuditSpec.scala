@@ -22,6 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "docs_shard_plan", // single-row total-tokens broadcast onto S rows
     "q_benford", // single-row total broadcast onto 9 digit rows
     "q_transitions", // single-row total broadcast onto <=|types|^2 rows
+    "q_pareto", // single-row total broadcast onto 10 decile rows
+    "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
     "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
   )
 
