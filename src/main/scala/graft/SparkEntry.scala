@@ -201,6 +201,10 @@ object SparkEntry {
     "q_pareto" -> ((s, d) => present(Relational.qPareto(s, d), "decile")),
     "q_attribution" -> ((s, d) => present(Relational.qAttribution(s, d), "event_id")),
     "docs_cooc_lift" -> ((s, d) => present(TextAnalysis.docsCoocLift(s, d), "a", "b")),
+    "q_skew_profile" -> ((s, d) => present(Relational.qSkewProfile(s, d), "bucket")),
+    "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
+    "emb_lsh_balance" -> ((s, d) => present(Ann.embLshBalance(s, d), "t")),
+    "emb_dedup_groups" -> ((s, d) => present(NearDup.embDedupGroups(s, d), "vec_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -308,20 +312,27 @@ object SparkEntry {
     * multi-probe candidate union, and the exact-cosine rerank are
     * recomputed from the raw embeddings table.
     */
-  private def annLshOracleSql: String = {
+  /** The shared planes + per-table signature CTEs (hyperplanes
+    * inlined as literals) — the head of every LSH-replay oracle.
+    */
+  private def lshSigCtes: String = {
     val planes = (for { t <- 0 until Ann.LSH_TABLES; p <- 0 until Ann.LSH_BITS } yield {
       val comps = (0 until Ann.DIM)
         .map(h => Ann.planeComponent(t * Ann.LSH_BITS + p, h))
       s"($t, $p, [${comps.mkString(", ")}])"
     }).mkString(",\n")
-    val flips = (0 until Ann.LSH_BITS).map(b => s"(${1L << b})").mkString(",")
-    s"""WITH planes(t, p, v) AS (VALUES
+    s"""planes(t, p, v) AS (VALUES
        |$planes),
-       |n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
        |sig AS (SELECT e.vec_id, pl.t,
        |          CAST(sum(CASE WHEN list_sum(list_transform(range(1, ${Ann.DIM + 1}), i -> e.embedding[i]::DOUBLE * pl.v[i])) >= 0
        |                        THEN CAST(1 AS BIGINT) << CAST(pl.p AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-       |        FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+       |        FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    val flips = (0 until Ann.LSH_BITS).map(b => s"(${1L << b})").mkString(",")
+    s"""WITH $lshSigCtes,
+       |n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
        |flips(f) AS (VALUES (0),$flips),
        |qp AS (SELECT s.vec_id AS q_id, s.t, xor(s.sig, CAST(f.f AS BIGINT)) AS probe
        |       FROM sig s CROSS JOIN flips f WHERE s.vec_id < 10),
@@ -2206,5 +2217,51 @@ object SparkEntry {
         |       CAST((pr.c_ab * n_total * 10000) // (ma.c * mb.c) AS BIGINT) AS lift_x1e4
         |FROM pr JOIN m ma ON pr.a = ma.tok JOIN m mb ON pr.b = mb.tok, t2
         |ORDER BY a, b""".stripMargin,
+    // skew-audit replay: per-key counts, power-of-two bucket via the
+    // shared bin()-length idiom (both engines render no leading 0s)
+    "q_skew_profile" ->
+      """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT CAST(len(bin(n)) AS BIGINT) AS bucket, count(*) AS n_keys,
+        |             CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_key_rows
+        |      FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM h)
+        |SELECT bucket, CAST(n_keys AS BIGINT) AS n_keys, n_rows, max_key_rows,
+        |       CAST((n_rows * 10000) // total AS BIGINT) AS rows_share_x1e4
+        |FROM h, t ORDER BY bucket""".stripMargin,
+    // column-profile replay: one UNION ALL branch per column (the
+    // oracle CAN afford rescans; Spark does it in one Expand pass)
+    "q_col_profile" ->
+      """WITH s AS (
+        |  SELECT 'user_id' AS col_name, count(*) AS n_rows, count(user_id) AS nn, count(DISTINCT user_id) AS nd FROM events
+        |  UNION ALL SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type) FROM events
+        |  UNION ALL SELECT 'value', count(*), count(value), count(DISTINCT value) FROM events
+        |  UNION ALL SELECT 'props', count(*), count(props), count(DISTINCT props) FROM events)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_rows - nn AS BIGINT) AS n_null, CAST(nd AS BIGINT) AS n_distinct
+        |FROM s ORDER BY col_name""".stripMargin,
+    // bucket-balance replay over the same inlined-plane signatures
+    "emb_lsh_balance" ->
+      s"""WITH $lshSigCtes,
+         |b AS (SELECT t, sig, count(*) AS n FROM sig GROUP BY 1, 2)
+         |SELECT CAST(t AS BIGINT) AS t, count(*) AS n_buckets,
+         |       CAST(sum(n) AS BIGINT) AS n_vecs, CAST(max(n) AS BIGINT) AS max_bucket,
+         |       CAST((max(n) * count(*) * 10000) // sum(n) AS BIGINT) AS skew_x1e4
+         |FROM b GROUP BY 1 ORDER BY t""".stripMargin,
+    // cosine-pair closure replay: same pairs CTE as emb_cosine_dedup,
+    // recursive min-label reachability
+    "emb_dedup_groups" ->
+      """WITH RECURSIVE nn AS (SELECT vec_id, embedding,
+        |                  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+        |           FROM embeddings),
+        |cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+        |       WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |               / nullif(sqrt(a.n2) * sqrt(b.n2), 0.0) >= 0.4),
+        |e AS (SELECT a_id AS s, b_id AS d FROM cp UNION SELECT b_id, a_id FROM cp),
+        |r AS (SELECT vec_id AS s, vec_id AS d FROM embeddings
+        |      UNION
+        |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+        |SELECT s AS vec_id, min(d) AS group_id FROM r GROUP BY s ORDER BY vec_id""".stripMargin,
   )
 }

@@ -190,21 +190,24 @@ object Ann {
     * corpus instead of 100% — the brute-force baseline is
     * [[annBruteForce]]; recall/cost tunes via (tables, bits).
     */
+  /** t-th table's `bits`-bit sign signature of `emb` under the shared
+    * data-independent hyperplane family ([[planeComponent]]) — one
+    * codegen'd VecDot per plane, no shuffle.
+    */
+  private def sigCol(t: Int, emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { p =>
+      val plane = (0 until DIM).map(h => planeComponent(t * bits + p, h))
+      val proj = graft.plans.VecDot(emb, typedlit(plane))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10,
              k: Int = 5, bits: Int = LSH_BITS, tables: Int = LSH_TABLES): DataFrame = {
-    val dim = DIM
-    def signature(t: Int, emb: org.apache.spark.sql.Column) =
-      (0 until bits).map { p =>
-        val plane = (0 until dim).map(h => planeComponent(t * bits + p, h))
-        val proj = graft.plans.VecDot(emb, typedlit(plane))
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
     val e = base.select(col("vec_id"), col("embedding"), col("n2"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), signature(t, col("embedding")).as("sig"))): _*)).as("ts"))
+        struct(lit(t).as("t"), sigCol(t, col("embedding"), bits).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))
     // probes: each table's own bucket + every single-bit flip
@@ -642,4 +645,32 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** (vec_id, t, sig): every vector's bucket in every LSH table —
+    * the map-only signature pass [[annLsh]] builds its index from,
+    * exposed for index maintenance and balance monitoring.
+    */
+  def lshSignatures(spark: SparkSession, dir: String,
+                    bits: Int = LSH_BITS, tables: Int = LSH_TABLES): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), sigCol(t, col("embedding"), bits).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+
+  /** Per-table LSH bucket-balance monitor: occupied buckets, vector
+    * count, largest bucket, and max/mean skew ×10⁴ — the health
+    * check that tells you when a table's hyperplanes stopped
+    * spreading the corpus (skew → candidate blowup in [[annLsh]]'s
+    * probe join, the same pathology hot shingles cause in the text
+    * path). Two map-combinable aggregates; reduce side is
+    * tables × 2^bits rows max.
+    */
+  def embLshBalance(spark: SparkSession, dir: String,
+                    bits: Int = LSH_BITS, tables: Int = LSH_TABLES): DataFrame =
+    lshSignatures(spark, dir, bits, tables)
+      .groupBy("t", "sig").agg(count(lit(1)).as("n"))
+      .groupBy(col("t").cast("long").as("t"))
+      .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_vecs"), max("n").as("max_bucket"))
+      .select(col("t"), col("n_buckets"), col("n_vecs"), col("max_bucket"),
+        expr("(max_bucket * n_buckets * 10000) div n_vecs").as("skew_x1e4"))
 }

@@ -819,6 +819,21 @@ object NearDup {
     starComponents(nodes, pairs, maxRounds)._1
   }
 
+  /** Connected components over the EMBEDDING near-dup graph — the
+    * grouping pass for the semantic-dedup path, completing the
+    * detector→groups symmetry (jaccard → [[dedupGroups]], simhash →
+    * [[docsSimhashGroups]], phash → [[Multimodal.phashGroups]],
+    * cosine → here): edges are [[embCosineDedup]] pairs (≥
+    * threshold), components via [[starComponents]], group_id = min
+    * vec_id reachable; singletons label themselves.
+    */
+  def embDedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                     maxRounds: Int = 30): DataFrame = {
+    val pairs = embCosineDedup(spark, dir, threshold).select("a_id", "b_id")
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+    starComponents(nodes, pairs, maxRounds)._1
+  }
+
   /** Duplicate-group SIZE distribution — the histogram a dedup run
     * reports (how much of the corpus sits in 2-copy vs 100-copy
     * clusters decides whether near-dup removal is worth its cost;

@@ -944,4 +944,46 @@ object Relational {
         coalesce(col("us") - col("src.us") <= lit(30L * 60 * 1000000), lit(false))
           .as("within_30m"))
   }
+
+  /** Shuffle-key skew audit — the profile you run BEFORE choosing a
+    * join strategy: per-key row counts collapsed into power-of-two
+    * buckets (bucket = ⌊log₂ n⌋ + 1, computed engine-portably as the
+    * binary-string length), with each bucket's key count, row mass,
+    * heaviest key, and ×10⁴ row share. A long tail in high buckets
+    * is the signal to salt ([[qSaltedJoin]]) or broadcast. Two
+    * map-combinable aggregates; reduce side ≤ 64 bucket rows.
+    */
+  def qSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val hist = keys.groupBy(length(bin(col("n"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"), max("n").as("max_key_rows"))
+    val total = hist.agg(sum("n_rows").as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_key_rows"),
+        expr("(n_rows * 10000) div total").as("rows_share_x1e4"))
+  }
+
+  /** Generic single-pass column profile: row count, null count, and
+    * exact distinct cardinality per column — the data-quality audit
+    * every ingest runs first. ONE aggregate over the scan (Spark
+    * expands the multi-distinct into one Expand + partial aggs — no
+    * per-column rescans), stacked to long form. At 100 TB swap
+    * count_distinct for approx_count_distinct (HLL) per column; the
+    * contract shape is unchanged.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c")))
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"))
+  }
+
+  /** [[profile]] applied to the events stream table. */
+  def qColProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.events(spark, dir),
+      Seq("user_id", "event_type", "value", "props"))
 }

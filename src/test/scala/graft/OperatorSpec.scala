@@ -1588,6 +1588,69 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("skew profile buckets reconcile with per-key counts") {
+    import graft.operators.Relational
+    val got = Relational.qSkewProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val counts = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val expect = counts.groupBy(n => java.lang.Long.toBinaryString(n).length.toLong)
+      .map { case (b, ns) => b -> (ns.length.toLong, ns.sum, ns.max) }
+    val total = counts.sum
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (b, (nk, nr, mx, share)) =>
+      assert((nk, nr, mx) === expect(b) && share === nr * 10000L / total, s"bucket $b")
+    }
+  }
+
+  test("column profile matches direct per-column aggregates") {
+    import graft.operators.Relational
+    val got = Relational.qColProfile(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    Seq("user_id", "event_type", "value", "props").foreach { c =>
+      val nn = ev.filter(col(c).isNotNull).count()
+      val nd = ev.select(c).filter(col(c).isNotNull).distinct().count()
+      assert(got(c) === ((n, n - nn, nd)), s"column $c")
+    }
+  }
+
+  test("lsh balance reconciles with the raw signature table") {
+    import graft.operators.Ann
+    val got = Ann.embLshBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sigs = Ann.lshSignatures(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(got.size === Ann.LSH_TABLES)
+    sigs.groupBy(_._1).foreach { case (t, rows) =>
+      val buckets = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (nb, mx) = (buckets.size.toLong, buckets.values.max)
+      assert(got(t.toLong) === ((nb, nVecs, mx, mx * nb * 10000L / nVecs)), s"table $t")
+    }
+  }
+
+  test("embedding dedup groups equal union-find over cosine pairs") {
+    import graft.operators.NearDup
+    val got = NearDup.embDedupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = NearDup.embCosineDedup(spark, sf).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]().withDefault(identity)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = got.keySet.groupBy(find)
+    members.foreach { case (_, ids) =>
+      // every member of a computed component carries the same label =
+      // the component's min id
+      assert(ids.map(got).size === 1 && got(ids.head) === ids.min, s"component of ${ids.head}")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

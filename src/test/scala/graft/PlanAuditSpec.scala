@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_benford", // single-row total broadcast onto 9 digit rows
     "q_transitions", // single-row total broadcast onto <=|types|^2 rows
     "q_pareto", // single-row total broadcast onto 10 decile rows
+    "q_skew_profile", // single-row total broadcast onto <=64 bucket rows
     "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
     "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
   )
