@@ -205,6 +205,9 @@ object SparkEntry {
     "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
     "emb_lsh_balance" -> ((s, d) => present(Ann.embLshBalance(s, d), "t")),
     "emb_dedup_groups" -> ((s, d) => present(NearDup.embDedupGroups(s, d), "vec_id")),
+    "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
+    "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
+    "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2263,5 +2266,36 @@ object SparkEntry {
         |      UNION
         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
         |SELECT s AS vec_id, min(d) AS group_id FROM r GROUP BY s ORDER BY vec_id""".stripMargin,
+    // interval-union replay: running max-end sweep, same
+    // (t0, event_id) order, new-span iff t0 > every earlier end
+    "q_merge_intervals" ->
+      """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts) AS t0,
+        |                   epoch_ms(ts) + 1800000 AS t1 FROM events),
+        |f AS (SELECT event_type, event_id, t0, t1,
+        |        coalesce(t0 > max(t1) OVER (PARTITION BY event_type ORDER BY t0, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), true) AS is_new
+        |      FROM iv),
+        |s AS (SELECT event_type, t0, t1,
+        |        CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (PARTITION BY event_type ORDER BY t0, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+        |      FROM f)
+        |SELECT event_type, span_id, min(t0) AS span_start_ms, max(t1) AS span_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // marginal exact-distinct replay: the same three grouping sets
+    "q_distinct_rollup" ->
+      """SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY 1, 2""".stripMargin,
+    // strip-and-diff charset counts; n_other closes the partition
+    "text_charclass" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |       CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |       CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |       CAST(len(text) - len(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+        |       CAST(len(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), ' ', '', 'g')) AS BIGINT) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -986,4 +986,45 @@ object Relational {
   def qColProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.events(spark, dir),
       Seq("user_id", "event_type", "value", "props"))
+
+  /** Interval UNION per type: each event opens a 30-min interval;
+    * overlapping/touching intervals coalesce into maximal spans
+    * (uptime/coverage reporting — the complement of
+    * [[qIntervalOverlap]]'s peak concurrency). Classic running-max
+    * sweep: an interval starts a new span iff its t0 exceeds the max
+    * end of every earlier interval; span ids are the running sum of
+    * those breaks. Both windows share one (event_type | t0,
+    * event_id) sort — a single shuffle, no self-join. All integer
+    * ms; at corpus scale per-type timelines split by day with
+    * carry-in spans (same note as qIntervalOverlap).
+    */
+  def qMergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val dur = 1800000L
+    val ord = Window.partitionBy("event_type").orderBy(col("t0"), col("event_id"))
+    val prevMax = max("t1").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), expr("unix_millis(ts)").as("t0"))
+      .withColumn("t1", col("t0") + dur)
+      .withColumn("is_new", coalesce(col("t0") > prevMax, lit(true)))
+      .withColumn("span_id", sum(col("is_new").cast("long"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "span_id")
+      .agg(min("t0").as("span_start_ms"), max("t1").as("span_end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Exact DISTINCT counts under GROUPING SETS — distinct users per
+    * type, per day, and overall in ONE logical pass (the audience
+    * marginals report). Spark expands the sets then plans the
+    * distinct via partial aggregation on (gid, key, user); no
+    * per-marginal rescans. At 100 TB the swap is HLL sketches
+    * (approx_count_distinct merges map-side; same contract shape).
+    */
+  def qDistinctRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 }

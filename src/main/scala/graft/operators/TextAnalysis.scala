@@ -566,4 +566,25 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
   }
+
+  /** Per-doc character-class composition (alpha / digit / space /
+    * other) — the byte-level charset audit under every encoding or
+    * quality gate (mojibake and binary-spill show up as `n_other`
+    * spikes before any tokenizer runs). Pure map-side counting via
+    * strip-and-diff lengths (regexp classes portable across
+    * engines); `n_other` is the exact remainder so the four classes
+    * partition `n_chars`.
+    */
+  def textCharClass(spark: SparkSession, dir: String): DataFrame = {
+    def stripped(re: String) =
+      length(col("text")) - length(regexp_replace(col("text"), re, ""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      stripped("[A-Za-z]").cast("long").as("n_alpha"),
+      stripped("[0-9]").cast("long").as("n_digit"),
+      stripped(" ").cast("long").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+  }
 }

@@ -1651,6 +1651,64 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("merged interval spans cover events and never overlap") {
+    import graft.operators.Relational
+    val spans = Relational.qMergeIntervals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_millis(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    spans.groupBy(_._1).foreach { case (t, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length).toArray.toSeq) // dense span ids
+      sorted.foreach { case (_, _, s0, s1, _) => assert(s1 >= s0 + 1800000L) }
+      // spans are disjoint with real gaps between them
+      sorted.toList.sliding(2).foreach {
+        case List(a, b) => assert(b._3 > a._4, s"type $t spans touch")
+        case _ =>
+      }
+      // every event of the type falls inside exactly one span, and
+      // per-span event counts add up to the type's event count
+      val evs = ev.filter(_._1 == t).map(_._2)
+      evs.foreach(e => assert(sorted.count(s => e >= s._3 && e + 1800000L <= s._4) === 1))
+      assert(sorted.map(_._5).sum === evs.length.toLong)
+    }
+  }
+
+  test("distinct rollup marginals equal direct distinct counts") {
+    import graft.operators.Relational
+    val got = Relational.qDistinctRollup(spark, sf).collect()
+      .map(r => ((if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1).map { case (t, rs) =>
+      (t, -1L) -> (rs.map(_._3).distinct.length.toLong, rs.length.toLong) }
+    val byDay = ev.groupBy(_._2).map { case (d, rs) =>
+      (null, d) -> (rs.map(_._3).distinct.length.toLong, rs.length.toLong) }
+    val totalKey: (String, Long) = (null, -1L)
+    val expect = byType ++ byDay +
+      (totalKey -> ((ev.map(_._3).distinct.length.toLong, ev.length.toLong)))
+    assert(got === expect) // exactly the three marginal sets, no pairwise cells
+  }
+
+  test("charclass counts partition every document's characters") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.textCharClass(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size === docs.length)
+    docs.foreach { case (id, t) =>
+      val alpha = t.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong
+      val digit = t.count(c => c >= '0' && c <= '9').toLong
+      val space = t.count(_ == ' ').toLong
+      assert(got(id) === ((t.length.toLong, alpha, digit, space,
+        t.length - alpha - digit - space)), s"doc $id")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

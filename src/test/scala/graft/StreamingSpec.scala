@@ -272,4 +272,46 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Array((1L, false, 0L), (2L, true, 5000L), (3L, false, 0L)))
     } finally q.stop()
   }
+
+  test("streaming anomaly flags equal the prefix-stats replay across splits") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def evv(id: Long, tMs: Long, v: Double, typ: String) =
+      Ev(id, new java.sql.Timestamp(tMs), 1L, typ, v, "{}")
+    // 5 stable values per type, then a spike (prefix-inclusive 2σ
+    // needs ≥5 prior points: m stable + spike flags iff m > 4),
+    // then a post-spike stable value (σ now inflated → not flagged)
+    val all = Seq(
+      evv(1, base, 10.0, "a"), evv(2, base + 1000, 10.2, "a"),
+      evv(20, base + 1500, 5.0, "b"), evv(3, base + 2000, 9.9, "a"),
+      evv(21, base + 2500, 5.1, "b"), evv(4, base + 3000, 10.1, "a"),
+      evv(22, base + 3500, 4.9, "b"), evv(5, base + 4000, 10.0, "a"),
+      evv(23, base + 4500, 5.0, "b"), evv(24, base + 5000, 5.2, "b"),
+      evv(6, base + 6000, 300.0, "a"), evv(25, base + 6500, 400.0, "b"),
+      evv(7, base + 7000, 10.0, "a"))
+    // two different time-respecting splits must give identical output
+    val outputs = Seq(Seq(all), Seq(all.take(7), all.drop(7))).map { splits =>
+      val input = MemoryStream[Ev]
+      val q = AnomalyStream.anomalyStream(input.toDS()).writeStream
+        .format("memory").queryName(s"anom_out_${splits.size}")
+        .outputMode(OutputMode.Append).start()
+      try {
+        splits.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+        spark.table(s"anom_out_${splits.size}").collect()
+          .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+          .sortBy(_._1)
+      } finally q.stop()
+    }
+    assert(outputs.head === outputs.last)
+    // exact prefix replay via the shared kernel, whole stream per type
+    val expect = all.groupBy(_.event_type).values.flatMap { g =>
+      AnomalyStream.foldSlice(g, AnomalyStream.TypeStats(0L, 0L, 0L))._1
+    }.map(f => (f.event_id, (f.cents, f.n_so_far, f.is_outlier))).toSeq.sortBy(_._1)
+    assert(outputs.head.toSeq === expect)
+    // the spike events are flagged; stable and post-spike ones aren't
+    val flags = outputs.head.toMap.view.mapValues(_._3).toMap
+    assert(flags(6L) && flags(25L) && !flags(2L) && !flags(24L) && !flags(7L))
+  }
 }
