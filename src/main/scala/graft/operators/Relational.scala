@@ -820,6 +820,9 @@ object Relational {
     val du = Tables.events(spark, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
       .distinct()
+      // consumed by both the DAU agg and the WAU explode: lazy-
+      // checkpoint so the corpus scan + dedup shuffle run once
+      .localCheckpoint(eager = false)
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = du
       .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
@@ -900,6 +903,10 @@ object Relational {
     val local = parted.withColumn("lrn",
       row_number().over(Window.partitionBy("pid")
         .orderBy(col("spend_cents").desc, col("user_id"))).cast("long"))
+      // consumed twice (offset counts + rank join): lazy-checkpoint so
+      // the agg + range sort + window run ONCE, not once per branch
+      // (no exchange reuse across a broadcast boundary)
+      .localCheckpoint(eager = false)
     val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
     val offsets = cnts // ≤ 32 rows: the single-partition window is bounded
       .withColumn("off", coalesce(sum("cnt").over(
