@@ -208,6 +208,7 @@ object SparkEntry {
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
+    "docs_sample_fixed" -> ((s, d) => present(Sampling.docsSampleFixed(s, d), "lang", "rnk")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2289,6 +2290,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (day), ())
         |ORDER BY 1, 2""".stripMargin,
+    // exactly-k replay: same md5-top-32-bit identity hash, same
+    // (hash, doc_id) unique rank axis per language
+    "docs_sample_fixed" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rnk
+        |      FROM h)
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
     // strip-and-diff charset counts; n_other closes the partition
     "text_charclass" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,

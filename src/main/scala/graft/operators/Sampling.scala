@@ -32,6 +32,16 @@ object Sampling {
   /** Exact integer threshold for a sampling rate. */
   def rateThreshold(rate: Double): Long = (rate * 4294967296L).toLong
 
+  /** Driver-side replica of [[hash32]] (same md5-top-32-bit value)
+    * for tests and audit tooling.
+    */
+  def hash32Of(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Per-language stratified sampling decision for every document:
     * (doc_id, lang, is_sampled). `rates` maps languages to rates;
     * everything else gets `defaultRate`. Expected sample size per
@@ -148,5 +158,24 @@ object Sampling {
     plan.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("w_num"),
         col("planned_keep"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** EXACTLY-k-per-stratum deterministic sample (eval-set / probe-set
+    * construction, where "about k" isn't acceptable): rank each
+    * language's docs on (identity hash, doc_id) — a uniform, stable,
+    * unique order — and keep the first k. Rerun-, retry-, and
+    * layout-invariant like every sampler here (pure function of
+    * doc_id). The per-stratum window sort is the audit rendering; at
+    * corpus scale the same contract runs as two-phase top-k (local
+    * per-partition heaps, then a k·#partitions merge — the
+    * [[docsShardPlan]] note's pattern) without changing the result.
+    */
+  def docsSampleFixed(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hash32(col("doc_id")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
   }
 }
