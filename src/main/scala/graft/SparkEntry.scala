@@ -209,6 +209,9 @@ object SparkEntry {
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
     "docs_sample_fixed" -> ((s, d) => present(Sampling.docsSampleFixed(s, d), "lang", "rnk")),
+    "q_changepoint" -> ((s, d) => present(Relational.qChangepoint(s, d), "event_type")),
+    "q_having_join" -> ((s, d) => present(Relational.qHavingJoin(s, d), "o_orderkey")),
+    "q_asof_nearest" -> ((s, d) => present(qAsOfNearest(s, d), "p_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -290,6 +293,24 @@ object SparkEntry {
       .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
     AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "p_id", "c_id")
       .select("p_id", "c_id")
+  }
+
+  /** Nearest-event join instance: each purchase paired with the
+    * closest error event (either direction) for the same user —
+    * "did a failure happen around this purchase". Numeric µs axis
+    * per [[AsOfJoin.asOfNearest]]'s contract.
+    */
+  private def qAsOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("p_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us"), col("event_id").as("err_id"))
+    AsOfJoin.asOfNearest(purchases, errors, "user_id", "us", "p_id", "err_id")
+      .select(col("p_id"), col("user_id"), col("err_id"),
+        expr("abs(us - right_time) div 1000").as("gap_ms"), col("side"))
   }
 
   /** Exact cosine top-k (k=5, queries = vec_id < 10) — the oracle for
@@ -2290,6 +2311,62 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (day), ())
         |ORDER BY 1, 2""".stripMargin,
+    // CUSUM replay: daily counts, cross-multiplied |m*Sk - k*S|
+    // score, earliest day at the per-type peak
+    "q_changepoint" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS x
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |        CAST(row_number() OVER wo AS BIGINT) AS k,
+        |        CAST(sum(x) OVER (wo ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+        |        CAST(count(*) OVER wa AS BIGINT) AS m,
+        |        CAST(sum(x) OVER wa AS BIGINT) AS s
+        |      FROM d
+        |      WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |             wa AS (PARTITION BY event_type)),
+        |sc AS (SELECT event_type, day, m, abs(m * sk - k * s) AS score
+        |       FROM w WHERE k < m),
+        |p AS (SELECT event_type, day, m, score,
+        |        max(score) OVER (PARTITION BY event_type) AS peak FROM sc)
+        |SELECT event_type, min(day) AS split_day, CAST(max(peak) AS BIGINT) AS score,
+        |       max(m) AS n_days
+        |FROM p WHERE score = peak GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q18 replay: having-aggregate first, then the two report joins
+    "q_having_join" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+        |SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents, big.sum_qty
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // nearest replay: same interleaved union, backward + forward
+    // IGNORE-NULLS carries, tie to the earlier (backward) row
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (SELECT user_id, us, event_id AS id, 0 AS tag FROM e WHERE event_type = 'error'
+        |      UNION ALL
+        |      SELECT user_id, us, event_id, 1 FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, us, id, tag,
+        |        last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wb AS p_us,
+        |        last_value(CASE WHEN tag = 0 THEN id END IGNORE NULLS) OVER wb AS p_id,
+        |        first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wf AS n_us,
+        |        first_value(CASE WHEN tag = 0 THEN id END IGNORE NULLS) OVER wf AS n_id
+        |      FROM u
+        |      WINDOW wb AS (PARTITION BY user_id ORDER BY us, tag, id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY user_id ORDER BY us, tag, id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |pick AS (SELECT user_id, us, id,
+        |           p_us IS NOT NULL AND (n_us IS NULL OR us - p_us <= n_us - us) AS takeb,
+        |           p_us, p_id, n_us, n_id
+        |         FROM w WHERE tag = 1)
+        |SELECT id AS p_id, user_id,
+        |       CASE WHEN takeb THEN p_id ELSE n_id END AS err_id,
+        |       abs(us - CASE WHEN takeb THEN p_us ELSE n_us END) // 1000 AS gap_ms,
+        |       CASE WHEN takeb THEN 'before'
+        |            WHEN n_us IS NOT NULL THEN 'after' END AS side
+        |FROM pick ORDER BY p_id""".stripMargin,
     // exactly-k replay: same md5-top-32-bit identity hash, same
     // (hash, doc_id) unique rank axis per language
     "docs_sample_fixed" ->

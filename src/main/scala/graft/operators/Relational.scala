@@ -1034,4 +1034,51 @@ object Relational {
       .groupingSets(Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
         col("event_type"), col("day"))
       .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Single change-point detection (CUSUM / binary-segmentation
+    * score) on each type's daily volume — "which day did the feed
+    * change": the split k maximizing |k-prefix mean − overall mean|,
+    * cross-multiplied to the exact integer score |m·S_k − k·S| (no
+    * division, no floats). The windows run on the DAY axis (rows per
+    * type = days, calendar-bounded), so the expensive part is only
+    * the daily count — one map-combinable aggregate over the corpus.
+    * Peak day resolves to the EARLIEST day at max score.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("sk", sum("x").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("s", sum("x").over(wAll))
+      .filter(col("k") < col("m")) // a split needs both sides non-empty
+      .withColumn("score", abs(col("m") * col("sk") - col("k") * col("s")))
+      .withColumn("peak", max("score").over(wAll))
+      .filter(col("score") === col("peak"))
+      .groupBy("event_type")
+      .agg(min("day").as("split_day"), max("peak").as("score"), max("m").as("n_days"))
+  }
+
+  /** HAVING-subquery join (TPC-H Q18 "large orders" shape): orders
+    * whose lineitem quantity total clears a threshold, joined back to
+    * orders + customer for the report columns. The having-aggregate
+    * runs FIRST (map-combinable, shrinks lineitem to qualifying
+    * orderkeys) so the join fan-in is the filtered set, not the fact
+    * table; quantities are integral doubles cast exact to BIGINT.
+    */
+  def qHavingJoin(spark: SparkSession, dir: String, minQty: Long = 200): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("sum_qty"))
+  }
 }

@@ -1709,6 +1709,63 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("nearest join picks the closer side with before-tie and null edges") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 12L), (3L, 7L, 13L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 20L), (1L, 200L, 21L), (1L, 210L, 22L), (2L, 55L, 23L))
+      .toDF("k", "t", "rid")
+    val got = AsOfJoin.asOfNearest(left, right, "k", "t", "lid", "rid").collect()
+      .map(r => (r.getLong(0), (if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) "" else r.getString(5)))).toMap
+    // lid 10 (t=100): prev 90 (gap 10) vs next 200 (gap 100) -> before
+    // lid 11 (t=205): prev 200 (gap 5) vs next 210 (gap 5) -> tie -> before
+    // lid 12 (t=50): no prev, next 55 -> after
+    // lid 13 (k=3): no right rows -> null
+    assert(got === Map(10L -> ((20L, "before")), 11L -> ((21L, "before")),
+      12L -> ((23L, "after")), 13L -> ((-1L, ""))))
+  }
+
+  test("changepoint split maximizes the exact prefix-mean deviation") {
+    import graft.operators.Relational
+    val got = Relational.qChangepoint(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2)
+      val m = xs.length.toLong
+      val s = xs.map(_._3).sum
+      val scores = xs.zipWithIndex.init.map { case ((_, day, _), i) =>
+        val sk = xs.take(i + 1).map(_._3).sum
+        (day, math.abs(m * sk - (i + 1) * s))
+      }
+      val peak = scores.map(_._2).max
+      val splitDay = scores.filter(_._2 == peak).map(_._1).min
+      assert(got(t) === ((splitDay, peak, m)), s"type $t")
+    }
+  }
+
+  test("having join keeps exactly the orders clearing the quantity bar") {
+    import graft.operators.Relational
+    val got = Relational.qHavingJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    val qty = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val names = Tables.customer(spark, sf).select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = orders.filter(o => qty.getOrElse(o._1, 0L) > 200L)
+      .map(o => o._1 -> ((o._2, names(o._2), math.round(o._3 * 100), qty(o._1)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
