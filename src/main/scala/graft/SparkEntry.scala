@@ -212,6 +212,7 @@ object SparkEntry {
     "q_changepoint" -> ((s, d) => present(Relational.qChangepoint(s, d), "event_type")),
     "q_having_join" -> ((s, d) => present(Relational.qHavingJoin(s, d), "o_orderkey")),
     "q_asof_nearest" -> ((s, d) => present(qAsOfNearest(s, d), "p_id")),
+    "q_incr_agg" -> ((s, d) => present(IncrementalAgg.qIncrAgg(s, d), "event_type")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2311,6 +2312,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (day), ())
         |ORDER BY 1, 2""".stripMargin,
+    // incremental == full recompute: the oracle aggregates the WHOLE
+    // table flat; the Spark side merged two independent day-parity
+    // states — the partial-agg algebra as a storage contract
+    "q_incr_agg" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(cents) AS min_cents, max(cents) AS max_cents,
+        |       CAST((CAST(sum(cents) AS BIGINT) * 100) // count(*) AS BIGINT) AS avg_cents_x100
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // CUSUM replay: daily counts, cross-multiplied |m*Sk - k*S|
     // score, earliest day at the per-type peak
     "q_changepoint" ->

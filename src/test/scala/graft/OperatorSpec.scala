@@ -1766,6 +1766,43 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("merged incremental states equal the flat aggregate, any split") {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.events(spark, sf)
+    val flat = IncrementalAgg.aggState(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // three-way split by event_id residue — merge must not care how
+    // many or how uneven the increments are
+    val parts = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val merged = IncrementalAgg.mergeStates(parts.map(IncrementalAgg.aggState))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged === flat)
+    // the contract query's derived avg divides the merged sums
+    val q = IncrementalAgg.qIncrAgg(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    flat.foreach { case (t, (n, s, mn, mx)) =>
+      assert(q(t) === ((n, s, mn, mx, s * 100 / n)), s"type $t")
+    }
+  }
+
+  test("count-min estimates are one-sided and eps-bounded on real keys") {
+    import graft.operators.Cms
+    val ev = Tables.events(spark, sf)
+    val cms = Cms.sketch(ev, "user_id")
+    val truth = ev.groupBy("user_id").agg(count(lit(1))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = truth.map(_._2).sum
+    val est = Cms.estimates(cms, truth.map(_._1))
+    val slack = math.max(1L, math.ceil(0.001 * n).toLong)
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS undercounted key $k") // never undercounts
+      assert(est(k) <= c + slack, s"key $k: est ${est(k)} vs true $c + eps*N $slack")
+    }
+    // a key never inserted can only collide up to the same slack
+    assert(est.getOrElse(-1L, cms.estimateCount(Long.box(-999999L))) <= slack)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
