@@ -213,6 +213,8 @@ object SparkEntry {
     "q_having_join" -> ((s, d) => present(Relational.qHavingJoin(s, d), "o_orderkey")),
     "q_asof_nearest" -> ((s, d) => present(qAsOfNearest(s, d), "p_id")),
     "q_incr_agg" -> ((s, d) => present(IncrementalAgg.qIncrAgg(s, d), "event_type")),
+    "q_path_trigrams" -> ((s, d) => present(Relational.qPathTrigrams(s, d), "t1", "t2", "t3")),
+    "ann_recall_adc" -> ((s, d) => present(Ann.annRecallAdc(s, d), "q_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1583,6 +1585,25 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // ADC recall monitor: identical composition over the ADC oracle
+    // (its query set is vec_id < 5 — filter the exact side to match)
+    "ann_recall_adc" ->
+      s"""WITH exact AS (SELECT * FROM ($annExactTopKSql) WHERE q_id < 5),
+         |approx AS (SELECT * FROM (${embAdcOracleSql})),
+         |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 END AS m
+         |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
+         |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // trigram replay: two lags over the shared (epoch_us, event_id)
+    // order, exact counts on the <=|types|^3 key space
+    "q_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_type AS t3,
+        |             lag(event_type, 2) OVER w AS t1,
+        |             lag(event_type, 1) OVER w AS t2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT t1, t2, t3, count(*) AS n FROM p WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // LSH recall monitor: identical composition over the LSH oracle
     "ann_recall_lsh" ->
       s"""WITH exact AS (SELECT * FROM ($annExactTopKSql)),

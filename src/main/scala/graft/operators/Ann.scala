@@ -646,6 +646,24 @@ object Ann {
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Recall@k of the PQ-ADC ranking against the exact top-k — the
+    * third recall curve next to [[annRecall]] (IVF) and
+    * [[annRecallLsh]]: ADC recall moves with codebook quality
+    * ([[embPqDistortion]] says WHICH subspace), the others with
+    * probe budgets. Same left-join composition, both sides existing
+    * operators.
+    */
+  def annRecallAdc(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val exact = annBruteForce(spark, dir, nQueries, k).select(col("q_id"), col("n_id"))
+    val approx = embAdc(spark, dir, nQueries, k).select(col("q_id"), col("n_id"))
+      .withColumn("m", lit(1))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
   /** (vec_id, t, sig): every vector's bucket in every LSH table —
     * the map-only signature pass [[annLsh]] builds its index from,
     * exposed for index maintenance and balance monitoring.

@@ -1062,6 +1062,26 @@ object Relational {
       .agg(min("day").as("split_day"), max("peak").as("score"), max("m").as("n_days"))
   }
 
+  /** Second-order path profile: (t₁ → t₂ → t₃) trigram counts over
+    * each user's event sequence — one step deeper than
+    * [[qTransitions]]' Markov matrix (detects order-dependent flows a
+    * first-order model cannot, e.g. view→click→purchase vs
+    * click→view→purchase). Two lags over ONE shared (µs, event_id)
+    * sort, then a map-combinable count onto the ≤ |types|³ key space
+    * — reduce side constant-size regardless of corpus.
+    */
+  def qPathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** HAVING-subquery join (TPC-H Q18 "large orders" shape): orders
     * whose lineitem quantity total clears a threshold, joined back to
     * orders + customer for the report columns. The having-aggregate

@@ -1803,6 +1803,43 @@ class OperatorSpec extends SparkSpec {
     assert(est.getOrElse(-1L, cms.estimateCount(Long.box(-999999L))) <= slack)
   }
 
+  test("trigram paths extend the transition matrix consistently") {
+    import graft.operators.Relational
+    val tri = Relational.qPathTrigrams(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    // replay by hand over per-user ordered timelines
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { tl =>
+      tl.sortBy(e => (e._4, e._2)).map(_._3).toList.sliding(3).collect {
+        case List(a, b, c) => (a, b, c)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(tri === expect)
+    // marginalizing the first step recovers the bigram counts for
+    // every user with >= 3 events chains (cross-check vs transitions
+    // restricted to the same support): total trigrams = total events
+    // - users with >= 1 event counted twice... simplest invariant:
+    val nUsersWith2 = ev.groupBy(_._1).count(_._2.length >= 2)
+    assert(tri.values.sum === ev.length - ev.groupBy(_._1).size - nUsersWith2)
+  }
+
+  test("adc recall agrees with a direct exact-vs-adc comparison") {
+    import graft.operators.Ann
+    val got = Ann.annRecallAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val exact = Ann.annBruteForce(spark, sf, nQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val adc = Ann.embAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    exact.groupBy(_._1).foreach { case (q, rows) =>
+      val matches = rows.count(r => adc.contains((q, r._2))).toLong
+      assert(got(q) === ((matches, matches / 5.0)), s"query $q")
+    }
+    assert(got.size === 5)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
