@@ -215,6 +215,7 @@ object SparkEntry {
     "q_incr_agg" -> ((s, d) => present(IncrementalAgg.qIncrAgg(s, d), "event_type")),
     "q_path_trigrams" -> ((s, d) => present(Relational.qPathTrigrams(s, d), "t1", "t2", "t3")),
     "ann_recall_adc" -> ((s, d) => present(Ann.annRecallAdc(s, d), "q_id")),
+    "q_winsorize" -> ((s, d) => present(Relational.qWinsorize(s, d), "event_type")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1594,6 +1595,23 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // winsorize replay: exact discrete p05/p95 on the unique
+    // (cents, event_id) rank axis, clamp, x100 integer-floor means
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM e),
+        |b AS (SELECT event_type,
+        |        max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS p05,
+        |        max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95
+        |      FROM r GROUP BY 1)
+        |SELECT r.event_type, max(r.n) AS n, max(b.p05) AS p05, max(b.p95) AS p95,
+        |       CAST((CAST(sum(r.cents) AS BIGINT) * 100) // max(r.n) AS BIGINT) AS raw_mean_x100,
+        |       CAST((CAST(sum(least(greatest(r.cents, b.p05), b.p95)) AS BIGINT) * 100) // max(r.n) AS BIGINT) AS wins_mean_x100
+        |FROM r JOIN b USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
     // trigram replay: two lags over the shared (epoch_us, event_id)
     // order, exact counts on the <=|types|^3 key space
     "q_path_trigrams" ->

@@ -1062,6 +1062,34 @@ object Relational {
       .agg(min("day").as("split_day"), max("peak").as("score"), max("m").as("n_days"))
   }
 
+  /** Winsorized (clamped) robust mean per type — the outlier-proof
+    * aggregate a metrics pipeline reports next to the raw mean. The
+    * clamp bounds are EXACT discrete order statistics (element at
+    * rank ⌈q·n/100⌉ on the unique (cents, event_id) axis — the
+    * [[TextAnalysis.docsLengthProfile]] rule), broadcast back onto
+    * the ranked pass; means are ×100 integer floors. One sort per
+    * type feeds both the bounds and the clamped aggregate — a second
+    * scan-free pass. All-integer end to end.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+      .localCheckpoint(eager = false) // consumed by bounds AND clamp
+    val bounds = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents"))).as("p05"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents"))).as("p95"))
+    ranked.join(broadcast(bounds), "event_type")
+      .withColumn("clamped", least(greatest(col("cents"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("p05").as("p05"), max("p95").as("p95"),
+        expr("(sum(cents) * 100) div max(n)").as("raw_mean_x100"),
+        expr("(sum(clamped) * 100) div max(n)").as("wins_mean_x100"))
+  }
+
   /** Second-order path profile: (t₁ → t₂ → t₃) trigram counts over
     * each user's event sequence — one step deeper than
     * [[qTransitions]]' Markov matrix (detects order-dependent flows a

@@ -1840,6 +1840,25 @@ class OperatorSpec extends SparkSpec {
     assert(got.size === 5)
   }
 
+  test("winsorized mean clamps exactly at the discrete percentile bounds") {
+    import graft.operators.Relational
+    val got = Relational.qWinsorize(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length.toLong
+      def pick(q: Int) = sorted(((n * q + 99) / 100).toInt - 1)
+      val (p05, p95) = (pick(5), pick(95))
+      val raw = sorted.sum * 100 / n
+      val wins = sorted.map(c => math.min(math.max(c, p05), p95)).sum * 100 / n
+      assert(got(t) === ((n, p05, p95, raw, wins)), s"type $t")
+      assert(wins != raw || p05 == sorted.min && p95 == sorted.max, s"type $t: clamp did nothing")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

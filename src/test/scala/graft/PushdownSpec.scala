@@ -55,4 +55,30 @@ class PushdownSpec extends SparkSpec {
       assert(plan(q).contains(f), s"$q: query-set bound $f not pushed")
     }
   }
+
+  test("third-wave operators keep scan hygiene") {
+    // nearest join: both event_type selections reach the scan
+    val near = plan("q_asof_nearest")
+    assert(near.contains("EqualTo(event_type,purchase)") &&
+      near.contains("EqualTo(event_type,error)"),
+      "q_asof_nearest: type filters not pushed")
+    // collocation mining reads only (doc_id, text) — never lang/
+    // source/n_chars
+    val cooc = plan("docs_cooc_lift")
+    assert(!cooc.contains("n_chars") && !cooc.contains("source"),
+      "docs_cooc_lift reads unused document columns")
+    // anomaly gate reads its 3 columns, not ts/user/props
+    val anom = plan("q_anomaly")
+    val rs = anom.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("props") && !rs.contains("user_id"),
+      s"q_anomaly scan not pruned: $rs")
+    // transition matrix reads its 4 columns, never value/props
+    // (q_pareto/q_rolling_dau hide their scans behind the lazy
+    // checkpoint boundary, so the transition matrix pins the
+    // events-prune case for the engagement family)
+    val trans = plan("q_transitions")
+    val trs = trans.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!trs.contains("value") && !trs.contains("props"),
+      s"q_transitions scan not pruned: $trs")
+  }
 }
