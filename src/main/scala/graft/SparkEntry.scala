@@ -216,6 +216,8 @@ object SparkEntry {
     "q_path_trigrams" -> ((s, d) => present(Relational.qPathTrigrams(s, d), "t1", "t2", "t3")),
     "ann_recall_adc" -> ((s, d) => present(Ann.annRecallAdc(s, d), "q_id")),
     "q_winsorize" -> ((s, d) => present(Relational.qWinsorize(s, d), "event_type")),
+    "q_cohort_ltv" -> ((s, d) => present(Relational.qCohortLtv(s, d), "cohort_wk", "age_wk")),
+    "docs_minhash_calibration" -> ((s, d) => present(NearDup.minhashCalibration(s, d), "est_bucket")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1595,6 +1597,34 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // LTV replay: first-seen week per user, purchase cells, cohort
+    // sizes, cumulative spend per cohort, x100 floor LTV
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS wk,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |co AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1),
+        |sz AS (SELECT cwk, count(*) AS cohort_size FROM co GROUP BY 1),
+        |cells AS (SELECT co.cwk, e.wk - co.cwk AS age_wk,
+        |            count(DISTINCT e.user_id) AS n_buyers,
+        |            CAST(sum(e.cents) AS BIGINT) AS spend_cents
+        |          FROM e JOIN co USING (user_id)
+        |          WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cwk, age_wk, n_buyers, spend_cents,
+        |          CAST(sum(spend_cents) OVER (PARTITION BY cwk ORDER BY age_wk
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+        |        FROM cells)
+        |SELECT cum.cwk AS cohort_wk, cum.age_wk, sz.cohort_size,
+        |       CAST(cum.n_buyers AS BIGINT) AS n_buyers, cum.spend_cents, cum.cum_spend_cents,
+        |       CAST((cum.cum_spend_cents * 100) // sz.cohort_size AS BIGINT) AS ltv_cents_x100
+        |FROM cum JOIN sz USING (cwk) ORDER BY 1, 2""".stripMargin,
+    // calibration replay: decile-bucket the composed estimator
+    // oracle, exact integer aggregates per bucket
+    "docs_minhash_calibration" ->
+      s"""WITH est AS (SELECT * FROM ($minhashEstOracleSql))
+         |SELECT est_e4 // 1000 AS est_bucket, count(*) AS n_pairs,
+         |       CAST(sum(jacc_e4) // count(*) AS BIGINT) AS mean_jacc_e4,
+         |       min(jacc_e4) AS min_jacc_e4, max(jacc_e4) AS max_jacc_e4
+         |FROM est GROUP BY 1 ORDER BY 1""".stripMargin,
     // winsorize replay: exact discrete p05/p95 on the unique
     // (cents, event_id) rank axis, clamp, x100 integer-floor means
     "q_winsorize" ->

@@ -530,6 +530,24 @@ object NearDup {
         expr(s"(10000 * sig_matches) div ${MinHashSig.PERMS}").as("est_e4"))
   }
 
+  /** MinHash ESTIMATOR CALIBRATION: bucket candidate pairs by their
+    * estimated similarity (deciles of est_e4) and report the exact
+    * Jaccard distribution inside each bucket — the curve that tells
+    * you whether sig_matches/PERMS is biased before you trust it as
+    * a dedup threshold at corpus scale (where exact verification of
+    * every pair is unaffordable and the estimator IS the decision).
+    * Pure composition over [[minhashEstimate]]: one tiny aggregate
+    * onto ≤ 10 bucket rows, all-integer (×10⁴ floors).
+    */
+  def minhashCalibration(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame =
+    minhashEstimate(spark, dir, threshold)
+      .groupBy(expr("est_e4 div 1000").as("est_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jacc_e4) div count(1)").as("mean_jacc_e4"),
+        min("jacc_e4").as("min_jacc_e4"),
+        max("jacc_e4").as("max_jacc_e4"))
+
   /** MinHash + LSH near-dup pairs: band the 128-wide signature into
     * 32 x 4, bucket-join per band, then verify candidates with exact
     * shingle Jaccard (≥ threshold). Verified output ⊆ jaccardPairs,

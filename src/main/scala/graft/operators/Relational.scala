@@ -1062,6 +1062,37 @@ object Relational {
       .agg(min("day").as("split_day"), max("peak").as("score"), max("m").as("n_days"))
   }
 
+  /** Cohort LTV curve: per (first-seen week, weeks-since) cell, the
+    * cohort's buyer count, spend, cumulative spend, and per-member
+    * lifetime value — the growth-analytics staple next to
+    * [[qRetention]]'s activity matrix. First-seen decomposition (one
+    * min per user — the only data-sized shuffle besides the spend
+    * join), cohort sizes broadcast back, cumulative window on the
+    * tiny (cohort × age) grid. LTV is an exact ×100 integer floor of
+    * cents over members.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 604800000").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cwk"))
+    val sizes = cohort.groupBy("cwk").agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("age_wk"))
+      .agg(count_distinct(col("user_id")).as("n_buyers"),
+        sum("cents").as("spend_cents"))
+    val w = Window.partitionBy("cwk").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_spend_cents", sum("spend_cents").over(w))
+      .join(broadcast(sizes), "cwk")
+      .select(col("cwk").as("cohort_wk"), col("age_wk"), col("cohort_size"),
+        col("n_buyers"), col("spend_cents"), col("cum_spend_cents"),
+        expr("(cum_spend_cents * 100) div cohort_size").as("ltv_cents_x100"))
+  }
+
   /** Winsorized (clamped) robust mean per type — the outlier-proof
     * aggregate a metrics pipeline reports next to the raw mean. The
     * clamp bounds are EXACT discrete order statistics (element at

@@ -1859,6 +1859,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("cohort ltv reconciles with retention-style replay") {
+    import graft.operators.Relational
+    val got = Relational.qCohortLtv(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 604800000"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val purch = ev.filter(_._2 == "purchase")
+    got.groupBy(_._1._1).foreach { case (cwk, cells) =>
+      var cum = 0L
+      cells.sortBy(_._1._2).foreach { case ((_, age), (size, buyers, spend, cumGot, ltv)) =>
+        val ps = purch.filter(p => cohortOf(p._1) == cwk && p._3 - cwk == age)
+        assert(size === sizes(cwk))
+        assert(buyers === ps.map(_._1).distinct.length.toLong)
+        assert(spend === ps.map(_._4).sum)
+        cum += spend
+        assert(cumGot === cum && ltv === cum * 100 / size, s"cohort $cwk age $age")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("minhash calibration buckets reconcile with the estimator pairs") {
+    import graft.operators.NearDup
+    val got = NearDup.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val est = NearDup.minhashEstimate(spark, sf).collect()
+      .map(r => (r.getLong(5), r.getLong(6))) // (jacc_e4, est_e4)
+    assert(est.nonEmpty)
+    val expect = est.groupBy(_._2 / 1000).map { case (b, rows) =>
+      val js = rows.map(_._1)
+      b -> ((rows.length.toLong, js.sum / rows.length, js.min, js.max))
+    }
+    assert(got === expect)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
