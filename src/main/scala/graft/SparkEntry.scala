@@ -218,6 +218,8 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => present(Relational.qWinsorize(s, d), "event_type")),
     "q_cohort_ltv" -> ((s, d) => present(Relational.qCohortLtv(s, d), "cohort_wk", "age_wk")),
     "docs_minhash_calibration" -> ((s, d) => present(NearDup.minhashCalibration(s, d), "est_bucket")),
+    "q_mad" -> ((s, d) => present(Relational.qMad(s, d), "event_type")),
+    "emb_router" -> ((s, d) => present(Ann.embRouter(s, d), "vec_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -587,21 +589,32 @@ object SparkEntry {
     * between engines/partitionings, so unrounded centroids could flip
     * a near-tie assignment by an ulp.
     */
-  private def annIvfOracleSql: String = {
-    def score(v: String, c: String) =
-      s"""list_sum(list_transform(range(1, 65), i -> $v.embedding[i]::DOUBLE * $c.c[i]))
-         |                   - list_sum(list_transform($c.c, x -> x*x)) / 2""".stripMargin
-    s"""WITH n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
+  /** Shared score expression for the IVF oracles (argmax of
+    * dot − ‖c‖²/2 == argmin squared distance).
+    */
+  private def ivfScore(v: String, c: String) =
+    s"""list_sum(list_transform(range(1, 65), i -> $v.embedding[i]::DOUBLE * $c.c[i]))
+       |                   - list_sum(list_transform($c.c, x -> x*x)) / 2""".stripMargin
+
+  /** The trained-quantizer CTEs (seed centroids → one Lloyd pass →
+    * c1) shared by the IVF search and router oracles.
+    */
+  private def ivfC1Ctes: String =
+    s"""n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < 16),
        |a0 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
-       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
        |         FROM e v CROSS JOIN c0 c) WHERE rn = 1),
        |m AS (SELECT a0.cid, i, round(avg(v.embedding[i]::DOUBLE), 4) AS mv
        |      FROM a0 JOIN e v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
        |c1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m GROUP BY cid),
-       |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid),
+       |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid)""".stripMargin
+
+  private def annIvfOracleSql: String = {
+    def score(v: String, c: String) = ivfScore(v, c)
+    s"""WITH $ivfC1Ctes,
        |a1 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
@@ -1597,6 +1610,36 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // MAD replay: two exact discrete medians on unique rank axes
+    "q_mad" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, event_id, cents,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM e),
+        |md AS (SELECT event_type,
+        |         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS median_cents
+        |       FROM r GROUP BY 1),
+        |d AS (SELECT r.event_type, r.n, md.median_cents,
+        |        abs(r.cents - md.median_cents) AS dev,
+        |        CAST(row_number() OVER (PARTITION BY r.event_type
+        |               ORDER BY abs(r.cents - md.median_cents), r.event_id) AS BIGINT) AS rn2
+        |      FROM r JOIN md USING (event_type))
+        |SELECT event_type, max(n) AS n, max(median_cents) AS median_cents,
+        |       max(CASE WHEN rn2 = (n * 50 + 99) // 100 THEN dev END) AS mad_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // router replay: same c1 quantizer, rn<=2 under the identical
+    // (score DESC, cid DESC) order, x10^4-floored score margin
+    "emb_router" ->
+      s"""WITH $ivfC1Ctes,
+         |r AS (SELECT v.vec_id, c.cid, ${ivfScore("v", "c")} AS s,
+         |        row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
+         |      FROM e v CROSS JOIN c1 c)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid1, CAST(b.cid AS BIGINT) AS cid2,
+         |       CAST(floor((a.s - b.s) * 10000) AS BIGINT) AS margin_e4
+         |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+         |ORDER BY a.vec_id""".stripMargin,
     // LTV replay: first-seen week per user, purchase cells, cohort
     // sizes, cumulative spend per cohort, x100 floor LTV
     "q_cohort_ltv" ->

@@ -646,6 +646,35 @@ object Ann {
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Top-2 centroid ROUTER with confidence margin — the assignment
+    * table a mixture-of-experts / IVF build step materializes: each
+    * vector's best and runner-up coarse cell under the shared
+    * trained quantizer ([[ivfCentroids]], same one-Lloyd-pass model
+    * the IVF oracles replay) plus the ×10⁴-floored score margin
+    * between them. Low margin = routing-unstable vector (the ones a
+    * re-balance or multi-assign policy should look at first). Pure
+    * map work: K score structs per row, sorted in-expression —
+    * Catalyst's subexpression elimination computes the array once
+    * per row.
+    */
+  def embRouter(spark: SparkSession, dir: String,
+                clusters: Int = 16, iters: Int = 1): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(e, clusters, iters)
+    val scored = cents.map { case (cid, c) =>
+      struct(
+        (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0)).as("s"),
+        lit(cid).as("cid"))
+    }
+    val arr = sort_array(array(scored: _*), asc = false)
+    e.select(col("vec_id"),
+      element_at(arr, 1).getField("cid").cast("long").as("cid1"),
+      element_at(arr, 2).getField("cid").cast("long").as("cid2"),
+      floor((element_at(arr, 1).getField("s") - element_at(arr, 2).getField("s")) * 10000)
+        .cast("long").as("margin_e4"))
+  }
+
   /** Recall@k of the PQ-ADC ranking against the exact top-k — the
     * third recall curve next to [[annRecall]] (IVF) and
     * [[annRecallLsh]]: ADC recall moves with codebook quality

@@ -1062,6 +1062,33 @@ object Relational {
       .agg(min("day").as("split_day"), max("peak").as("score"), max("m").as("n_days"))
   }
 
+  /** Median absolute deviation per type — the robust spread partner
+    * of [[qWinsorize]]'s robust center: MAD = median(|x − median(x)|),
+    * both medians EXACT discrete order statistics (rank ⌈n/2⌉ on a
+    * unique axis). Two rank passes — the second sorts the derived
+    * deviations, which no single-pass trick avoids exactly; the
+    * ranked base is lazy-checkpointed so the scan + first sort run
+    * once. All-integer end to end.
+    */
+  def qMad(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+      .localCheckpoint(eager = false) // median pass + deviation pass
+    val med = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents"))).as("median_cents"))
+    val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+    ranked.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+      .withColumn("rn2", row_number().over(w2).cast("long"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("median_cents").as("median_cents"),
+        max(when(col("rn2") === expr("(n * 50 + 99) div 100"), col("dev"))).as("mad_cents"))
+  }
+
   /** Cohort LTV curve: per (first-seen week, weeks-since) cell, the
     * cohort's buyer count, spend, cumulative spend, and per-member
     * lifetime value — the growth-analytics staple next to

