@@ -407,4 +407,49 @@ class PropertySpec extends SparkSpec {
     }
     got.zip(expect).foreach { case (g, e) => assert(g === e) }
   }
+
+  test("asOf and asOfNearest equal brute force on random data (ties included)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    for (trial <- 1 to 8) {
+      // SMALL time range on purpose: equal timestamps (left-left,
+      // left-right, right-right) occur constantly — the tie rules are
+      // where a carry implementation silently diverges
+      val nKeys = 1 + rnd.nextInt(4)
+      val lefts = (0 until 40).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(25).toLong, 1000L + i))
+      val rights = (0 until 30).map(i =>
+        (rnd.nextInt(nKeys + 1).toLong, rnd.nextInt(25).toLong, 2000L + i))
+      val l = lefts.toDF("k", "t", "lid")
+      val r = rights.toDF("k", "t", "rid")
+
+      val gotAsOf = AsOfJoin.asOf(l, r, "k", "t", "lid", "rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      lefts.foreach { case (k, t, lid) =>
+        // brute force: right rows at-or-before t, latest time, max rid
+        val cand = rights.filter(rr => rr._1 == k && rr._2 <= t)
+        val exp = if (cand.isEmpty) -1L
+          else cand.maxBy(rr => (rr._2, rr._3))._3
+        assert(gotAsOf(lid) === exp, s"trial $trial asOf lid $lid")
+      }
+
+      val gotNear = AsOfJoin.asOfNearest(l, r, "k", "t", "lid", "rid").collect()
+        .map(x => x.getLong(0) -> ((if (x.isNullAt(3)) -1L else x.getLong(3)),
+          if (x.isNullAt(5)) "" else x.getString(5))).toMap
+      lefts.foreach { case (k, t, lid) =>
+        val before = rights.filter(rr => rr._1 == k && rr._2 <= t)
+        val after = rights.filter(rr => rr._1 == k && rr._2 > t)
+        val b = if (before.isEmpty) None else Some(before.maxBy(rr => (rr._2, rr._3)))
+        val a = if (after.isEmpty) None else Some(after.minBy(rr => (rr._2, rr._3)))
+        val exp = (b, a) match {
+          case (None, None) => (-1L, "")
+          case (Some(pb), None) => (pb._3, "before")
+          case (None, Some(pa)) => (pa._3, "after")
+          case (Some(pb), Some(pa)) =>
+            if (t - pb._2 <= pa._2 - t) (pb._3, "before") else (pa._3, "after")
+        }
+        assert(gotNear(lid) === exp, s"trial $trial nearest lid $lid t=$t")
+      }
+    }
+  }
 }
