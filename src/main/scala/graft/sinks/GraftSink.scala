@@ -72,4 +72,40 @@ object GraftSink {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** SMALL-FILES COMPACTION — the maintenance pass every streaming
+    * or highly-parallel writer eventually owes: a micro-batch sink
+    * emits files per (trigger × partition), and a year of 1-minute
+    * triggers is half a million files whose LISTING alone dominates
+    * downstream scan planning. Rewrites `inPath`'s parquet into
+    * `outPath` with file count sized from the actual input bytes
+    * (ceil(bytes / targetBytes), default 128 MiB — the HDFS-block /
+    * object-store sweet spot). Returns the output file count.
+    *
+    * Writes to a NEW path on purpose: object stores have no atomic
+    * rename, so compact-then-swap is the caller's transaction (swap
+    * a table/view pointer, or a Hive partition location). Row
+    * content is preserved exactly — no order guarantee (parquet
+    * readers must not assume one).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L << 20): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(hconf)
+    val bytes = fs.listFiles(p, true) match {
+      case it =>
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) b += f.getLen
+        }
+        b
+    }
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outPath)
+    parts
+  }
 }

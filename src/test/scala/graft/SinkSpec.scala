@@ -98,4 +98,31 @@ class SinkSpec extends SparkSpec {
       rm(out); rm(ckpt)
     }
   }
+
+  test("compact collapses a fragmented directory without losing a row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    try {
+      val frag = s"${dir.getAbsolutePath}/frag"
+      val tight = s"${dir.getAbsolutePath}/tight"
+      val docs = Tables.documents(spark, sf)
+      docs.repartition(50).write.parquet(frag) // the streaming-sink pathology
+      def parquetFiles(p: String) =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(frag) === 50)
+      val n = GraftSink.compact(spark, frag, tight)
+      assert(parquetFiles(tight) === n && n <= 2, s"still $n files")
+      // exact content preservation (multiset equality via full outer)
+      val a = spark.read.parquet(frag).groupBy("doc_id").count()
+      val b = spark.read.parquet(tight).groupBy("doc_id").count()
+      assert(a.join(b, Seq("doc_id"), "full_outer").filter(
+        a("count") =!= b("count") || a("count").isNull || b("count").isNull
+      ).count() === 0)
+      assert(spark.read.parquet(tight).count() === docs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
