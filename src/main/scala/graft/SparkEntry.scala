@@ -220,6 +220,7 @@ object SparkEntry {
     "docs_minhash_calibration" -> ((s, d) => present(NearDup.minhashCalibration(s, d), "est_bucket")),
     "q_mad" -> ((s, d) => present(Relational.qMad(s, d), "event_type")),
     "emb_router" -> ((s, d) => present(Ann.embRouter(s, d), "vec_id")),
+    "emb_mrl_recall" -> ((s, d) => present(Ann.annRecallMrl(s, d), "q_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1606,6 +1607,23 @@ object SparkEntry {
     "ann_recall_adc" ->
       s"""WITH exact AS (SELECT * FROM ($annExactTopKSql) WHERE q_id < 5),
          |approx AS (SELECT * FROM (${embAdcOracleSql})),
+         |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 END AS m
+         |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
+         |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // MRL replay: the same exact scan with range(1,17) prefix dots,
+    // composed against the full-dimension exact top-k
+    "emb_mrl_recall" ->
+      s"""WITH nt AS (SELECT vec_id, embedding,
+         |             list_sum(list_transform(range(1, 17), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+         |           FROM embeddings),
+         |pt AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |         list_sum(list_transform(range(1, 17), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |           / nullif(sqrt(a.n2) * sqrt(b.n2), 0.0) AS sim
+         |       FROM nt a JOIN nt b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |rt AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk FROM pt),
+         |approx AS (SELECT q_id, n_id FROM rt WHERE rnk <= 5),
+         |exact AS (SELECT * FROM ($annExactTopKSql)),
          |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 END AS m
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall

@@ -646,6 +646,35 @@ object Ann {
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Matryoshka-truncation recall: top-k retrieval quality when only
+    * the first `dims` of 64 dimensions are used (cosine over the
+    * prefix) vs the full-dimension exact top-k — the evaluation an
+    * MRL-style deployment runs before serving truncated vectors (4×
+    * less memory/bandwidth; this table says what it costs in
+    * recall). Both sides are the bounded-broadcast exact scan; the
+    * truncated side just slices before the dot.
+    */
+  def annRecallMrl(spark: SparkSession, dir: String, dims: Int = 16,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val trunc = slice(col("embedding"), 1, dims)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), trunc.as("emb_t"), V.normSq(trunc).as("n2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb_t").as("q_emb"), col("n2").as("q_n2"))
+    val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("emb_t")), col("q_n2"), col("n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val approx = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
+    val exact = annBruteForce(spark, dir, nQueries, k).select(col("q_id"), col("n_id"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
   /** Top-2 centroid ROUTER with confidence margin — the assignment
     * table a mixture-of-experts / IVF build step materializes: each
     * vector's best and runner-up coarse cell under the shared

@@ -1931,6 +1931,32 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._2._3).distinct.length > 1, "margins are all identical")
   }
 
+  test("mrl recall compares truncated-prefix retrieval to the full rank") {
+    import graft.operators.Ann
+    val got = Ann.annRecallMrl(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // brute-force replay on collected vectors (prefix-16 cosine)
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def topk(dims: Int, q: Long): Set[Long] = {
+      val qv = vecs.find(_._1 == q).get._2
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        (0 until dims).foreach { i =>
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        }
+        d / math.sqrt(na * nb)
+      }
+      vecs.filter(_._1 != q).map(v => (cos(qv, v._2), v._1))
+        .sortBy(x => (-x._1, x._2)).take(5).map(_._2).toSet
+    }
+    (0L until 10L).foreach { q =>
+      val matches = (topk(64, q) intersect topk(16, q)).size.toLong
+      assert(got(q) === ((matches, matches / 5.0)), s"query $q")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedBnlj = Set(
     "ann_bruteforce", "ann_ivf", "ann_recall", "ann_recall_lsh", // bounded query/centroid side
     "ann_recall_adc", // same bounded exact side as the other recall monitors
+    "emb_mrl_recall", // two bounded-broadcast exact scans (full + truncated)
     "emb_ivf_adc", // bounded centroid-table broadcast (probe ranking)
     "sql_cosine", // 10x10 query-vector pair join, pure inequality keys
     "docs_mix_sample", // single-row scalar broadcasts (W, T aggregates)
