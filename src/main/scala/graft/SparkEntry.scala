@@ -221,6 +221,8 @@ object SparkEntry {
     "q_mad" -> ((s, d) => present(Relational.qMad(s, d), "event_type")),
     "emb_router" -> ((s, d) => present(Ann.embRouter(s, d), "vec_id")),
     "emb_mrl_recall" -> ((s, d) => present(Ann.annRecallMrl(s, d), "q_id")),
+    "q_gap_ffill" -> ((s, d) => present(Relational.qGapFfill(s, d), "event_type", "bucket_ms")),
+    "q_golden_record" -> ((s, d) => present(Relational.qGoldenRecord(s, d), "user_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1611,6 +1613,44 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // ffill replay: the q_time_bucket grid + IGNORE-NULLS carry
+    "q_gap_ffill" ->
+      """WITH a AS (SELECT event_type,
+        |             (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+        |             count(*) AS n_events,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(generate_series(min(bucket_ms), max(bucket_ms), 900000)) AS bucket_ms
+        |      FROM a GROUP BY event_type),
+        |j AS (SELECT g.event_type, g.bucket_ms,
+        |        coalesce(a.n_events, 0) AS n_events, a.value_cents,
+        |        a.n_events IS NULL AS is_gap
+        |      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket_ms = a.bucket_ms)
+        |SELECT event_type, bucket_ms, CAST(n_events AS BIGINT) AS n_events, value_cents,
+        |       last_value(value_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ms
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents,
+        |       is_gap
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    // survivorship replay: conditional IGNORE-NULLS lasts over one
+    // full per-user frame, newest row selected on the same axis
+    "q_golden_record" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events),
+        |w AS (SELECT user_id, event_id, us,
+        |        last_value(CASE WHEN event_type = 'purchase' THEN cents END IGNORE NULLS) OVER f AS last_purchase_cents,
+        |        last_value(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS) OVER f AS last_error_us,
+        |        last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS) OVER f AS last_click_k,
+        |        last_value(event_type IGNORE NULLS) OVER f AS last_type,
+        |        count(*) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM e
+        |      WINDOW f AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, last_type,
+        |       last_purchase_cents, last_error_us, last_click_k
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // MRL replay: the same exact scan with range(1,17) prefix dots,
     // composed against the full-dimension exact top-k
     "emb_mrl_recall" ->

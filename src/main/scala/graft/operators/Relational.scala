@@ -745,6 +745,68 @@ object Relational {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** Gap-fill + FORWARD-FILL time series — [[qTimeBucket]]'s dense
+    * grid with the last-observed aggregate carried into empty
+    * buckets (the staleness-tolerant rendering every dashboard and
+    * feature-store materialization wants: "value as of bucket t").
+    * The carry is one `last(ignoreNulls)` over the per-type
+    * bucket-ordered frame — the grid is calendar-bounded, so the
+    * window side is tiny regardless of corpus size; the raw scan
+    * still collapses to the bucket aggregate first.
+    */
+  def qGapFfill(spark: SparkSession, dir: String, stepMs: Long = 900000L): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(unix_millis(ts) div $stepMs) * $stepMs").as("bucket_ms"),
+        col("value"))
+      .groupBy("event_type", "bucket_ms")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    val grid = agg.groupBy("event_type")
+      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(stepMs))).as("bucket_ms"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "bucket_ms"), "left")
+      .withColumn("ffill_cents", last(col("value_cents"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("bucket_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("value_cents"), col("ffill_cents"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  /** Golden-record SURVIVORSHIP merge — the MDM/CDC consolidation
+    * pass: one row per user carrying, for each field, the value from
+    * the LATEST event where that field is meaningful (purchases
+    * carry spend, errors carry a timestamp, clicks carry the props
+    * payload). Conditional `last(ignoreNulls)` carries over ONE
+    * full-frame per-user window — no per-field self-joins, one
+    * shuffle; the newest-row filter reuses the same sort.
+    */
+  def qGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .withColumn("last_purchase_cents",
+        last(when(col("event_type") === "purchase", col("cents")), ignoreNulls = true).over(full))
+      .withColumn("last_error_us",
+        last(when(col("event_type") === "error", col("us")), ignoreNulls = true).over(full))
+      .withColumn("last_click_k",
+        last(when(col("event_type") === "click", col("k")), ignoreNulls = true).over(full))
+      .withColumn("last_type", last(col("event_type"), ignoreNulls = true).over(full))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("last_type"),
+        col("last_purchase_cents"), col("last_error_us"), col("last_click_k"))
+  }
+
   /** Correlated-subquery shape: orders priced strictly above their
     * own customer's average order value (`WHERE o_totalprice >
     * (SELECT avg(...) FROM orders o2 WHERE o2.o_custkey =

@@ -1957,6 +1957,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("forward fill carries the last observed bucket into every gap") {
+    import graft.operators.Relational
+    val rows = Relational.qGapFfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (t, ts) =>
+      var carry: Option[Long] = None
+      ts.sortBy(_._2).foreach { case (_, b, n, v, f, gap) =>
+        assert(gap === (n == 0L) && v.isDefined === !gap, s"type $t bucket $b flags")
+        if (v.isDefined) carry = v
+        assert(f === carry, s"type $t bucket $b ffill") // carry == last observed
+      }
+      assert(ts.exists(_._6), s"type $t: no gaps exercised") // grid has real gaps
+    }
+  }
+
+  test("golden record picks each field from its latest qualifying event") {
+    import graft.operators.Relational
+    val got = Relational.qGoldenRecord(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")),
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.size === ev.map(_._1).distinct.length)
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val tl = rows.sortBy(e => (e._4, e._2))
+      def lastOf[T](p: ((Long, Long, String, Long, Long, Long)) => Boolean,
+                    f: ((Long, Long, String, Long, Long, Long)) => T): Option[T] =
+        tl.filter(p).lastOption.map(f)
+      assert(got(u) === ((tl.length.toLong, tl.last._3,
+        lastOf(_._3 == "purchase", _._5), lastOf(_._3 == "error", _._4),
+        lastOf(_._3 == "click", _._6))), s"user $u")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
