@@ -223,6 +223,7 @@ object SparkEntry {
     "emb_mrl_recall" -> ((s, d) => present(Ann.annRecallMrl(s, d), "q_id")),
     "q_gap_ffill" -> ((s, d) => present(Relational.qGapFfill(s, d), "event_type", "bucket_ms")),
     "q_golden_record" -> ((s, d) => present(Relational.qGoldenRecord(s, d), "user_id")),
+    "text_langid_margin" -> ((s, d) => present(TextAnalysis.textLangIdMargin(s, d), "doc_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1613,6 +1614,30 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // margin replay: same marker-score CTE as text_langid, winner +
+    // top-minus-runner-up via a reverse-sorted score list
+    "text_langid_margin" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        len(list_filter(toks, x -> x IN ('the','a','is','of','and'))) AS s_en,
+        |        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |        len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS s_fr,
+        |        len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+        |      FROM t),
+        |m AS (SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |        list_reverse_sort([s_en, s_de, s_es, s_fr]) AS l FROM s)
+        |SELECT doc_id,
+        |       CASE WHEN s_zh > 0 THEN 'zh'
+        |            WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred,
+        |       CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+        |       CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+        |       CAST(l[1] - l[2] AS BIGINT) AS margin,
+        |       s_zh > 0 AS is_cjk
+        |FROM m ORDER BY doc_id""".stripMargin,
     // ffill replay: the q_time_bucket grid + IGNORE-NULLS carry
     "q_gap_ffill" ->
       """WITH a AS (SELECT event_type,

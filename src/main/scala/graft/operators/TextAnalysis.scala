@@ -567,6 +567,30 @@ object TextAnalysis {
         expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
   }
 
+  /** Language-ID CONFIDENCE margin — the router-confidence view of
+    * [[textLangId]] (same theme as `Ann.embRouter`'s top-2 margin):
+    * per doc, all four marker scores, the winner, and top-minus-
+    * runner-up. Low-margin docs are where the heuristic gate
+    * misroutes first — route THOSE to the expensive classifier, not
+    * the whole corpus (the cascade pattern). Pure map work, exact
+    * integers.
+    */
+  def textLangIdMargin(spark: SparkSession, dir: String): DataFrame = {
+    val scores = T.langMarkers.map { case (_, ms) => T.markerScore(col("text"), ms).cast("long") }
+    val Seq(en, de, es, fr) = scores
+    val pred = when(T.cjkCount(col("text")) > 0, "zh")
+      .when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    val arr = sort_array(array(en, de, es, fr), asc = false)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("lang_pred"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+        (element_at(arr, 1) - element_at(arr, 2)).as("margin"),
+        (T.cjkCount(col("text")) > 0).as("is_cjk"))
+  }
+
   /** Per-doc character-class composition (alpha / digit / space /
     * other) — the byte-level charset audit under every encoding or
     * quality gate (mojibake and binary-spill show up as `n_other`

@@ -1999,6 +1999,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("langid margin is consistent with the langid prediction") {
+    import graft.operators.TextAnalysis
+    val margin = TextAnalysis.textLangIdMargin(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), Seq(r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)), r.getLong(6), r.getBoolean(7)))).toMap
+    val pred = TextAnalysis.textLangId(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(margin.keySet === pred.keySet)
+    margin.foreach { case (id, (p, scores, m, cjk)) =>
+      assert(p === pred(id), s"doc $id prediction drifted from text_langid")
+      val sorted = scores.sorted.reverse
+      assert(m === sorted.head - sorted(1) && m >= 0, s"doc $id margin")
+      // a non-cjk winner's score is the max score
+      if (!cjk) {
+        val winnerScore = p match {
+          case "en" => scores(0); case "de" => scores(1)
+          case "es" => scores(2); case "fr" => scores(3)
+        }
+        assert(winnerScore === sorted.head, s"doc $id winner not max")
+      }
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
