@@ -224,6 +224,7 @@ object SparkEntry {
     "q_gap_ffill" -> ((s, d) => present(Relational.qGapFfill(s, d), "event_type", "bucket_ms")),
     "q_golden_record" -> ((s, d) => present(Relational.qGoldenRecord(s, d), "user_id")),
     "text_langid_margin" -> ((s, d) => present(TextAnalysis.textLangIdMargin(s, d), "doc_id")),
+    "docs_df_profile" -> ((s, d) => present(NearDup.docsDfProfile(s, d), "bucket")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1614,6 +1615,16 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // df-profile replay: the shared shingle CTEs + power-of-two
+    // bucketing via the bin()-length idiom
+    "docs_df_profile" ->
+      s"""WITH $jaccardCtes,
+         |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |h AS (SELECT CAST(len(bin(df)) AS BIGINT) AS bucket, count(*) AS n_shingles,
+         |        CAST(sum(df) AS BIGINT) AS n_postings, CAST(max(df) AS BIGINT) AS max_df
+         |      FROM df GROUP BY 1)
+         |SELECT bucket, CAST(n_shingles AS BIGINT) AS n_shingles, n_postings, max_df
+         |FROM h ORDER BY bucket""".stripMargin,
     // margin replay: same marker-score CTE as text_langid, winner +
     // top-minus-runner-up via a reverse-sorted score list
     "text_langid_margin" ->

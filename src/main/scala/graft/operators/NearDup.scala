@@ -530,6 +530,23 @@ object NearDup {
         expr(s"(10000 * sig_matches) div ${MinHashSig.PERMS}").as("est_e4"))
   }
 
+  /** Shingle document-frequency profile — the inverted-index shape
+    * audit BEHIND this module's design decisions: the prefix filter
+    * orders by df asc precisely because the df distribution is
+    * long-tailed, and [[containmentPairsOn]]'s hot-key salting
+    * threshold (df > 1024) is a bet this table verifies. Power-of-
+    * two df buckets (the [[Relational.qSkewProfile]] rendering) with
+    * shingle counts, posting mass, and the hottest shingle per
+    * bucket. Two map-combinable aggregates; reduce ≤ 64 rows.
+    */
+  def docsDfProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), SHINGLE_K)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
+        max("df").as("max_df"))
+
   /** MinHash ESTIMATOR CALIBRATION: bucket candidate pairs by their
     * estimated similarity (deciles of est_e4) and report the exact
     * Jaccard distribution inside each bucket — the curve that tells

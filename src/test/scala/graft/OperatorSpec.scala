@@ -2022,6 +2022,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("shingle df profile accounts for every posting") {
+    import graft.operators.NearDup
+    val got = NearDup.docsDfProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // replay from raw shingles
+    val dfs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .wordShingles(col("text"), NearDup.SHINGLE_K)).as("s"))
+      .groupBy("s").agg(count(lit(1))).collect().map(_.getLong(1))
+    val expect = dfs.groupBy(d => java.lang.Long.toBinaryString(d).length.toLong)
+      .map { case (b, ds) => b -> ((ds.length.toLong, ds.sum, ds.max)) }
+    assert(got === expect)
+    // posting mass reconciles with the exploded shingle count
+    assert(got.values.map(_._2).sum === dfs.sum)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
