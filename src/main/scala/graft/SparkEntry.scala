@@ -225,6 +225,7 @@ object SparkEntry {
     "q_golden_record" -> ((s, d) => present(Relational.qGoldenRecord(s, d), "user_id")),
     "text_langid_margin" -> ((s, d) => present(TextAnalysis.textLangIdMargin(s, d), "doc_id")),
     "docs_df_profile" -> ((s, d) => present(NearDup.docsDfProfile(s, d), "bucket")),
+    "q_conversion_latency" -> ((s, d) => present(Relational.qConversionLatency(s, d), "src_type")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1615,6 +1616,28 @@ object SparkEntry {
          |      FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id)
          |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / 5.0, 4) AS recall
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // latency replay: the attribution carry + the exact discrete
+    // percentile rank-pick per src_type
+    "q_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT user_id, event_id, event_type, us,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS) OVER w AS src_us,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS src_type
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT event_id, src_type, (us - src_us) // 1000 AS gap_ms
+        |      FROM a WHERE event_type = 'purchase' AND src_us IS NOT NULL
+        |        AND us - src_us <= 1800000000),
+        |r AS (SELECT src_type, gap_ms,
+        |        CAST(row_number() OVER (PARTITION BY src_type ORDER BY gap_ms, event_id) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY src_type) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT src_type, max(n) AS n_conversions,
+        |       max(CASE WHEN rn = (n * 10 + 99) // 100 THEN gap_ms END) AS p10_ms,
+        |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_ms END) AS p50_ms,
+        |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN gap_ms END) AS p90_ms
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // df-profile replay: the shared shingle CTEs + power-of-two
     // bucketing via the bin()-length idiom
     "docs_df_profile" ->

@@ -745,6 +745,38 @@ object Relational {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** Conversion-LATENCY distribution per source touch type: for
+    * every purchase attributed within the 30-min window (the
+    * [[qAttribution]] rule), the time-to-convert, reduced to exact
+    * discrete p10/p50/p90 order statistics per src_type (the
+    * latency table next to [[qFunnel]]'s conversion counts — counts
+    * say HOW MANY convert, this says HOW FAST). Same one-window
+    * attribution pass, then the shared rank-pick rendering on the
+    * unique (gap_ms, event_id) axis. All-integer.
+    */
+  def qConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val wAttr = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("src", last(when(col("event_type") =!= "purchase",
+        struct(col("us"), col("event_type"))), ignoreNulls = true).over(wAttr))
+      .filter(col("event_type") === "purchase" && col("src").isNotNull &&
+        col("us") - col("src.us") <= lit(30L * 60 * 1000000))
+      .select(col("event_id"), col("src.event_type").as("src_type"),
+        expr("(us - src.us) div 1000").as("gap_ms"))
+    val w = Window.partitionBy("src_type").orderBy(col("gap_ms"), col("event_id"))
+    attributed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("src_type")).cast("long"))
+      .groupBy("src_type")
+      .agg(max("n").as("n_conversions"),
+        max(when(col("rn") === expr("(n * 10 + 99) div 100"), col("gap_ms"))).as("p10_ms"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("gap_ms"))).as("p50_ms"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("gap_ms"))).as("p90_ms"))
+  }
+
   /** Gap-fill + FORWARD-FILL time series — [[qTimeBucket]]'s dense
     * grid with the last-observed aggregate carried into empty
     * buckets (the staleness-tolerant rendering every dashboard and

@@ -2038,6 +2038,25 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === dfs.sum)
   }
 
+  test("conversion latency percentiles replay from the attribution rows") {
+    import graft.operators.Relational
+    val got = Relational.qConversionLatency(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // reuse the attribution operator as the independent source of
+    // (src_type, gap_ms) — its own spec already proves it vs replay
+    val attr = Relational.qAttribution(spark, sf).collect()
+      .filter(r => !r.isNullAt(3) && r.getBoolean(5))
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(attr.nonEmpty)
+    attr.groupBy(_._2).foreach { case (st, rows) =>
+      val n = rows.length.toLong
+      val sorted = rows.map(r => (r._3, r._1)).sortBy(identity).map(_._1)
+      def pick(q: Int) = sorted(((n * q + 99) / 100).toInt - 1)
+      assert(got(st) === ((n, pick(10), pick(50), pick(90))), s"src $st")
+    }
+    assert(got.keySet === attr.map(_._2).toSet)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
