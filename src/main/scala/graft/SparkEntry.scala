@@ -1000,7 +1000,7 @@ object SparkEntry {
     // frame orders on epoch_us(ts) like q_lag_delta
     "q_moving_avg" ->
       """SELECT event_id, user_id,
-        |       sum(v_milli) OVER w AS mv_sum_milli,
+        |       CAST(sum(v_milli) OVER w AS BIGINT) AS mv_sum_milli,
         |       count(*) OVER w AS mv_n
         |FROM (SELECT event_id, user_id, ts,
         |             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_milli
