@@ -208,6 +208,7 @@ object SparkEntry {
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
+    "docs_pii_scrub" -> ((s, d) => present(TextAnalysis.piiScrub(s, d), "doc_id")),
     "docs_sample_fixed" -> ((s, d) => present(Sampling.docsSampleFixed(s, d), "lang", "rnk")),
     "q_changepoint" -> ((s, d) => present(Relational.qChangepoint(s, d), "event_type")),
     "q_having_join" -> ((s, d) => present(Relational.qHavingJoin(s, d), "o_orderkey")),
@@ -1747,14 +1748,17 @@ object SparkEntry {
         |       max(CASE WHEN rn2 = (n * 50 + 99) // 100 THEN dev END) AS mad_cents
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // router replay: same c1 quantizer, rn<=2 under the identical
-    // (score DESC, cid DESC) order, x10^4-floored score margin
+    // (score DESC, cid DESC) order; the score margin is pinned to 4
+    // decimals BEFORE the x10^4 scale (1-ulp dot-product drift
+    // between engines cannot flip the integer; margin >= 0 so
+    // half-up == half-away)
     "emb_router" ->
       s"""WITH $ivfC1Ctes,
          |r AS (SELECT v.vec_id, c.cid, ${ivfScore("v", "c")} AS s,
          |        row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
          |      FROM e v CROSS JOIN c1 c)
          |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid1, CAST(b.cid AS BIGINT) AS cid2,
-         |       CAST(floor((a.s - b.s) * 10000) AS BIGINT) AS margin_e4
+         |       CAST(round(round(a.s - b.s, 4) * 10000) AS BIGINT) AS margin_e4
          |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
          |ORDER BY a.vec_id""".stripMargin,
     // LTV replay: first-seen week per user, purchase cells, cohort
@@ -2628,5 +2632,30 @@ object SparkEntry {
         |       CAST(len(text) - len(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
         |       CAST(len(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), ' ', '', 'g')) AS BIGINT) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII scrub replay: the deterministic doc_id-derived contact
+    // augmentation is reconstructed identically here, then counted /
+    // redacted with the same RE2-and-Java-compatible patterns in the
+    // same email -> phone -> IPv4 order; all outputs exact integers
+    "docs_pii_scrub" ->
+      """WITH a AS (SELECT doc_id, text,
+        |             CASE WHEN doc_id % 3 = 0
+        |                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |                       || '@example.com or +1-555-'
+        |                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |                       || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |                       || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+        |                  ELSE text END AS aug
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(aug, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |       CAST(len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |       CAST(len(regexp_extract_all(text, '\b(spark|vector|stream)\b')) AS BIGINT) AS n_blocklist,
+        |       CAST(len(aug) AS BIGINT) AS len_raw,
+        |       CAST(len(regexp_replace(regexp_replace(regexp_replace(aug,
+        |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |              '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS len_scrubbed
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

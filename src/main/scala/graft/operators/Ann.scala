@@ -700,7 +700,12 @@ object Ann {
     e.select(col("vec_id"),
       element_at(arr, 1).getField("cid").cast("long").as("cid1"),
       element_at(arr, 2).getField("cid").cast("long").as("cid2"),
-      floor((element_at(arr, 1).getField("s") - element_at(arr, 2).getField("s")) * 10000)
+      // the raw margin is a difference of sequential double dot
+      // products: pin it to 4 decimals BEFORE scaling so a 1-ulp
+      // cross-engine drift can't flip the integer (margins are >= 0
+      // under the desc sort, so half-up == half-away rounding)
+      round(round(element_at(arr, 1).getField("s") -
+        element_at(arr, 2).getField("s"), 4) * 10000, 0)
         .cast("long").as("margin_e4"))
   }
 

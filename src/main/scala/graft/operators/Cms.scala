@@ -24,8 +24,7 @@ object Cms {
   def sketch(df: DataFrame, keyCol: String, eps: Double = 0.001,
              confidence: Double = 0.99, seed: Int = 42): CountMinSketch = {
     val bin = df
-      .agg(expr(s"count_min_sketch($keyCol, CAST($eps AS DOUBLE), " +
-        s"CAST($confidence AS DOUBLE), $seed)"))
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
       .first().getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bin))
   }

@@ -611,4 +611,74 @@ object TextAnalysis {
       .withColumn("n_other",
         col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
   }
+
+  /** Email / phone / IPv4 patterns kept to the regex subset that
+    * Java (Spark) and RE2 (DuckDB) match identically: character
+    * classes, bounded repeats, `\b` — no backrefs or lookaround.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val BlocklistRe = "\\b(spark|vector|stream)\\b"
+
+  /** Deterministic contact-style augmentation planted on every third
+    * document: the synthetic corpus carries no natural PII, so the
+    * scrub regexes would otherwise count only zeros. Derived purely
+    * from doc_id; the oracle replays the identical construction, so
+    * the regexes are exercised against positive AND zero-hit rows.
+    */
+  private def piiAugmented: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 250).cast("string")))
+      .otherwise(col("text"))
+
+  /** C4-style PII / blocklist scrub audit: regex redaction counts
+    * (email, phone, IPv4) plus blocklist-term hits per document, and
+    * the exact post-redaction length (each match class replaced by a
+    * fixed tag, applied email -> phone -> IPv4 — the patterns cannot
+    * overlap each other's matches, but a fixed order keeps both
+    * engines byte-identical). All counters exact integers. Pure
+    * map-side column work: runs at scan speed on 100 TB, no shuffle.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = piiAugmented
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, PiiEmailRe, "<EMAIL>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpv4Re, "<IP>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(aug, lit(PiiEmailRe)).cast("long").as("n_email"),
+      regexp_count(aug, lit(PiiPhoneRe)).cast("long").as("n_phone"),
+      regexp_count(aug, lit(PiiIpv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(BlocklistRe)).cast("long").as("n_blocklist"),
+      length(aug).cast("long").as("len_raw"),
+      length(scrubbed).cast("long").as("len_scrubbed"))
+  }
+
+  /** docsQualityFilter's optional PII gate (default off, oracles
+    * unchanged): when enabled, documents whose RAW text matches any
+    * scrub pattern are flagged and excluded from `keep` — the
+    * blocking stage a C4-style cleaning pipeline runs between the
+    * heuristic gates and dedup.
+    */
+  def docsQualityFilterPii(spark: SparkSession, dir: String,
+                           minTokens: Int = 5, maxTokens: Int = 80,
+                           maxPunct: Double = 0.1): DataFrame = {
+    val hasPii =
+      regexp_count(col("text"), lit(PiiEmailRe)) +
+        regexp_count(col("text"), lit(PiiPhoneRe)) +
+        regexp_count(col("text"), lit(PiiIpv4Re)) > 0
+    val pii = Tables.documents(spark, dir)
+      .select(col("doc_id"), hasPii.as("flag_pii"))
+    docsQualityFilter(spark, dir, minTokens, maxTokens, maxPunct)
+      .join(pii, "doc_id")
+      .withColumn("keep", col("keep") && !col("flag_pii"))
+  }
 }

@@ -91,20 +91,17 @@ object GraftSink {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetBytes: Long = 128L << 20): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(hconf)
-    val bytes = fs.listFiles(p, true) match {
-      case it =>
-        var b = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) b += f.getLen
-        }
-        b
-    }
+    val df = spark.read.parquet(inPath)
+    // size from the files the READ actually selects (inputFiles
+    // honors _spark_metadata commit logs), not a raw recursive
+    // listing — a streaming-sink dir can hold orphan/uncommitted
+    // parts that a listing would count but the read will skip
+    val bytes = df.inputFiles.map { uri =>
+      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      fp.getFileSystem(hconf).getFileStatus(fp).getLen
+    }.sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(parts)
+    df.repartition(parts)
       .write.mode("overwrite").parquet(outPath)
     parts
   }

@@ -58,15 +58,24 @@ object JsonlSource {
     df.filter(col(CorruptCol).isNull && col("doc_id").isNotNull)
       .drop(CorruptCol)
 
-  /** The quarantine rows: raw corrupt lines for repair/audit. Spark
-    * refuses to answer a query that references ONLY the corrupt
-    * column of a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — it
-    * would have to re-parse pruned rows), so the parse is marked
-    * cached here; unpersist after draining if the input is huge.
+  /** The quarantine rows: raw corrupt lines for repair/audit, from a
+    * PRE-PERSISTED parse. Spark refuses to answer a query that
+    * references ONLY the corrupt column of a raw scan
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN — it would have to re-parse
+    * pruned rows), so the caller must hold `df` cached while this
+    * result is consumed; [[withCorrupt]] brackets that lifecycle so
+    * nothing stays pinned in executor memory afterwards.
     */
-  def corrupt(df: DataFrame): DataFrame = {
-    df.cache()
+  def corrupt(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
+
+  /** Cache-owning bracket over [[corrupt]]: persist the parse, run
+    * `use` on the quarantine rows, always unpersist. The only path
+    * that caches on the caller's behalf — and it cannot leak.
+    */
+  def withCorrupt[A](df: DataFrame)(use: DataFrame => A): A = {
+    df.cache()
+    try use(corrupt(df)) finally df.unpersist()
   }
 
   /** Write a contract-shaped frame as JSONL shards. */

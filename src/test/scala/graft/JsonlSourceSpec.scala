@@ -38,7 +38,7 @@ class JsonlSourceSpec extends SparkSpec {
         (2L, "bonjour", "fr", "web", 7L),
         (3L, "third", "en", "book", 5L)))
       // every corrupt input line lands in quarantine verbatim
-      val bad = JsonlSource.corrupt(raw).collect().map(_.getString(0)).sorted
+      val bad = JsonlSource.withCorrupt(raw)(_.collect()).map(_.getString(0)).sorted
       assert(bad === corruptLines.sorted.toArray.toSeq)
     }
   }

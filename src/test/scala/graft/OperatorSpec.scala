@@ -2057,6 +2057,38 @@ class OperatorSpec extends SparkSpec {
     assert(got.keySet === attr.map(_._2).toSet)
   }
 
+  test("pii scrub: planted docs count 1 email/phone/ip, others are pii-free") {
+    val rows = TextAnalysis.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nEmail, nPhone, nIp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (id % 3 == 0) {
+        assert((nEmail, nPhone, nIp) === ((1L, 1L, 1L)), s"doc $id")
+        // redaction replaces, never grows: tags are shorter than the
+        // shortest plantable match of each class
+        assert(r.getLong(5) > r.getLong(6), s"doc $id len_raw <= len_scrubbed")
+      } else {
+        assert((nEmail, nPhone, nIp) === ((0L, 0L, 0L)), s"doc $id")
+        assert(r.getLong(5) === r.getLong(6), s"doc $id scrub changed clean text")
+      }
+    }
+    // blocklist terms do occur in the corpus — the counter is live
+    assert(rows.map(_.getLong(4)).sum > 0)
+  }
+
+  test("pii quality gate: default-off parity, raw corpus passes the gate") {
+    val base = TextAnalysis.docsQualityFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val gated = TextAnalysis.docsQualityFilterPii(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("keep")),
+        r.getBoolean(r.fieldIndex("flag_pii"))))
+    // the raw synthetic corpus has no PII, so the gate is a no-op on
+    // it — keep decisions must match the ungated filter exactly
+    assert(gated.forall(!_._3))
+    assert(gated.map(g => g._1 -> g._2).toMap === base)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
