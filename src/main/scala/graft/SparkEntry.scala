@@ -205,6 +205,7 @@ object SparkEntry {
     "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
     "emb_lsh_balance" -> ((s, d) => present(Ann.embLshBalance(s, d), "t")),
     "emb_dedup_groups" -> ((s, d) => present(NearDup.embDedupGroups(s, d), "vec_id")),
+    "emb_semantic_groups" -> ((s, d) => present(Ann.embSemanticGroups(s, d), "vec_id")),
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
@@ -2522,6 +2523,27 @@ object SparkEntry {
         |      UNION
         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
         |SELECT s AS vec_id, min(d) AS group_id FROM r GROUP BY s ORDER BY vec_id""".stripMargin,
+    // SemDeDup replay: identical c1 quantizer + (score DESC, cid
+    // DESC) assignment tie-break as the IVF oracles, in-cluster
+    // pairs only, exact cosine verify, then the same reachability
+    // closure as emb_dedup_groups
+    "emb_semantic_groups" ->
+      s"""WITH RECURSIVE $ivfC1Ctes,
+         |a1 AS (SELECT vec_id, cid FROM (
+         |         SELECT v.vec_id, c.cid,
+         |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
+         |         FROM e v CROSS JOIN c1 c) WHERE rn = 1),
+         |cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |       FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       JOIN n x ON x.vec_id = a.vec_id
+         |       JOIN n y ON y.vec_id = b.vec_id
+         |       WHERE list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         |               / nullif(sqrt(x.n2) * sqrt(y.n2), 0.0) >= 0.4),
+         |eg AS (SELECT a_id AS s, b_id AS d FROM cp UNION SELECT b_id, a_id FROM cp),
+         |r AS (SELECT vec_id AS s, vec_id AS d FROM embeddings
+         |      UNION
+         |      SELECT r.s, eg.d FROM r JOIN eg ON r.d = eg.s)
+         |SELECT s AS vec_id, min(d) AS group_id FROM r GROUP BY s ORDER BY vec_id""".stripMargin,
     // interval-union replay: running max-end sweep, same
     // (t0, event_id) order, new-span iff t0 > every earlier end
     "q_merge_intervals" ->

@@ -738,6 +738,92 @@ object Ann {
         struct(lit(t).as("t"), sigCol(t, col("embedding"), bits).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
 
+  /** SemDeDup-style semantic dedup groups — the SCALE path for
+    * [[NearDup.embDedupGroups]]'s exact Ω(n²) contract (Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023): every vector is assigned to the
+    * shared trained IVF coarse quantizer ([[ivfCentroids]] — the
+    * same one-Lloyd-pass model all the IVF oracles replay),
+    * candidate pairs are generated ONLY within a cluster (a plain
+    * cid equi-join — never all-pairs), exact-cosine verified, and
+    * grouped with [[NearDup.starComponents]].
+    *
+    * Scale shape: compare work drops from n²/2 to Σ_k n_k²/2 — ×K
+    * for balanced clusters — and K grows with the corpus (SemDeDup
+    * runs K in the tens of thousands at web scale), so each
+    * cluster's candidate block stays executor-sized while the
+    * equi-join spreads clusters across the shuffle; a hot cluster is
+    * AQE's skew-join case, and the standard remedies (larger K,
+    * per-cluster sub-blocking as in [[NearDup.embCosineDedup]])
+    * compose. The price is recall at the cluster boundary: a pair
+    * split across coarse cells is never compared. Measured against
+    * the exact edge set in OperatorSpec on the sf0.001 testdata
+    * (threshold 0.4, K=16): nprobe=1 recovers 15/66 edges (0.23) —
+    * this corpus is isotropic, so threshold-0.4 "near-dups" sit at
+    * the sim-distribution tail and straddle cells far more than the
+    * ~0.99-sim copies SemDeDup targets — and nprobe=2 multi-assign
+    * ([[embSemanticPairs]]) lifts it to 44/66 (0.67). On a real
+    * near-dup corpus the same quantizer concentrates ~1.0-sim copies
+    * into one cell and recall approaches 1; the spec pins the
+    * refinement invariant (semantic groups always sit INSIDE exact
+    * groups) and the lever's direction, not a corpus-specific recall
+    * constant.
+    */
+  def embSemanticGroups(spark: SparkSession, dir: String,
+                        threshold: Double = 0.4, clusters: Int = 16,
+                        iters: Int = 1, maxRounds: Int = 30): DataFrame = {
+    val pairs = embSemanticPairs(spark, dir, threshold, clusters, iters)
+      .select("a_id", "b_id")
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+    NearDup.starComponents(nodes, pairs, maxRounds)._1
+  }
+
+  /** The in-cluster verified edge set behind [[embSemanticGroups]],
+    * exposed for recall audits against the exact
+    * [[NearDup.embCosineDedup]] pairs. `nprobe` is the multi-assign
+    * recall lever: each vector is replicated to its nprobe nearest
+    * coarse cells before the pair join (candidates distinct-ed, so a
+    * pair sharing several cells is verified once) — recall rises at
+    * the cost of ×nprobe index size and candidate volume, exactly
+    * the IVF probe/recall trade [[annRecall]] monitors on the search
+    * side.
+    */
+  def embSemanticPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.4, clusters: Int = 16,
+                       iters: Int = 1, nprobe: Int = 1): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val cents = ivfCentroids(e, clusters, iters)
+    // top-nprobe cells per vector: the embRouter struct-sort shape,
+    // map-only (ties break to the larger cid, matching the oracle's
+    // score DESC, cid DESC assignment order)
+    val scored = cents.map { case (cid, c) =>
+      struct(
+        (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0)).as("s"),
+        lit(cid).as("cid"))
+    }
+    val assigned = e
+      .select(col("vec_id"),
+        explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid"))
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val sim = V.cosineWithNorms(
+      V.dot(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("n2").as("a_n2")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("n2").as("b_n2")), "b_id")
+      .select(col("a_id"), col("b_id"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Per-table LSH bucket-balance monitor: occupied buckets, vector
     * count, largest bucket, and max/mean skew ×10⁴ — the health
     * check that tells you when a table's hyperplanes stopped

@@ -1651,6 +1651,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("semantic groups refine exact groups; in-cluster edge recall measured") {
+    import graft.operators.{Ann, NearDup}
+    // the verify step is the exact cosine, so the in-cluster edge
+    // set can only MISS exact edges (cluster-boundary splits), never
+    // invent them
+    val exact = NearDup.embCosineDedup(spark, sf).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Ann.embSemanticPairs(spark, sf).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else sem.size.toDouble / exact.size
+    info(f"semantic edge recall vs exact: ${sem.size}/${exact.size} = $recall%.3f")
+    // the multi-assign lever strictly widens the candidate set (the
+    // nprobe=1 cell is always among the nprobe=2 cells) and must
+    // raise recall on this corpus, where threshold-0.4 edges sit at
+    // the isotropic sim tail and often straddle cells
+    val sem2 = Ann.embSemanticPairs(spark, sf, nprobe = 2)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(sem2) && sem2.subsetOf(exact))
+    info(f"nprobe=2 edge recall: ${sem2.size}/${exact.size} = ${sem2.size.toDouble / exact.size}%.3f")
+    assert(sem2.size > sem.size)
+    // fewer edges => a refinement: every semantic group sits INSIDE
+    // one exact group (members never straddle two exact components)
+    val exactG = NearDup.embDedupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val semG = Ann.embSemanticGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(semG.map(_._1).toSet === exactG.keySet)
+    semG.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(m => exactG(m._1)).toSet.size === 1,
+        s"semantic group $g straddles exact groups")
+    }
+  }
+
   test("merged interval spans cover events and never overlap") {
     import graft.operators.Relational
     val spans = Relational.qMergeIntervals(spark, sf).collect()
