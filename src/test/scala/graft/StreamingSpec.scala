@@ -3,6 +3,7 @@ package graft
 import graft.streaming.DedupStream
 import graft.streaming.DedupStream.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, map, timestamp_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -137,6 +138,90 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("bloom_empty_out")
         .select("event_id").collect().map(_.getLong(0)).toSet
       assert(got === Set(1L)) // 1 and 2 share content; no history drop
+    } finally q.stop()
+  }
+
+  test("IT parity: payload-only identity forwards the FIRST message with its key+eventTime " +
+    "(ITDeduplicatorTest.testDummyDuplicatesWithoutSchema, ITDeduplicatorTest.java:26-56)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference scenario: payload n is sent n+1 times with a
+    // DIFFERENT key per copy and drifting timestamps — identity is
+    // the payload alone, and the forwarded message must be the first
+    // copy VERBATIM (its key and event time pass through untouched)
+    val base = 1700000000000L
+    val copies = for {
+      n <- 0 until 10
+      times <- 0 to n
+    } yield (s"testme$n", base + n * 100 + times, s"jabadabaduu$times", times)
+    val input = MemoryStream[(String, Long, String, Int)]
+    val out = input.toDF().toDF("payload", "ts_ms", "key", "copy")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("payload"))
+    val q = out.writeStream.format("memory").queryName("it_dummy_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // micro-batch k carries every payload's k-th copy, so the first
+      // copy of each payload arrives strictly before its duplicates
+      // (the sequential-send order of the reference pipeline)
+      (0 until 10).foreach { k =>
+        val batch = copies.filter(_._4 == k)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      val got = spark.table("it_dummy_out")
+        .select("payload", "ts_ms", "key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // exactly the times==0 copies, metadata intact
+      val expect = copies.filter(_._4 == 0)
+        .map(c => (c._1, c._2, c._3)).toSet
+      assert(got === expect)
+      assert(got.forall(_._3 == "jabadabaduu0"))
+    } finally q.stop()
+  }
+
+  test("IT parity: topic+payload identity with properties passthrough " +
+    "(ITDeduplicatorTest.testDuplicatesWithRawMqttSchema, ITDeduplicatorTest.java:64-113)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference scenario: raw-MQTT messages are identical iff
+    // topic AND payload match (same payload under two topics is two
+    // distinct messages); all copies share one timestamp; the
+    // forwarded message carries its properties verbatim
+    val base = 1700000000000L
+    val msgs = Seq(
+      // (id, topic, payload) — ids 1,2 duplicate; 3 same payload new
+      // topic (survives); 4,5,6 triplicate; 7 same topic new payload
+      (1L, "/hfp/v1/journey/bus/0012", """{"VP":{"veh":12,"spd":3.5}}"""),
+      (2L, "/hfp/v1/journey/bus/0012", """{"VP":{"veh":12,"spd":3.5}}"""),
+      (3L, "/hfp/v1/journey/tram/0012", """{"VP":{"veh":12,"spd":3.5}}"""),
+      (4L, "/hfp/v1/journey/bus/0034", """{"VP":{"veh":34,"spd":0.0}}"""),
+      (5L, "/hfp/v1/journey/bus/0034", """{"VP":{"veh":34,"spd":0.0}}"""),
+      (6L, "/hfp/v1/journey/bus/0034", """{"VP":{"veh":34,"spd":0.0}}"""),
+      (7L, "/hfp/v1/journey/bus/0034", """{"VP":{"veh":34,"spd":7.1}}"""))
+    val input = MemoryStream[(Long, String, String)]
+    val out = input.toDF().toDF("id", "topic", "payload")
+      .withColumn("ts", timestamp_millis(lit(base))) // one shared ts, as the reference test
+      .withColumn("props", map(
+        lit("schema_version"), lit("1"),
+        lit("protobuf_schema"), lit("MqttRawMessage"),
+        lit("foo"), lit("bar")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("topic", "payload"))
+    val q = out.writeStream.format("memory").queryName("it_mqtt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = msgs.splitAt(4)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("it_mqtt_out")
+        .selectExpr("id", "topic", "payload", "props['foo']", "props['schema_version']")
+        .collect()
+      // 7 in, 4 unique (topic, payload) identities out — the 5000 →
+      // 4956 shape of the reference corpus, and first-copy ids win
+      assert(rows.map(_.getLong(0)).toSet === Set(1L, 3L, 4L, 7L))
+      // properties forwarded verbatim on every surviving message
+      assert(rows.forall(r => r.getString(3) == "bar" && r.getString(4) == "1"))
     } finally q.stop()
   }
 
