@@ -55,13 +55,34 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup q1: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
+    // Constant-plan probe: median of 3 timed runs of two stable
+    // scan-shaped queries (full-scan agg + pushed-filter agg). Their
+    // plans never change across rounds, so the ratio probe_now /
+    // probe_baseline is a box-speed normalizer — emitted in the JSON
+    // so cross-box comparison of absolute seconds is mechanical
+    // instead of estimated from overlapping query keys.
+    def median3(name: String): Double = {
+      val ts = Seq.fill(3)(execute(name)).filter(_ >= 0).sorted
+      if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+    }
+    val probe = Seq("q1_agg", "q6_filter").map(n => n -> median3(n))
+    val probeJson = probe.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+    // Optional subset (comma-separated names) for targeted soaks —
+    // e.g. the sf1 heavy-family run — without changing the default
+    // full-surface contract the driver relies on.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // stdout is wrapped in sbt [info] noise, so also write the bare
     // JSON line where tooling can parse it without de-prefixing

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1 soak (VERDICT r4 item #5).
+  *
+  * Replicates the driver's sf0.1 fact tables `factor`× into an
+  * sf1-shaped directory, preserving each replica's INTERNAL
+  * duplicate/cluster/session structure while keeping replicas
+  * mutually dissimilar — so near-dup cluster COUNT scales linearly
+  * (like real corpus growth) instead of cluster SIZE scaling (which
+  * would turn every in-cluster quadratic into a fake 100× blowup):
+  *
+  *  - keys (`doc_id`, `vec_id`, `event_id`, `user_id`, `o_orderkey`,
+  *    `l_orderkey`) get a per-replica offset → disjoint key spaces;
+  *  - `documents.text` goes through a per-replica Caesar rotation of
+  *    the ASCII letters (a bijection on tokens): intra-replica
+  *    shingle/minhash/simhash relations are isomorphic to the
+  *    original, while cross-replica vocabularies are disjoint;
+  *    lengths and charclass composition are preserved exactly;
+  *  - `embeddings.embedding` is cyclically rotated by 7·r dims: a
+  *    norm-preserving isometry per replica (intra-replica cosine
+  *    geometry identical), while a vector and its rotation are
+  *    near-orthogonal for the synthetic distribution — replicas do
+  *    not cross-match in cosine/IVF space;
+  *  - `events.ts` stays the raw int64 nanos the driver wrote (read
+  *    with the same legacy conf Tables.events uses), so the sf1
+  *    directory honors the TIMESTAMP(NANOS) reader contract.
+  *
+  * Dimension tables (region/nation/customer/supplier/part) are
+  * copied unchanged — fact-side scaling only, documented in
+  * BASELINE.md alongside the soak numbers.
+  */
+object ScaleGen {
+  private val Off = 100000000L // per-replica key offset, > any sf0.1 key
+
+  def main(args: Array[String]): Unit = {
+    val inDir  = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def in(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // dims: copy unchanged
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(in(t), t, 1))
+
+    def replicate(name: String, parts: Int)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      val base = in(name)
+      val all = (0 until factor).map(r => remap(base, r)).reduce(_ unionAll _)
+      write(all, name, parts)
+    }
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+
+    replicate("orders", 8) { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(Off * r))
+    }
+    replicate("lineitem", 16) { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(Off * r))
+    }
+    replicate("events", 16) { (df, r) =>
+      df.withColumn("event_id", col("event_id") + lit(Off * r))
+        .withColumn("user_id", col("user_id") + lit(Off * r))
+    }
+    replicate("documents", 8) { (df, r) =>
+      df.withColumn("doc_id", col("doc_id") + lit(Off * r))
+        .withColumn("text",
+          translate(col("text"),
+            lower + lower.toUpperCase,
+            rot(lower, r) + rot(lower, r).toUpperCase))
+    }
+    replicate("embeddings", 8) { (df, r) =>
+      val shift = (7 * r) % 64
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      df.withColumn("vec_id", col("vec_id") + lit(Off * r))
+        .withColumn("embedding", rotated)
+    }
+
+    println(s"""{"scalegen":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}
