@@ -20,15 +20,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as long nanos (legacy conf) and convert to a
-    * microsecond timestamp (the data carries no sub-µs precision).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops (Spark's reader rejects it without the legacy long-nanos
+    * conf) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+    * (read as TIMESTAMP_NTZ). Normalize both to a session-local
+    * microsecond TIMESTAMP: the sessions pin UTC, so the NTZ cast is
+    * a pure reinterpretation and both shapes yield identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
