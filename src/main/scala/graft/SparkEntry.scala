@@ -228,6 +228,16 @@ object SparkEntry {
     "text_langid_margin" -> ((s, d) => present(TextAnalysis.textLangIdMargin(s, d), "doc_id")),
     "docs_df_profile" -> ((s, d) => present(NearDup.docsDfProfile(s, d), "bucket")),
     "q_conversion_latency" -> ((s, d) => present(Relational.qConversionLatency(s, d), "src_type")),
+    // §2.3 TPC-H completion wave (operators/Tpch.scala)
+    "q7_volume" -> ((s, d) => present(Tpch.q7Volume(s, d), "supp_nat", "cust_nat", "l_year")),
+    "q8_share" -> ((s, d) => present(Tpch.q8Share(s, d), "o_year")),
+    "q9_margin" -> ((s, d) => present(Tpch.q9Margin(s, d), "supp_nat", "l_year")),
+    "q10_returns" -> ((s, d) => Tpch.q10Returns(s, d)),
+    "q13_custdist" -> ((s, d) => present(Tpch.q13CustDist(s, d), "c_count")),
+    "q14_promo" -> ((s, d) => Tpch.q14Promo(s, d)),
+    "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
+    "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
+    "q22_global" -> ((s, d) => present(Tpch.q22Global(s, d), "c_nat")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2679,5 +2689,101 @@ object SparkEntry {
         |              '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS len_scrubbed
         |FROM a ORDER BY doc_id""".stripMargin,
+    // ---- TPC-H completion wave: money quantized to exact BIGINT
+    // cents per row BEFORE aggregation (identical IEEE product both
+    // engines), shares as integer floor divisions of positive longs,
+    // HUGEINT sums cast back to BIGINT (the q_moving_avg lesson)
+    "q7_volume" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS supp_nat, CAST(c_nationkey AS BIGINT) AS cust_nat,
+        |       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE (s_nationkey = 1 AND c_nationkey = 2) OR (s_nationkey = 2 AND c_nationkey = 1)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_share" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents,
+        |         s_nationkey
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT o_year,
+        |       CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST((10000 * sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END)) // sum(cents) AS BIGINT) AS share_e4
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_margin" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS supp_nat,
+        |       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |                - (CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) // 10) AS BIGINT) AS margin_cents,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nat,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)) // sum(cents) AS BIGINT) AS promo_share_e4
+        |FROM (SELECT l_partkey, CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#11'),
+        |a AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS cnt
+        |      FROM li GROUP BY 1)
+        |SELECT CAST(sum(price_cents) AS BIGINT) AS sum_price_cents, count(*) AS n_rows,
+        |       CAST(CAST(sum(price_cents) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM li JOIN a ON l_partkey = pk WHERE qty * cnt * 2 < sum_qty""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_global" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nat,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |           FROM customer),
+        |t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents, count(*) AS n_pos
+        |      FROM c WHERE bal_cents > 0)
+        |SELECT c_nat, count(*) AS numcust, CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM c, t
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

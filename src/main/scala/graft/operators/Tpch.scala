@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-H completion wave: the classic decision-support shapes the
+  * §2.3 surface did not yet cover, adapted to the testdata star
+  * schema (no partsupp / commitdate / shipmode columns, so Q2, Q4,
+  * Q9, Q11-12, Q15-16, Q20-21 are re-expressed against the columns
+  * that exist; the join/aggregation shape — the thing that matters
+  * for the engine — is preserved).
+  *
+  * Numeric contract (CLAUDE.md float rule): money is quantized to
+  * exact BIGINT cents per row (`round(x * 100)` of an identical IEEE
+  * double product on both engines) before any ratio; shares are
+  * floor(1e4 * num / den) integer divisions of positive longs, so
+  * every reported value replays bit-exactly in DuckDB. Display sums
+  * stay in the file-wide `round(sum(...), 2)` convention.
+  *
+  * Scale posture: every dimension side (customer 15k/SF, supplier
+  * 1k/SF, part 20k/SF, nation, region) is broadcast; the only
+  * shuffles are lineitem⋈orders on orderkey and the final small
+  * groupBy — the same plan a 100 TB run wants. Aggregates are
+  * map-combinable (sum/count of longs).
+  */
+object Tpch {
+  private def ts(s: String): Column = to_timestamp(lit(s))
+  /** Exact per-row cents of extendedprice * (1 - discount). */
+  private val volCents: Column =
+    expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade volume
+    * between two nations by ship year. lineitem⋈orders shuffles on
+    * orderkey; customer/supplier/nation are broadcast. The
+    * nation-pair disjunction is pushed into the joined frame before
+    * the groupBy, so only qualifying rows reach the shuffle.
+    */
+  def q7Volume(spark: SparkSession, dir: String,
+               natA: Int = 1, natB: Int = 2): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), volCents.as("cents"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("cust_nat"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      col("s_nationkey").cast("long").as("supp_nat"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nat") === natA && col("cust_nat") === natB) ||
+              (col("supp_nat") === natB && col("cust_nat") === natA))
+      .groupBy("supp_nat", "cust_nat", "l_year")
+      .agg(sum("cents").as("volume_cents"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8 shape (national market share): share of one supplier
+    * nation in a region's PROMO-part import volume, by order year.
+    * Share is floor(1e4 * nation_cents / total_cents) — exact longs.
+    */
+  def q8Share(spark: SparkSession, dir: String, targetNat: Int = 7,
+              region: String = "ASIA", pType: String = "PROMO"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val parts = Tables.part(spark, dir).filter(col("p_type") === pType).select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), volCents.as("cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("s_nationkey") === targetNat, col("cents")).otherwise(lit(0L))).as("nation_cents"),
+        sum("cents").as("total_cents"))
+      .withColumn("share_e4", expr("(10000 * nation_cents) div total_cents"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): top customers by
+    * revenue on returned lineitems for one order quarter. The
+    * returnflag + date filters reach the parquet scans; the report
+    * join to customer/nation is broadcast; top-k is a single
+    * TakeOrderedAndProject.
+    */
+  def q10Returns(spark: SparkSession, dir: String, limit: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), volCents.as("cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("revenue_cents"))
+    rev.join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nat"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(limit)
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): per-customer
+    * order counts through a LEFT OUTER join (zero-order customers
+    * count), then the distribution of those counts. Two small
+    * aggregations; the outer join shuffles on custkey once.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): PROMO-part share of one
+    * month's revenue — floor(1e4 * promo / total) over exact cents.
+    * part is broadcast; one map-combinable aggregate, one row out.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-03-01 00:00:00") &&
+              col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .select(col("l_partkey"), volCents.as("cents"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("cents")).otherwise(lit(0L))).as("promo_cents"),
+        sum("cents").as("total_cents"))
+      .withColumn("promo_share_e4", expr("(10000 * promo_cents) div total_cents"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): lineitems of one
+    * brand's parts whose quantity is below half the part's average
+    * quantity. The per-part average is a map-combinable pre-agg over
+    * the SAME brand-filtered scan, joined back broadcast (bounded by
+    * the brand's part count). The filter is the exact integer
+    * cross-multiplication 2*qty*cnt < sum (quantities are integral).
+    */
+  def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#11"): DataFrame = {
+    val parts = Tables.part(spark, dir).filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("qty") * col("cnt") * 2 < col("sum_qty"))
+      .agg(sum("price_cents").as("sum_price_cents"), count(lit(1)).as("n_rows"))
+      .withColumn("avg_yearly_cents", expr("sum_price_cents div 7"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three OR'd brand/size/quantity bands — the classic test that a
+    * disjunction over join + scan columns still prunes (part filter
+    * pushed to the part scan as an OR of brands; the residual band
+    * predicate evaluated post-join without a re-scan).
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#3", "Brand#14", "Brand#21"))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)").as("qty"), volCents.as("cents"))
+    val band =
+      (col("p_brand") === "Brand#3"  && col("p_size").between(1, 15) && col("qty").between(1, 11)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 25) && col("qty").between(10, 25)) ||
+      (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) && col("qty").between(20, 40))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q22 shape (global-relation anti-join): customers whose
+    * balance beats the positive-balance average AND who have gone
+    * dormant (no orders since the cutoff — every customer in this
+    * data has SOME order, so the classic no-orders-ever predicate
+    * would be vacuous), grouped by nation. The global (sum, count)
+    * pair is a 1-row broadcast cross; the comparison is the exact
+    * integer cross-multiplication cents*cnt > sum_cents; the
+    * dormancy predicate is a LEFT ANTI join shuffling only the
+    * date-pruned custkeys.
+    */
+  def q22Global(spark: SparkSession, dir: String,
+                cutoff: String = "2000-01-01 00:00:00"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nat"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val thresh = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+    val ordKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts(cutoff)).select(col("o_custkey"))
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nat")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_cents"))
+  }
+
+  /** TPC-H Q9 shape re-expressed without partsupp (gross margin by
+    * supplier nation and ship year): amount = revenue minus a retail
+    * cost basis p_retailprice * qty / 10, all in exact cents. The
+    * fact join shuffles on orderkey-free keys only (part + supplier
+    * broadcast), so the plan is scan → broadcast joins → one small
+    * groupBy.
+    */
+  def q9Margin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("retail_cents"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("supp_nat"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"), volCents.as("rev_cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("amount_cents",
+        col("rev_cents") - expr("(retail_cents * qty) div 10"))
+      .groupBy("supp_nat", "l_year")
+      .agg(sum("amount_cents").as("margin_cents"), count(lit(1)).as("n_items"))
+  }
+}

@@ -2146,4 +2146,37 @@ class OperatorSpec extends SparkSpec {
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
   }
+
+  test("tpch wave invariants: custdist partitions customers, shares bounded, pairs directional") {
+    // Q13: the count distribution partitions the customer relation
+    val cd = SparkEntry.queries("q13_custdist")(spark, sf).collect()
+    assert(cd.map(_.getAs[Long]("custdist")).sum === Tables.customer(spark, sf).count())
+    // Q14/Q8: shares are exact floors inside [0, 10000], numerators bounded
+    val q14 = SparkEntry.queries("q14_promo")(spark, sf).head()
+    assert(q14.getAs[Long]("promo_cents") <= q14.getAs[Long]("total_cents"))
+    val s14 = q14.getAs[Long]("promo_share_e4")
+    assert(s14 >= 0 && s14 <= 10000)
+    SparkEntry.queries("q8_share")(spark, sf).collect().foreach { r =>
+      val s = r.getAs[Long]("share_e4")
+      assert(s >= 0 && s <= 10000)
+      assert(r.getAs[Long]("nation_cents") <= r.getAs[Long]("total_cents"))
+    }
+    // Q7: only the two configured trade directions appear
+    SparkEntry.queries("q7_volume")(spark, sf).collect().foreach { r =>
+      assert(Set((1L, 2L), (2L, 1L))((r.getAs[Long]("supp_nat"), r.getAs[Long]("cust_nat"))))
+    }
+    // Q22: dormant above-average customers are a subset of the
+    // above-average customers (dropping the anti-join only grows it)
+    val q22 = SparkEntry.queries("q22_global")(spark, sf).collect()
+      .map(_.getAs[Long]("numcust")).sum
+    val aboveAvg = {
+      import org.apache.spark.sql.functions._
+      val c = Tables.customer(spark, sf)
+        .select(expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val Array(sum0, n0) = c.filter(col("cents") > 0)
+        .agg(sum("cents"), count(lit(1))).head().toSeq.toArray.map(_.asInstanceOf[Long])
+      c.filter(col("cents") * n0 > sum0).count()
+    }
+    assert(q22 <= aboveAvg)
+  }
 }

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto", // single-row total broadcast onto 10 decile rows
     "q_skew_profile", // single-row total broadcast onto <=64 bucket rows
     "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
-    "text_zipf" // single-row corpus-total broadcast onto k post-limit rows
+    "text_zipf", // single-row corpus-total broadcast onto k post-limit rows
+    "q22_global" // single-row (sum, count) threshold broadcast onto customer
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {

@@ -81,4 +81,29 @@ class PushdownSpec extends SparkSpec {
     assert(!trs.contains("value") && !trs.contains("props"),
       s"q_transitions scan not pruned: $trs")
   }
+
+  test("tpch wave keeps scan hygiene and broadcasts its dimensions") {
+    // q19: the brand disjunction factors out to an In() on the part
+    // scan (the classic Q19 pushdown property)
+    val p19 = plan("q19_disjunct")
+    assert(p19.contains("In(p_brand"),
+      "q19_disjunct: brand disjunction not pushed to the part scan")
+    // q10: returnflag + the order-date quarter reach their scans
+    val p10 = plan("q10_returns")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      "q10_returns: returnflag not pushed")
+    assert(p10.contains("GreaterThanOrEqual(o_orderdate"),
+      "q10_returns: order-date window not pushed")
+    // q7: the lineitem scan carries only the 4 touched columns
+    val p7 = plan("q7_volume")
+    val rs7 = p7.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs7.contains("l_tax") && !rs7.contains("l_linestatus"),
+      s"q7_volume lineitem scan not pruned: $rs7")
+    // every dimension side rides a broadcast join; the only
+    // sort-merge allowed is the fact-fact lineitem join on orderkey
+    Seq("q7_volume", "q8_share", "q9_margin", "q10_returns").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q: dimension joins are not broadcast")
+    }
+  }
 }
