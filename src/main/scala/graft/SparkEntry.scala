@@ -238,6 +238,10 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_global" -> ((s, d) => present(Tpch.q22Global(s, d), "c_nat")),
+    "emb_kmeans_train" -> ((s, d) => present(Ann.embKmeansTrain(s, d), "cid", "dim")),
+    "docs_gopher_rules" -> ((s, d) => present(TextAnalysis.docsGopherRules(s, d), "doc_id")),
+    "docs_dup_spans" -> ((s, d) => present(NearDup.docsDupSpans(s, d), "a_id", "b_id")),
+    "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -2785,5 +2789,99 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point Lloyd replay: both engines quantize to the same
+    // integer grid, assign by exact int64 distance with (dist, cid)
+    // tie-breaks, and update by positive-mod floored means — the
+    // whole 2-iteration trajectory is integer-deterministic, so the
+    // trained model replays with NO rounding pins anywhere
+    "emb_kmeans_train" ->
+      """WITH x AS (SELECT vec_id, list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS xs
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, xs AS ms FROM x WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, x.xs, c.cid,
+        |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
+        |       FROM x CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, xs, cid FROM d1 WHERE rn = 1),
+        |u1 AS (SELECT cid, s[1] AS v, s[2] AS dim
+        |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a1)),
+        |g1 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u1 GROUP BY 1, 2),
+        |m1 AS (SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY dim) AS ms
+        |       FROM g1 GROUP BY cid),
+        |d2 AS (SELECT x.vec_id, x.xs, c.cid,
+        |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
+        |       FROM x CROSS JOIN m1 c),
+        |a2 AS (SELECT vec_id, xs, cid FROM d2 WHERE rn = 1),
+        |u2 AS (SELECT cid, s[1] AS v, s[2] AS dim
+        |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a2)),
+        |g2 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u2 GROUP BY 1, 2)
+        |SELECT cid, CAST(dim AS BIGINT) AS dim,
+        |       CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS m, CAST(n AS BIGINT) AS n
+        |FROM g2 ORDER BY cid, dim""".stripMargin,
+    // Gopher rule replay: integer counters + cross-multiplied
+    // predicates only — no float ratio anywhere on either side
+    "docs_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_word_len,
+        |         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbol,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |         CAST(len(list_intersect(string_split(text, ' '), ['a', 'the', 'is', 'of', 'and'])) AS BIGINT) AS n_stop_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_words, sum_word_len, n_symbol, n_alpha_words, n_stop_distinct,
+        |       (n_words BETWEEN 25 AND 80) AS flag_words,
+        |       (sum_word_len BETWEEN n_words * 3 AND n_words * 5) AS flag_mwl,
+        |       (n_symbol * 10 <= n_words) AS flag_symbol,
+        |       (n_alpha_words * 5 >= n_words * 4) AS flag_alpha,
+        |       (n_stop_distinct >= 2) AS flag_stop,
+        |       ((n_words BETWEEN 25 AND 80) AND (sum_word_len BETWEEN n_words * 3 AND n_words * 5)
+        |        AND (n_symbol * 10 <= n_words) AND (n_alpha_words * 5 >= n_words * 4)
+        |        AND (n_stop_distinct >= 2)) AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // intra-corpus span localization: exact-jaccard edge replay (the
+    // shared jp CTE) gates the same positional 5-shingle dot-plot
+    // diagonal-run segmentation the decontamination oracle uses
+    "docs_dup_spans" ->
+      s"""WITH $jaccardCtes,
+        |pr AS (SELECT a_id, b_id FROM jp),
+        |pt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |              array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS s
+        |       FROM pt CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+        |       WHERE len(t) >= 5),
+        |h AS (SELECT p.a_id, p.b_id, a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        |      FROM pr p JOIN ps a ON a.doc_id = p.a_id
+        |      JOIN ps b ON b.doc_id = p.b_id AND b.s = a.s),
+        |r AS (SELECT *, CASE WHEN lag(pos_a) OVER w IS NULL
+        |                       OR lag(pos_a) OVER w <> pos_a - 1 THEN 1 ELSE 0 END AS nr
+        |      FROM h WINDOW w AS (PARTITION BY a_id, b_id, diag ORDER BY pos_a)),
+        |g AS (SELECT a_id, b_id, diag, pos_a, pos_b,
+        |             sum(nr) OVER (PARTITION BY a_id, b_id, diag ORDER BY pos_a) AS run_id
+        |      FROM r),
+        |runs AS (SELECT a_id, b_id, count(*) AS run_len,
+        |                min(pos_a) AS a_start, min(pos_b) AS b_start
+        |         FROM g GROUP BY a_id, b_id, diag, run_id),
+        |best AS (SELECT a_id, b_id, run_len, a_start, b_start,
+        |                row_number() OVER (PARTITION BY a_id, b_id
+        |                                   ORDER BY run_len DESC, a_start, b_start) AS rn
+        |         FROM runs)
+        |SELECT a_id, b_id, CAST(run_len AS BIGINT) AS longest_run,
+        |       CAST(run_len + 4 AS BIGINT) AS longest_tokens, a_start, b_start
+        |FROM best WHERE rn = 1 AND run_len >= 2 ORDER BY a_id, b_id""".stripMargin,
+    // coverage-curve replay: same (count desc, word) rank axis, same
+    // integer floors; n_vocab < k when the vocabulary is smaller
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM w GROUP BY 1),
+        |r AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rnk FROM f),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM f),
+        |k AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k.k AS BIGINT) AS k, count(*) AS n_vocab,
+        |       CAST(sum(r.f) AS BIGINT) AS coverage_tokens, t.total_tokens,
+        |       CAST((10000 * sum(r.f)) // t.total_tokens AS BIGINT) AS share_e4
+        |FROM r JOIN k ON r.rnk <= k.k CROSS JOIN t
+        |GROUP BY k.k, t.total_tokens ORDER BY k""".stripMargin,
   )
 }

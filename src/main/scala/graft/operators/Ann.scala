@@ -840,4 +840,60 @@ object Ann {
       .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_vecs"), max("n").as("max_bucket"))
       .select(col("t"), col("n_buckets"), col("n_vecs"), col("max_bucket"),
         expr("(max_bucket * n_buckets * 10000) div n_vecs").as("skew_x1e4"))
+
+  /** Distributed exact-integer k-means TRAINER (fixed-point Lloyd).
+    *
+    * [[ivfCentroids]] trains the serving quantizer but must collect
+    * the K·64 means to the driver after EVERY iteration and pin them
+    * to 4 decimals to stay engine-stable. This trainer removes both
+    * compromises: vectors are quantized to an integer grid
+    * (floor(1e3·x) — float→double is exact, so both engines see the
+    * same longs), centroids live on the SAME grid via floored-mean
+    * updates, and the whole `iters`-round loop builds ONE lazy
+    * Catalyst plan — nothing is collected until the caller acts.
+    * Every distance, comparison, and update is int64 arithmetic
+    * (|diff| ≤ ~2·10³ ⇒ Σ₆₄ diff² ≤ ~3·10⁸), so the full training
+    * trajectory replays bit-exactly in any engine — no rounding
+    * pins, no ulp ties.
+    *
+    * Per iteration: assignment is a broadcast of the K-row centroid
+    * table crossed onto the vectors (k·n rows, the standard Lloyd
+    * fan-out; scan fraction knob = k), argmin is a map-side
+    * `min(struct(dist, cid))` per vector (no window), and the
+    * update is 64 map-combinable column sums per cluster — one
+    * k-row shuffle per round. Clusters that lose every member are
+    * dropped (deterministically, in both engines).
+    *
+    * Seeds are the k lowest vec_ids — same convention as
+    * [[ivfCentroids]]. Output: one row per surviving (cid, dim)
+    * with the trained grid coordinate and the cluster size.
+    */
+  def embKmeansTrain(spark: SparkSession, dir: String,
+                     k: Int = 8, iters: Int = 2): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))").as("xs"))
+    // (cid, n, ms): n only carried for the final report
+    var cents: DataFrame = x.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), lit(0L).as("n"), col("xs").as("ms"))
+    for (_ <- 0 until iters) {
+      val assigned = x.crossJoin(broadcast(cents.select(col("cid"), col("ms"))))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(xs, ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("xs")).as("xs"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("xs"))
+      // floored mean per dim: numerator is made exactly divisible
+      // (positive-mod correction), so truncating `div` IS floor —
+      // identical to the oracle's `//` on the same longs
+      cents = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          array((0 until 64).map(i => sum(element_at(col("xs"), i + 1))): _*).as("sums"))
+        .select(col("cid"), col("n"),
+          expr("transform(sums, s -> (s - ((s % n + n) % n)) div n)").as("ms"))
+    }
+    cents
+      .select(col("cid"), col("n"), posexplode(col("ms")).as(Seq("pos", "m")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("dim"), col("m"), col("n"))
+  }
 }

@@ -134,6 +134,62 @@ object NearDup {
         col("a_start"), col("b_start"))
   }
 
+  /** Span-level duplicate LOCALIZATION inside the corpus — for every
+    * near-duplicate pair (the exact-jaccard edge set, or a
+    * precomputed pair frame via the audit-family seam), the longest
+    * contiguous shared token span and where it sits in both
+    * documents. [[docsOverlapSpans]] answers "what leaked into the
+    * eval set"; this answers "WHAT exactly do these two training
+    * docs share" — the evidence a partial-dedup pass (cut the span,
+    * keep the rest) or a manual audit reads, where a bare jaccard
+    * score says only "similar".
+    *
+    * Same dot-plot diagonal-run method as the decontamination pass
+    * (positional k-shingles, hits grouped by pos_a − pos_b, lag-gap
+    * run segmentation), but the pair set gates hit generation: the
+    * corpus joins ITSELF only through the near-dup edges, so the
+    * fan-out is |pairs| × per-doc shingles — never corpus², and at
+    * 100 TB it inherits whatever candidate bound the pair generator
+    * (PPJoin / LSH) already enforces. Equi-joins only: shingles
+    * shuffle once on doc_id (a-side) and once on (doc_id, shingle)
+    * (b-side).
+    */
+  def docsDupSpans(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   k: Int = 5, minRun: Int = 2,
+                   precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(jaccardPairs(spark, dir, threshold))
+      .select(col("a_id"), col("b_id"))
+    val ps = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
+        .as(Seq("pos", "s")))
+    val aSide = ps.select(col("doc_id").as("a_id"),
+      col("pos").cast("long").as("pos_a"), col("s"))
+    val bSide = ps.select(col("doc_id").as("b_id"),
+      col("pos").cast("long").as("pos_b"), col("s"))
+    val hits = pairs.join(aSide, "a_id").join(bSide, Seq("b_id", "s"))
+      .select(col("a_id"), col("b_id"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val wd = Window.partitionBy("a_id", "b_id", "diag").orderBy("pos_a")
+    val runs = hits
+      .withColumn("nr", when(lag("pos_a", 1).over(wd).isNull
+        .or(lag("pos_a", 1).over(wd) =!= col("pos_a") - 1), 1L).otherwise(0L))
+      .withColumn("run_id", sum("nr").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("a_id", "b_id", "diag", "run_id")
+      .agg(count(lit(1)).as("run_len"),
+        min("pos_a").as("a_start"), min("pos_b").as("b_start"))
+    val wp = Window.partitionBy("a_id", "b_id")
+      .orderBy(col("run_len").desc, col("a_start"), col("b_start"))
+    runs.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1 && col("run_len") >= minRun)
+      .select(col("a_id"), col("b_id"), col("run_len").as("longest_run"),
+        (col("run_len") + (k - 1)).as("longest_tokens"),
+        col("a_start"), col("b_start"))
+  }
+
   /** Detector-coverage Venn — the evaluation table a dedup-pipeline
     * owner reads before picking detectors: every document flagged by
     * (a) exact hash, (b) 3-shingle Jaccard ≥ 0.5, (c) simhash

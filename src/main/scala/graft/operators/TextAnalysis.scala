@@ -681,4 +681,80 @@ object TextAnalysis {
       .join(pii, "doc_id")
       .withColumn("keep", col("keep") && !col("flag_pii"))
   }
+
+  /** Vocabulary COVERAGE CURVE — what fraction of the corpus token
+    * mass a top-k word vocabulary covers, at each candidate k. The
+    * audit behind tokenizer/vocab-size choices (and the OOV-rate
+    * estimate for a fixed word list: 1 − share). Exact integers
+    * end-to-end: counts are longs, shares are floor(1e4·cov/total).
+    *
+    * Scale shape: word counting is one map-combinable groupBy; the
+    * top-max(k) cut is a TakeOrderedAndProject (distributed heap,
+    * never a global sort of the vocabulary); ranking happens on the
+    * bounded post-limit rows; the corpus total is a 1-row broadcast.
+    * Mirrors [[textZipf]]'s bounded-head posture.
+    */
+  def textVocabCoverage(spark: SparkSession, dir: String,
+                        ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("w"))
+    val f = w.groupBy("w").agg(count(lit(1)).as("f"))
+    val total = f.agg(sum("f").as("total_tokens"))
+    val ranked = f.orderBy(col("f").desc, col("w")).limit(ks.max)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("f").desc, col("w"))))
+    ks.map { k =>
+      ranked.filter(col("rnk") <= k)
+        .agg(lit(k).cast("long").as("k"),
+          count(lit(1)).as("n_vocab"),
+          sum("f").as("coverage_tokens"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(total))
+      .withColumn("share_e4", expr("(10000 * coverage_tokens) div total_tokens"))
+  }
+
+  /** Gopher-style quality RULE AUDIT (Rae et al. 2021, §A1.1 — the
+    * published heuristic battery most large-corpus cleaning passes
+    * start from), re-expressed as exact integer predicates so every
+    * rule replays bit-identically in the oracle:
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 5] chars, as the integer
+    *    cross-multiplication 3·n ≤ Σlen ≤ 5·n (no float division)
+    *  - symbol-to-word ratio ('#' / '...') ≤ 1/10: 10·sym ≤ n
+    *  - ≥ 80% of words contain an alphabetic char: 5·alpha ≥ 4·n
+    *  - at least 2 DISTINCT stopwords present (array_intersect size)
+    *
+    * Map-only over the documents scan (no shuffle, no join); every
+    * output is a long counter or a boolean derived from longs. The
+    * complement of [[docsQualityFilter]]: that op GATES on composite
+    * signals, this one reports the per-rule evidence a corpus audit
+    * wants before choosing thresholds.
+    */
+  def docsGopherRules(spark: SparkSession, dir: String,
+                      minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val sumLen = expr(
+      "aggregate(transform(split(text, ' '), t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)")
+    val nSymbol = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+    val nAlphaWords = expr("CAST(size(filter(split(text, ' '), t -> t rlike '[A-Za-z]')) AS BIGINT)")
+    val nStopDistinct = size(array_intersect(toks,
+      typedlit(T.stopwords))).cast("long")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      nSymbol.as("n_symbol"),
+      nAlphaWords.as("n_alpha_words"),
+      nStopDistinct.as("n_stop_distinct"))
+      .withColumn("flag_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mwl",
+        col("sum_word_len") >= col("n_words") * 3 && col("sum_word_len") <= col("n_words") * 5)
+      .withColumn("flag_symbol", col("n_symbol") * 10 <= col("n_words"))
+      .withColumn("flag_alpha", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("flag_stop", col("n_stop_distinct") >= 2)
+      .withColumn("pass", col("flag_words") && col("flag_mwl") &&
+        col("flag_symbol") && col("flag_alpha") && col("flag_stop"))
+  }
 }

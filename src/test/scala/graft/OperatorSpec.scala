@@ -2147,6 +2147,60 @@ class OperatorSpec extends SparkSpec {
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
   }
 
+  test("kmeans trainer: clusters partition the vectors, 64 grid dims per survivor") {
+    val out = SparkEntry.queries("emb_kmeans_train")(spark, sf).collect()
+    val byCid = out.groupBy(_.getAs[Long]("cid"))
+    // every surviving cluster reports exactly the 64 grid coordinates
+    byCid.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq === (1L to 64L))
+      assert(rows.map(_.getAs[Long]("n")).distinct.length === 1)
+    }
+    // cluster sizes partition the vector set
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(byCid.values.map(_.head.getAs[Long]("n")).sum === nVecs)
+    // trained centroids stay on the quantized grid's value range
+    out.foreach(r => assert(math.abs(r.getAs[Long]("m")) <= 2000))
+  }
+
+  test("gopher rules: pass is the conjunction, counters are consistent") {
+    SparkEntry.queries("docs_gopher_rules")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_alpha_words") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_stop_distinct") <= 5)
+      val conj = Seq("flag_words", "flag_mwl", "flag_symbol", "flag_alpha", "flag_stop")
+        .forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("pass") === conj)
+    }
+  }
+
+  test("dup spans: reported spans replay exactly against the raw texts") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    val spans = SparkEntry.queries("docs_dup_spans")(spark, sf).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val len = r.getAs[Long]("longest_tokens").toInt
+      val (as, bs) = (r.getAs[Long]("a_start").toInt, r.getAs[Long]("b_start").toInt)
+      assert(r.getAs[Long]("longest_tokens") === r.getAs[Long]("longest_run") + 4)
+      // the claimed span is genuinely shared, token for token
+      assert(texts(a).slice(as, as + len).toSeq === texts(b).slice(bs, bs + len).toSeq,
+        s"span mismatch for pair ($a, $b)")
+    }
+  }
+
+  test("vocab coverage: monotone in k, bounded by the corpus total") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(10L, 100L, 1000L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vocab") <= r.getAs[Long]("k"))
+      assert(r.getAs[Long]("coverage_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+    val shares = rows.map(_.getAs[Long]("share_e4"))
+    assert(shares.zip(shares.tail).forall { case (lo, hi) => lo <= hi })
+    assert(shares.forall(s => s >= 0 && s <= 10000))
+  }
+
   test("tpch wave invariants: custdist partitions customers, shares bounded, pairs directional") {
     // Q13: the count distribution partitions the customer relation
     val cd = SparkEntry.queries("q13_custdist")(spark, sf).collect()

@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_skew_profile", // single-row total broadcast onto <=64 bucket rows
     "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
     "text_zipf", // single-row corpus-total broadcast onto k post-limit rows
-    "q22_global" // single-row (sum, count) threshold broadcast onto customer
+    "q22_global", // single-row (sum, count) threshold broadcast onto customer
+    "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
+    "emb_kmeans_train" // k-row centroid-table broadcast (Lloyd assignment fan-out)
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
