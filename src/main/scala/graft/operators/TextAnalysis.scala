@@ -732,7 +732,16 @@ object TextAnalysis {
     * wants before choosing thresholds.
     */
   def docsGopherRules(spark: SparkSession, dir: String,
-                      minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+                      minWords: Int = 25, maxWords: Int = 80): DataFrame =
+    docsGopherRulesOn(Tables.documents(spark, dir), minWords, maxWords)
+
+  /** [[docsGopherRules]] over any (doc_id, text) frame. Every signal
+    * is a stateless per-row projection, so this applies unchanged to
+    * a STREAMING frame (see graft.streaming.CleanStream) with
+    * batch ≡ stream output guaranteed by construction.
+    */
+  def docsGopherRulesOn(documents: DataFrame,
+                        minWords: Int = 25, maxWords: Int = 80): DataFrame = {
     val toks = T.tokens(col("text"))
     val nWords = size(toks).cast("long")
     val sumLen = expr(
@@ -741,7 +750,7 @@ object TextAnalysis {
     val nAlphaWords = expr("CAST(size(filter(split(text, ' '), t -> t rlike '[A-Za-z]')) AS BIGINT)")
     val nStopDistinct = size(array_intersect(toks,
       typedlit(T.stopwords))).cast("long")
-    Tables.documents(spark, dir).select(
+    documents.select(
       col("doc_id"),
       nWords.as("n_words"),
       sumLen.as("sum_word_len"),
