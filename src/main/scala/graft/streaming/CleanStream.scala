@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextAnalysis
+
+/** Streaming corpus CLEANING — the quality/PII gate family applied
+  * on arrival instead of in a batch sweep. Every constituent signal
+  * (token counts, rule predicates, regex counters) is a stateless
+  * per-row projection, so these transforms apply to a streaming
+  * (doc_id, text) frame unchanged and the output is equal to the
+  * batch operator's row-for-row REGARDLESS of micro-batch splits —
+  * there is no state to drift, no watermark to tune. That is the
+  * Spark-first rendering of a streaming ingest gate: declare the
+  * same plan over `readStream`, let the micro-batch engine schedule
+  * it (StreamingSpec pins stream ≡ batch across splits).
+  *
+  * Ordering note: downstream dedup (the stateful stage) composes
+  * AFTER this gate — gating first shrinks the stateful stage's
+  * input, the same reason batch pipelines run quality before dedup
+  * (operators.Pipeline).
+  */
+object CleanStream {
+
+  /** [[TextAnalysis.docsGopherRulesOn]] over a streaming frame: the
+    * per-rule evidence columns plus the conjunctive `pass` flag,
+    * emitted per arriving document.
+    */
+  def gopherGate(docs: DataFrame,
+                 minWords: Int = 25, maxWords: Int = 80): DataFrame =
+    TextAnalysis.docsGopherRulesOn(docs, minWords, maxWords)
+
+  /** The gate reduced to the keep decision — the shape an ingest
+    * pipeline chains into a streaming dedup stage.
+    */
+  def gopherKeep(docs: DataFrame,
+                 minWords: Int = 25, maxWords: Int = 80): DataFrame =
+    gopherGate(docs, minWords, maxWords)
+      .filter(org.apache.spark.sql.functions.col("pass"))
+      .select("doc_id", "n_words")
+}

@@ -399,4 +399,38 @@ class StreamingSpec extends SparkSpec {
     val flags = outputs.head.toMap.view.mapValues(_._3).toMap
     assert(flags(6L) && flags(25L) && !flags(2L) && !flags(24L) && !flags(7L))
   }
+
+  test("streaming gopher gate across micro-batches equals the batch rule audit") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.CleanStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // three uneven splits: the gate is stateless, so split placement
+    // must not matter
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(1)
+    val input = MemoryStream[(Long, String)]
+    val out = CleanStream.gopherGate(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("gopher_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      input.addData(b3.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("gopher_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_words"), r.getAs[Boolean]("pass"))).toMap
+      val expect = TextAnalysis.docsGopherRules(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_words"), r.getAs[Boolean]("pass"))).toMap
+      assert(got === expect)
+      // and the keep reduction is exactly the pass subset
+      assert(CleanStream.gopherKeep(
+        graft.Tables.documents(spark, sf).select("doc_id", "text")).count() ===
+        expect.values.count(_._2))
+    } finally q.stop()
+  }
 }
