@@ -242,6 +242,7 @@ object SparkEntry {
     "docs_gopher_rules" -> ((s, d) => present(TextAnalysis.docsGopherRules(s, d), "doc_id")),
     "docs_dup_spans" -> ((s, d) => present(NearDup.docsDupSpans(s, d), "a_id", "b_id")),
     "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
+    "emb_graph_rank" -> ((s, d) => present(Ann.embGraphRank(s, d), "vec_id")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -465,9 +466,13 @@ object SparkEntry {
     * the sampled×sampled matrix — annExactTopKSql's shape with the
     * query set = the sample itself.
     */
-  private def embKnnGraphOracleSql: String = {
+  /** Shared CTE chain replaying the kNN-graph edge set (`r` = ranked
+    * neighbor candidates over the hash-sampled nodes). Consumed by
+    * the emb_knn_graph and emb_graph_rank oracles.
+    */
+  private def knnEdgeCtes: String = {
     val t = graft.operators.Sampling.rateThreshold(0.1)
-    s"""WITH hsh AS (SELECT vec_id,
+    s"""hsh AS (SELECT vec_id,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(1, 9),
        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
@@ -483,10 +488,13 @@ object SparkEntry {
        |      FROM n q JOIN n e ON q.vec_id <> e.vec_id),
        |r AS (SELECT vec_id, n_id, sim,
        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
-       |      FROM p)
+       |      FROM p)""".stripMargin
+  }
+
+  private def embKnnGraphOracleSql: String =
+    s"""WITH $knnEdgeCtes
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
-  }
 
   /** emb_pq oracle: full DuckDB replication of Ann.embPq — the same
     * seed-codebook (vec_id < 16 subvectors), one Lloyd refinement
@@ -2883,5 +2891,21 @@ object SparkEntry {
         |       CAST((10000 * sum(r.f)) // t.total_tokens AS BIGINT) AS share_e4
         |FROM r JOIN k ON r.rnk <= k.k CROSS JOIN t
         |GROUP BY k.k, t.total_tokens ORDER BY k""".stripMargin,
+    // integer-PageRank replay over the shared knn edge CTEs: two
+    // unrolled damped-mass rounds, floors identical on both engines
+    "emb_graph_rank" ->
+      s"""WITH $knnEdgeCtes,
+        |e2 AS (SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= 3),
+        |v AS (SELECT DISTINCT src AS v FROM e2),
+        |m1 AS (SELECT v.v, 150000 + (85 * coalesce(s.sc, 0)) // 100 AS mass
+        |       FROM v LEFT JOIN (SELECT dst, CAST(sum(1000000 // 3) AS BIGINT) AS sc
+        |                         FROM e2 GROUP BY 1) s ON v.v = s.dst),
+        |m2 AS (SELECT v.v, 150000 + (85 * coalesce(s.sc, 0)) // 100 AS mass
+        |       FROM v LEFT JOIN (SELECT e.dst, CAST(sum(m.mass // 3) AS BIGINT) AS sc
+        |                         FROM e2 e JOIN m1 m ON e.src = m.v GROUP BY 1) s ON v.v = s.dst),
+        |d AS (SELECT dst, count(*) AS in_deg FROM e2 GROUP BY 1)
+        |SELECT m2.v AS vec_id, CAST(m2.mass AS BIGINT) AS mass,
+        |       CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg
+        |FROM m2 LEFT JOIN d ON m2.v = d.dst ORDER BY vec_id""".stripMargin,
   )
 }

@@ -896,4 +896,48 @@ object Ann {
       .select(col("cid"), col("n"), posexplode(col("ms")).as(Seq("pos", "m")))
       .select(col("cid"), (col("pos") + 1).cast("long").as("dim"), col("m"), col("n"))
   }
+
+  /** Integer PageRank over the kNN graph — 2 power iterations of the
+    * canonical iterative equi-join + aggregate shape (the plan every
+    * distributed graph-centrality job runs; connected components
+    * covered the min-label family, this covers mass propagation).
+    * The centrality signal a curation pass reads off the semantic
+    * graph: high-mass nodes sit in dense neighborhoods (cluster
+    * cores / heavily-duplicated content), low-mass nodes are
+    * periphery.
+    *
+    * Numeric contract: masses start at 10⁶; each round every node
+    * emits floor(mass/k) along its k out-edges and collects
+    * 150000 + floor(85·Σincoming/100) — the damped-PageRank update
+    * in pure int64 (floors shed mass; rank ORDER is the signal, and
+    * both engines shed identically). Out-degree is exactly k for
+    * every sampled node by the kNN construction, so there are no
+    * dangling nodes.
+    *
+    * Scale shape: the edge set is lazy-checkpointed once (the
+    * block-pair cosine join must not re-execute per iteration — at
+    * production scale, a parquet handoff per round); each iteration
+    * is one equi-join + one map-combinable groupBy on dst. Mass
+    * stays O(nodes); nothing driver-side.
+    */
+  def embGraphRank(spark: SparkSession, dir: String,
+                   k: Int = 3, iters: Int = 2): DataFrame = {
+    val edges = embKnnGraph(spark, dir, k)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      .localCheckpoint(eager = false)
+    val nodes = edges.select(col("src").as("v")).distinct()
+    var mass = nodes.withColumn("mass", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val in = edges.join(mass, col("src") === col("v"))
+        .select(col("dst"), expr(s"mass div $k").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      mass = nodes.join(in, col("v") === col("dst"), "left_outer")
+        .select(col("v"),
+          (lit(150000L) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("mass"))
+    }
+    val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    mass.join(inDeg, col("v") === col("dst"), "left_outer")
+      .select(col("v").as("vec_id"), col("mass"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
 }

@@ -2188,6 +2188,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("graph rank: teleport floor, mass bound, in-degrees sum to the edge count") {
+    val rows = SparkEntry.queries("emb_graph_rank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    rows.foreach { r =>
+      // every node keeps at least the teleport mass and can never
+      // exceed teleport + damped total (floors only shed mass)
+      val m = r.getAs[Long]("mass")
+      assert(m >= 150000L && m <= 150000L + (850000L * n))
+    }
+    // kNN construction: out-degree is exactly k for every node
+    assert(rows.map(_.getAs[Long]("in_deg")).sum === 3 * n)
+    // total mass never grows above the initial pool (floors shed)
+    assert(rows.map(_.getAs[Long]("mass")).sum <= 1000000L * n)
+  }
+
   test("vocab coverage: monotone in k, bounded by the corpus total") {
     val rows = SparkEntry.queries("text_vocab_coverage")(spark, sf)
       .collect().sortBy(_.getAs[Long]("k"))
