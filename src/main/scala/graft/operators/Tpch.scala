@@ -157,10 +157,15 @@ object Tpch {
     */
   def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#11"): DataFrame = {
     val parts = Tables.part(spark, dir).filter(col("p_brand") === brand).select("p_partkey")
+    // the brand-filtered fact subtree feeds BOTH the per-part
+    // average and the final probe — lazy-checkpoint so the
+    // lineitem scan + broadcast join run once (file-wide convention
+    // for twice-consumed subtrees)
     val li = Tables.lineitem(spark, dir)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)").as("qty"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      .localCheckpoint(eager = false)
     val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
     li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
