@@ -741,7 +741,8 @@ object TextAnalysis {
     * batch ≡ stream output guaranteed by construction.
     */
   def docsGopherRulesOn(documents: DataFrame,
-                        minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+                        minWords: Int = 25, maxWords: Int = 80,
+                        keep: Seq[String] = Nil): DataFrame = {
     val toks = T.tokens(col("text"))
     val nWords = size(toks).cast("long")
     val sumLen = expr(
@@ -751,12 +752,12 @@ object TextAnalysis {
     val nStopDistinct = size(array_intersect(toks,
       typedlit(T.stopwords))).cast("long")
     documents.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      sumLen.as("sum_word_len"),
-      nSymbol.as("n_symbol"),
-      nAlphaWords.as("n_alpha_words"),
-      nStopDistinct.as("n_stop_distinct"))
+      Seq(col("doc_id")) ++ keep.map(col) ++ Seq(
+        nWords.as("n_words"),
+        sumLen.as("sum_word_len"),
+        nSymbol.as("n_symbol"),
+        nAlphaWords.as("n_alpha_words"),
+        nStopDistinct.as("n_stop_distinct")): _*)
       .withColumn("flag_words", col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("flag_mwl",
         col("sum_word_len") >= col("n_words") * 3 && col("sum_word_len") <= col("n_words") * 5)

@@ -38,4 +38,33 @@ object CleanStream {
     gopherGate(docs, minWords, maxWords)
       .filter(org.apache.spark.sql.functions.col("pass"))
       .select("doc_id", "n_words")
+
+  /** The full streaming INGEST PIPELINE: quality gate, then exact
+    * content dedup — the composition `operators.Pipeline` runs in
+    * batch, lifted to arrival order. The gate is stateless
+    * (stream ≡ batch above); the dedup stage is the stateful
+    * `dropDuplicates` on the content hash, whose first-arrival-wins
+    * semantics equal the batch min-doc_id keeper whenever arrival
+    * order follows doc_id (the ingest contract; the spec drives
+    * out-of-order splits WITHIN a batch too, where Spark still
+    * resolves by first micro-batch). Gate-before-dedup shrinks the
+    * stateful stage's input and therefore its state store — the
+    * same ordering argument as the batch pipeline's.
+    *
+    * State note: unbounded key space ⇒ production pairs this with a
+    * watermark TTL ([[DedupStream.dedupWithinWatermark]]) or the
+    * bounded cache ([[DedupStream.dedupBounded]]); this composition
+    * keeps the pure first-wins contract for parity with batch.
+    */
+  def ingestPipeline(docs: DataFrame,
+                     minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val withHash = docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("content_hash"))
+    TextAnalysis.docsGopherRulesOn(withHash, minWords, maxWords,
+      keep = Seq("content_hash"))
+      .filter(col("pass"))
+      .select(col("doc_id"), col("n_words"), col("content_hash"))
+      .dropDuplicates("content_hash")
+  }
 }

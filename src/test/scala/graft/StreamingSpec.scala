@@ -433,4 +433,32 @@ class StreamingSpec extends SparkSpec {
         expect.values.count(_._2))
     } finally q.stop()
   }
+
+  test("streaming ingest pipeline (gate then dedup) equals the batch composition") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.CleanStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // arrival follows doc_id (the ingest contract) across 3 splits
+    val (b1, rest) = docs.splitAt(docs.length / 2)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val out = CleanStream.ingestPipeline(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("ingest_pipe")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("ingest_pipe").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      // batch replay: gate pass ∧ first (min doc_id) per content hash
+      val gated = TextAnalysis.docsGopherRules(spark, sf).collect()
+        .filter(_.getAs[Boolean]("pass")).map(_.getAs[Long]("doc_id")).toSet
+      val byHash = docs.filter(d => gated(d._1))
+        .groupBy(_._2).values.map(_.map(_._1).min).toSeq.sorted
+      assert(got === byHash)
+    } finally q.stop()
+  }
 }
