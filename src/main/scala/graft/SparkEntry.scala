@@ -243,6 +243,8 @@ object SparkEntry {
     "docs_dup_spans" -> ((s, d) => present(NearDup.docsDupSpans(s, d), "a_id", "b_id")),
     "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
     "emb_graph_rank" -> ((s, d) => present(Ann.embGraphRank(s, d), "vec_id")),
+    "mm_audio_segments" -> ((s, d) => present(Multimodal.mmAudioSegments(s, d), "doc_id", "seg_id")),
+    "mm_detector_venn" -> ((s, d) => present(Multimodal.mmDetectorVenn(s, d), "f_exact", "f_phash")),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -727,12 +729,13 @@ object SparkEntry {
 
   /** mm_phash_pairs replay: blockhash fingerprints from raw bytes,
     * banded candidates, exact per-block Hamming — shared by the pair
-    * query and the mm_phash_groups closure.
+    * query, the mm_phash_groups closure, and (parameterized over the
+    * source relation) the planted-variant mm_detector_venn.
     */
-  private val mmPhashPairsSql: String =
-    """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+  private def mmPhashPairsSqlFrom(src: String): String =
+    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
       |                  octet_length(encode(text)) AS n
-      |           FROM documents),
+      |           FROM $src),
       |bl AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS blk FROM b),
       |s AS (SELECT doc_id, n, blk, ((blk + 1) * n) // 64 - (blk * n) // 64 AS blen,
       |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
@@ -758,6 +761,8 @@ object SparkEntry {
       |JOIN bits y ON y.doc_id = cand.doc_id_b AND y.blk = x.blk
       |GROUP BY 1, 2 HAVING sum(abs(x.bit - y.bit)) <= 3
       |ORDER BY 1, 2""".stripMargin
+
+  private val mmPhashPairsSql: String = mmPhashPairsSqlFrom("documents")
 
   private val simhashCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -2907,5 +2912,55 @@ object SparkEntry {
         |SELECT m2.v AS vec_id, CAST(m2.mass AS BIGINT) AS mass,
         |       CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg
         |FROM m2 LEFT JOIN d ON m2.v = d.dst ORDER BY vec_id""".stripMargin,
+    // VAD replay: the frame-energy CTE chain + the noise-floor
+    // filter + the same lag-gap islands segmentation
+    "mm_audio_segments" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, hx, n, unnest(range(0, CAST((n + 63) // 64 AS INT))) AS fi FROM b),
+        |s AS (SELECT doc_id, fi, least(n - fi * 64, 64) AS fb,
+        |        list_transform(range(CAST(least(n - fi * 64, 64) AS INT)),
+        |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 1 AS INT), 1)) - 1)
+        |                 + (strpos('0123456789abcdef', substr(hx, CAST(2 * (fi * 64 + i) + 2 AS INT), 1)) - 1) AS BIGINT) - 128) AS samp
+        |      FROM fr),
+        |e AS (SELECT doc_id, fi, fb,
+        |        CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS energy,
+        |        CAST(list_max(list_transform(samp, x -> abs(x))) AS BIGINT) AS peak
+        |      FROM s),
+        |a AS (SELECT * FROM e WHERE energy > fb * 2048),
+        |l AS (SELECT doc_id, fi, energy, peak,
+        |        CASE WHEN lag(fi) OVER w IS NULL OR lag(fi) OVER w <> fi - 1 THEN 1 ELSE 0 END AS nr
+        |      FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+        |g AS (SELECT doc_id, fi, energy, peak,
+        |        sum(nr) OVER (PARTITION BY doc_id ORDER BY fi) AS seg_id
+        |      FROM l)
+        |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id, CAST(min(fi) AS INT) AS start_frame,
+        |       count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS total_energy,
+        |       CAST(max(peak) AS BIGINT) AS max_peak
+        |FROM g GROUP BY doc_id, seg_id ORDER BY doc_id, seg_id""".stripMargin,
+    // multimodal detector Venn over the planted-variant corpus
+    // (exact copies of every 10th item, one-char re-encodes of every
+    // (10k+5)th): md5 exact-copy cells × the recursive
+    // phash-component cells (shared pair SQL over `aug`)
+    "mm_detector_venn" ->
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 2000000, substr(text, 1, length(text) - 1) || 'x'
+         |            FROM documents WHERE doc_id % 10 = 5),
+         |pp AS (SELECT doc_id_a, doc_id_b FROM (${mmPhashPairsSqlFrom("aug")})),
+         |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
+         |       UNION SELECT doc_id_b, doc_id_a FROM pp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM aug
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
+         |pg AS (SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src),
+         |ps AS (SELECT group_id, count(*) AS gsz FROM pg GROUP BY 1),
+         |ex AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) > 1 AS f_exact
+         |       FROM aug)
+         |SELECT ex.f_exact, (ps.gsz > 1) AS f_phash, count(*) AS n_docs
+         |FROM ex JOIN pg USING (doc_id) JOIN ps USING (group_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -327,8 +327,14 @@ object Multimodal {
     * (many blank images → one hot fingerprint) should dedup exact
     * copies first — exact dups pair at distance 0 anyway.
     */
-  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val p = Tables.documents(spark, dir)
+  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    phashPairsOf(Tables.documents(spark, dir), maxDist)
+
+  /** [[phashPairs]] over any (doc_id, text) frame — the seam the
+    * planted-variant detector Venn drives.
+    */
+  def phashPairsOf(documents: DataFrame, maxDist: Int): DataFrame = {
+    val p = documents
       .select(col("doc_id"),
         graft.plans.BlockHash(col("text").cast("binary")).as("bs"))
       // one fingerprint pass shared by both join sides (no exchange
@@ -372,5 +378,86 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
+  }
+
+  /** VAD-style ACTIVE-SEGMENT extraction over the per-frame
+    * energies — the silence/voice segmentation an audio pipeline
+    * runs before transcription or sampling: a frame is ACTIVE when
+    * its per-sample energy clears the floor (default 2048 — between
+    * the corpus median ≈1980 and p75 ≈2100, so segmentation actually
+    * discriminates; energy > n_samples·floor, exact integers), and
+    * consecutive active frames form one segment
+    * (the same lag-gap + running-sum islands rendering as the span
+    * detectors). Per segment: start frame, length, total energy,
+    * peak amplitude. One window + one groupBy over the map-only
+    * [[frameEnergy]] rows; any engine replays it exactly.
+    */
+  def audioSegments(media: Dataset[MediaRow], frameBytes: Int = 64,
+                    floorPerSample: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameEnergy(media, frameBytes).toDF()
+      .filter(col("energy") > col("n_samples").cast("long") * floorPerSample)
+      .withColumn("nr", when(lag("frame_idx", 1).over(w).isNull
+        .or(lag("frame_idx", 1).over(w) =!= col("frame_idx") - 1), 1L).otherwise(0L))
+      .withColumn("seg_id", sum("nr").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "seg_id")
+      .agg(min("frame_idx").as("start_frame"), count(lit(1)).as("n_frames"),
+        sum("energy").as("total_energy"), max("peak").cast("long").as("max_peak"))
+  }
+
+  /** Driver-contract wrapper over the documents-as-media corpus. */
+  def mmAudioSegments(spark: SparkSession, dir: String): DataFrame =
+    audioSegments(mediaFromDocuments(spark, dir))
+
+  /** The planted-variant media corpus: the documents plus (a) a
+    * byte-IDENTICAL copy of every 10th item (re-upload of the same
+    * file) and (b) a one-char "re-encode" of every (10k+5)th item
+    * (last char replaced with 'x' — for single-byte scripts the
+    * payload length is unchanged, so only the final block sums move
+    * and the perceptual distance stays tiny; multibyte tails shift
+    * every boundary, modeling a heavier re-encode). Deterministic
+    * doc_id-derived planting — the same convention as piiScrub's
+    * planted contacts: the corpus itself carries no binary dups, so
+    * the detectors need positive rows to prove anything.
+    */
+  def plantedMedia(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 1000000, col("text")))
+      .unionAll(d.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id") + 2000000,
+          expr("concat(substr(text, 1, length(text) - 1), 'x')").as("text")))
+  }
+
+  /** Detector-coverage Venn for BINARY payloads — the multimodal
+    * rendering of NearDup.docsDetectorVenn over the planted-variant
+    * corpus: every item flagged by (a) exact content hash
+    * (byte-identical copies) and (b) perceptual-hash grouping
+    * (re-encodes land in a >1-size phash component), reduced to the
+    * 2×2 cell table. The (exact=false, phash=true) cell is the
+    * argument for running a perceptual detector at all;
+    * (true, false) would mean the banding missed byte-identical
+    * payloads (structurally impossible at distance 0 — the spec
+    * pins that cell to zero).
+    */
+  def mmDetectorVenn(spark: SparkSession, dir: String,
+                     maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val media = plantedMedia(spark, dir).localCheckpoint(eager = false)
+    val d = media.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exact = d.join(
+      d.groupBy("h").agg(count(lit(1)).as("c")), "h")
+      .select(col("doc_id"), (col("c") > 1).as("f_exact"))
+    val pairs = phashPairsOf(media, maxDist).select("doc_id_a", "doc_id_b")
+    val pg = graft.operators.NearDup.starComponents(
+      media.select(col("doc_id")), pairs, maxRounds)._1
+    val phash = pg.join(
+      pg.groupBy("group_id").agg(count(lit(1)).as("gsz")), "group_id")
+      .select(col("doc_id"), (col("gsz") > 1).as("f_phash"))
+    exact.join(phash, "doc_id")
+      .groupBy("f_exact", "f_phash")
+      .agg(count(lit(1)).as("n_docs"))
   }
 }

@@ -2204,6 +2204,40 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("mass")).sum <= 1000000L * n)
   }
 
+  test("audio segments: active runs replay against frame energies") {
+    import org.apache.spark.sql.functions.col
+    val segs = SparkEntry.queries("mm_audio_segments")(spark, sf).collect()
+    assert(segs.nonEmpty)
+    val active = graft.operators.Multimodal
+      .frameEnergy(graft.operators.Multimodal.mediaFromDocuments(spark, sf)).toDF()
+      .filter(col("energy") > col("n_samples").cast("long") * 2048)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSet
+    // segments cover exactly the active frames, contiguously
+    val covered = segs.flatMap { s =>
+      val (d, st, n) = (s.getAs[Long]("doc_id"),
+        s.getAs[Int]("start_frame"), s.getAs[Long]("n_frames").toInt)
+      (st until st + n).map(d -> _)
+    }.toSet
+    assert(covered === active)
+    // maximality: the frame before each segment start is inactive
+    segs.foreach { s =>
+      val (d, st) = (s.getAs[Long]("doc_id"), s.getAs[Int]("start_frame"))
+      assert(st == 0 || !active(d -> (st - 1)))
+    }
+  }
+
+  test("mm detector venn: exact-copy items are always phash-caught") {
+    val cells = SparkEntry.queries("mm_detector_venn")(spark, sf).collect()
+      .map(r => (r.getAs[Boolean]("f_exact"), r.getAs[Boolean]("f_phash")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // byte-identical payloads have phash distance 0 — banding is
+    // pigeonhole-complete for d <= 3, so (exact, not-phash) is empty
+    assert(!cells.contains((true, false)))
+    // the planting guarantees both detectors fire somewhere
+    assert(cells.getOrElse((true, true), 0L) > 0)
+    assert(cells.keys.exists(_._2))
+  }
+
   test("vocab coverage: monotone in k, bounded by the corpus total") {
     val rows = SparkEntry.queries("text_vocab_coverage")(spark, sf)
       .collect().sortBy(_.getAs[Long]("k"))
