@@ -2946,8 +2946,8 @@ object SparkEntry {
     "mm_detector_venn" ->
       s"""WITH RECURSIVE aug AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 2000000, substr(text, 1, length(text) - 1) || 'x'
+         |  UNION ALL SELECT doc_id + 100000000000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 200000000000, substr(text, 1, length(text) - 1) || 'x'
          |            FROM documents WHERE doc_id % 10 = 5),
          |pp AS (SELECT doc_id_a, doc_id_b FROM (${mmPhashPairsSqlFrom("aug")})),
          |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp

@@ -425,10 +425,12 @@ object Multimodal {
     */
   def plantedMedia(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // 1e11 offsets keep planted ids collision-free up to ~sf10000
+    // corpora (real doc_ids stay far below 10^11)
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id") + 1000000, col("text")))
+        .select(col("doc_id") + 100000000000L, col("text")))
       .unionAll(d.filter(col("doc_id") % 10 === 5)
-        .select(col("doc_id") + 2000000,
+        .select(col("doc_id") + 200000000000L,
           expr("concat(substr(text, 1, length(text) - 1), 'x')").as("text")))
   }
 
