@@ -106,4 +106,22 @@ class PushdownSpec extends SparkSpec {
         s"$q: dimension joins are not broadcast")
     }
   }
+
+  test("round-5 ops keep scan hygiene") {
+    // the k-means trainer touches only the two embedding columns
+    val km = plan("emb_kmeans_train")
+    val kmrs = km.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!kmrs.contains("label"), s"emb_kmeans_train reads label: $kmrs")
+    // map-only text audits read only (doc_id, text)
+    Seq("docs_gopher_rules", "mm_audio_segments", "text_vocab_coverage").foreach { q =>
+      val rs = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!rs.contains("n_chars") && !rs.contains("lang") && !rs.contains("source"),
+        s"$q reads unused document columns: $rs")
+    }
+    // dup-span localization prunes to (doc_id, text) on every scan
+    val ds = plan("docs_dup_spans")
+    val dsrs = ds.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!dsrs.contains("n_chars") && !dsrs.contains("source"),
+      s"docs_dup_spans reads unused document columns: $dsrs")
+  }
 }
