@@ -157,18 +157,29 @@ object NearDup {
   def docsDupSpans(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    k: Int = 5, minRun: Int = 2,
                    precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    // pairs feed three consumers (two id-prune broadcasts + the hit
+    // join) — checkpoint so the PPJoin candidate join runs once
+    // (measured eager ≈ lazy here; lazy is the file convention)
     val pairs = precomputedPairs.getOrElse(jaccardPairs(spark, dir, threshold))
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
     val ps = Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
         .as(Seq("pos", "s")))
-    val aSide = ps.select(col("doc_id").as("a_id"),
-      col("pos").cast("long").as("pos_a"), col("s"))
-    val bSide = ps.select(col("doc_id").as("b_id"),
-      col("pos").cast("long").as("pos_b"), col("s"))
+    // broadcast SEMI-prune each shingle side to the docs that
+    // actually appear in a pair BEFORE any shuffle: near-dup docs
+    // are a vanishing fraction of a deduped-at-scale corpus, so
+    // without this the (b_id, shingle) exchange would carry every
+    // document's positional shingles
+    val aSide = ps.join(broadcast(pairs.select(col("a_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("a_id"), col("pos").cast("long").as("pos_a"), col("s"))
+    val bSide = ps.join(broadcast(pairs.select(col("b_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("b_id"), col("pos").cast("long").as("pos_b"), col("s"))
     val hits = pairs.join(aSide, "a_id").join(bSide, Seq("b_id", "s"))
       .select(col("a_id"), col("b_id"), col("pos_a"), col("pos_b"),
         (col("pos_a") - col("pos_b")).as("diag"))
