@@ -244,6 +244,8 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
     "emb_graph_rank" -> ((s, d) => present(Ann.embGraphRank(s, d), "vec_id")),
     "mm_audio_segments" -> ((s, d) => present(Multimodal.mmAudioSegments(s, d), "doc_id", "seg_id")),
+    "q_yoy_growth" -> ((s, d) => present(Tpch.qYoyGrowth(s, d), "o_orderpriority", "yr")),
+    "emb_cluster_quality" -> ((s, d) => present(Ann.embClusterQuality(s, d), "cid")),
     "mm_detector_venn" -> ((s, d) => present(Multimodal.mmDetectorVenn(s, d), "f_exact", "f_phash")),
   )
 
@@ -763,6 +765,35 @@ object SparkEntry {
       |ORDER BY 1, 2""".stripMargin
 
   private val mmPhashPairsSql: String = mmPhashPairsSqlFrom("documents")
+
+  /** Shared CTE chain replaying the fixed-point Lloyd trajectory
+    * (k = 8, 2 iterations): quantized vectors `x`, seed centroids
+    * `c0`, per-round assignments `a1`/`a2`, per-(cid, dim) sums
+    * `g1`/`g2`. Consumed by the emb_kmeans_train and
+    * emb_cluster_quality oracles.
+    */
+  private val kmeansCtes: String =
+    """x AS (SELECT vec_id, list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS xs
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, xs AS ms FROM x WHERE vec_id < 8),
+      |d1 AS (SELECT x.vec_id, x.xs, c.cid,
+      |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
+      |       FROM x CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, xs, cid FROM d1 WHERE rn = 1),
+      |u1 AS (SELECT cid, s[1] AS v, s[2] AS dim
+      |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a1)),
+      |g1 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u1 GROUP BY 1, 2),
+      |m1 AS (SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY dim) AS ms
+      |       FROM g1 GROUP BY cid),
+      |d2 AS (SELECT x.vec_id, x.xs, c.cid,
+      |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
+      |       FROM x CROSS JOIN m1 c),
+      |a2 AS (SELECT vec_id, xs, cid FROM d2 WHERE rn = 1),
+      |u2 AS (SELECT cid, s[1] AS v, s[2] AS dim
+      |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a2)),
+      |g2 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u2 GROUP BY 1, 2)""".stripMargin
 
   private val simhashCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -2808,30 +2839,29 @@ object SparkEntry {
     // whole 2-iteration trajectory is integer-deterministic, so the
     // trained model replays with NO rounding pins anywhere
     "emb_kmeans_train" ->
-      """WITH x AS (SELECT vec_id, list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS xs
-        |           FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, xs AS ms FROM x WHERE vec_id < 8),
-        |d1 AS (SELECT x.vec_id, x.xs, c.cid,
-        |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
-        |       FROM x CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, xs, cid FROM d1 WHERE rn = 1),
-        |u1 AS (SELECT cid, s[1] AS v, s[2] AS dim
-        |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a1)),
-        |g1 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u1 GROUP BY 1, 2),
-        |m1 AS (SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY dim) AS ms
-        |       FROM g1 GROUP BY cid),
-        |d2 AS (SELECT x.vec_id, x.xs, c.cid,
-        |              row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |                list_sum(list_transform(range(1, 65), i -> (x.xs[i] - c.ms[i]) * (x.xs[i] - c.ms[i]))), c.cid) AS rn
-        |       FROM x CROSS JOIN m1 c),
-        |a2 AS (SELECT vec_id, xs, cid FROM d2 WHERE rn = 1),
-        |u2 AS (SELECT cid, s[1] AS v, s[2] AS dim
-        |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a2)),
-        |g2 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u2 GROUP BY 1, 2)
+      s"""WITH $kmeansCtes
         |SELECT cid, CAST(dim AS BIGINT) AS dim,
         |       CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS m, CAST(n AS BIGINT) AS n
         |FROM g2 ORDER BY cid, dim""".stripMargin,
+    // quality replay: the same trajectory, plus the m2 centroid
+    // lists, member-to-own-centroid distance mass, and the k²
+    // nearest-other-centroid separation
+    "emb_cluster_quality" ->
+      s"""WITH $kmeansCtes,
+        |m2 AS (SELECT cid, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY dim) AS ms
+        |       FROM g2 GROUP BY cid),
+        |intra AS (SELECT a.cid, count(*) AS n,
+        |                 CAST(sum(list_sum(list_transform(range(1, 65),
+        |                   i -> (a.xs[i] - c.ms[i]) * (a.xs[i] - c.ms[i])))) AS BIGINT) AS intra_sum
+        |          FROM a2 a JOIN m2 c ON a.cid = c.cid GROUP BY 1),
+        |sep AS (SELECT c1.cid,
+        |               CAST(min(list_sum(list_transform(range(1, 65),
+        |                 i -> (c1.ms[i] - c2.ms[i]) * (c1.ms[i] - c2.ms[i])))) AS BIGINT) AS min_sep
+        |        FROM m2 c1 JOIN m2 c2 ON c1.cid <> c2.cid GROUP BY 1)
+        |SELECT intra.cid, CAST(intra.n AS BIGINT) AS n, intra.intra_sum, sep.min_sep,
+        |       CASE WHEN intra.intra_sum <= 0 THEN NULL
+        |            ELSE CAST((10000 * intra.n * sep.min_sep) // intra.intra_sum AS BIGINT) END AS dunn_e4
+        |FROM intra JOIN sep ON intra.cid = sep.cid ORDER BY intra.cid""".stripMargin,
     // Gopher rule replay: integer counters + cross-multiplied
     // predicates only — no float ratio anywhere on either side
     "docs_gopher_rules" ->
@@ -2912,6 +2942,21 @@ object SparkEntry {
         |SELECT m2.v AS vec_id, CAST(m2.mass AS BIGINT) AS mass,
         |       CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg
         |FROM m2 LEFT JOIN d ON m2.v = d.dst ORDER BY vec_id""".stripMargin,
+    // YoY replay: identical positive-mod floor identity, so the
+    // signed growth floors agree between the engines
+    "q_yoy_growth" ->
+      """WITH y AS (SELECT o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM orders GROUP BY 1, 2),
+        |l AS (SELECT o_orderpriority, yr, cents,
+        |             lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS prev_cents
+        |      FROM y)
+        |SELECT o_orderpriority, yr, cents, prev_cents,
+        |       CASE WHEN prev_cents IS NULL OR prev_cents <= 0 THEN NULL
+        |            ELSE CAST((10000 * (cents - prev_cents)
+        |                       - (((10000 * (cents - prev_cents)) % prev_cents + prev_cents) % prev_cents))
+        |                      // prev_cents AS BIGINT) END AS growth_e4
+        |FROM l ORDER BY o_orderpriority, yr""".stripMargin,
     // VAD replay: the frame-energy CTE chain + the noise-floor
     // filter + the same lag-gap islands segmentation
     "mm_audio_segments" ->

@@ -868,14 +868,20 @@ object Ann {
     * [[ivfCentroids]]. Output: one row per surviving (cid, dim)
     * with the trained grid coordinate and the cluster size.
     */
-  def embKmeansTrain(spark: SparkSession, dir: String,
-                     k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The fixed-point Lloyd training loop behind [[embKmeansTrain]]
+    * and [[embClusterQuality]]: returns the LAST assignment
+    * (vec_id, cid, xs) and the centroids updated FROM it
+    * (cid, n, ms) — both lazy, one plan.
+    */
+  private def kmeansModel(spark: SparkSession, dir: String,
+                          k: Int, iters: Int): (DataFrame, DataFrame) = {
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))").as("xs"))
     // (cid, n, ms): n only carried for the final report
     var cents: DataFrame = x.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), lit(0L).as("n"), col("xs").as("ms"))
+    var lastAssigned: DataFrame = null
     for (_ <- 0 until iters) {
       val assigned = x.crossJoin(broadcast(cents.select(col("cid"), col("ms"))))
         .withColumn("dist", expr(
@@ -883,6 +889,7 @@ object Ann {
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("xs")).as("xs"))
         .select(col("vec_id"), col("best.cid").as("cid"), col("xs"))
+      lastAssigned = assigned
       // floored mean per dim: numerator is made exactly divisible
       // (positive-mod correction), so truncating `div` IS floor —
       // identical to the oracle's `//` on the same longs
@@ -892,9 +899,49 @@ object Ann {
         .select(col("cid"), col("n"),
           expr("transform(sums, s -> (s - ((s % n + n) % n)) div n)").as("ms"))
     }
-    cents
+    (lastAssigned, cents)
+  }
+
+  def embKmeansTrain(spark: SparkSession, dir: String,
+                     k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansModel(spark, dir, k, iters)._2
       .select(col("cid"), col("n"), posexplode(col("ms")).as(Seq("pos", "m")))
       .select(col("cid"), (col("pos") + 1).cast("long").as("dim"), col("m"), col("n"))
+
+  /** Clustering-quality MONITOR over the trained model — the
+    * kmeans leg of the monitor family (recall monitors for the
+    * index structures, distortion for PQ, drift for centroids,
+    * THIS for the trainer): per cluster, the exact intra-cluster
+    * squared-distance mass to the updated centroid, the squared
+    * separation to the nearest other centroid, and the
+    * Dunn-style ratio floor(1e4·n·min_sep / intra) — separation
+    * per unit of mean intra spread, exact integers throughout
+    * (NULL for a zero-spread cluster). Cohesion uses the LAST
+    * assignment against the centroids updated from it, matching
+    * the trainer's own fixed point. The k-row centroid table
+    * broadcasts twice (member join + k² separation cross); no new
+    * shuffle beyond the trainer's.
+    */
+  def embClusterQuality(spark: SparkSession, dir: String,
+                        k: Int = 8, iters: Int = 2): DataFrame = {
+    val (assigned, cents) = kmeansModel(spark, dir, k, iters)
+    val cm = cents.select(col("cid"), col("ms"))
+    val intra = assigned
+      .join(broadcast(cm), "cid")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(xs, ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("dist").as("intra_sum"))
+    val sep = cm.join(
+        broadcast(cm.select(col("cid").as("o_cid"), col("ms").as("o_ms"))),
+        col("cid") =!= col("o_cid"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(ms, o_ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy("cid").agg(min("d").as("min_sep"))
+    intra.join(sep, "cid")
+      .select(col("cid"), col("n"), col("intra_sum"), col("min_sep"),
+        expr("CASE WHEN intra_sum <= 0 THEN NULL ELSE (10000 * n * min_sep) div intra_sum END")
+          .as("dunn_e4"))
   }
 
   /** Integer PageRank over the kNN graph — 2 power iterations of the

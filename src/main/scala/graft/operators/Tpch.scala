@@ -221,6 +221,29 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_cents"))
   }
 
+  /** Year-over-year growth per order priority — the lag-over-yearly-
+    * aggregate window every BI layer ships. Growth can be NEGATIVE,
+    * and truncating integer division disagrees with floor division
+    * on negative numerators across engines, so the e4 growth uses
+    * the positive-mod floor identity ((n − posmod(n, d)) / d, exact
+    * in both engines for any sign of n). First year per priority
+    * reports NULLs (no predecessor).
+    */
+  def qYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("yr")
+    y.withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("growth_e4", expr(
+        """CASE WHEN prev_cents IS NULL OR prev_cents <= 0 THEN NULL
+          |     ELSE (10000 * (cents - prev_cents)
+          |           - (((10000 * (cents - prev_cents)) % prev_cents + prev_cents) % prev_cents))
+          |          div prev_cents END""".stripMargin))
+  }
+
   /** TPC-H Q9 shape re-expressed without partsupp (gross margin by
     * supplier nation and ship year): amount = revenue minus a retail
     * cost basis p_retailprice * qty / 10, all in exact cents. The

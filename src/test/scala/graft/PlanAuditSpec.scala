@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_zipf", // single-row corpus-total broadcast onto k post-limit rows
     "q22_global", // single-row (sum, count) threshold broadcast onto customer
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
-    "emb_kmeans_train" // k-row centroid-table broadcast (Lloyd assignment fan-out)
+    "emb_kmeans_train", // k-row centroid-table broadcast (Lloyd assignment fan-out)
+    "emb_cluster_quality" // same k-row broadcast + k x k separation cross
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
