@@ -925,7 +925,14 @@ object Ann {
   def embClusterQuality(spark: SparkSession, dir: String,
                         k: Int = 8, iters: Int = 2): DataFrame = {
     val (assigned, cents) = kmeansModel(spark, dir, k, iters)
-    val cm = cents.select(col("cid"), col("ms"))
+    // the k-row centroid table feeds three consumers (member join +
+    // both sides of the separation cross) — eager-checkpoint so the
+    // Lloyd chain materializes once for them instead of three times.
+    // The member cohesion pass still re-executes the chain once for
+    // `assigned` (persisting it would cache the full corpus), so the
+    // monitor costs ~2× the trainer — measured ~2.8× the trainer's
+    // bench time at sf0.1 including the quality joins.
+    val cm = cents.select(col("cid"), col("ms")).localCheckpoint(eager = true)
     val intra = assigned
       .join(broadcast(cm), "cid")
       .withColumn("dist", expr(
