@@ -82,13 +82,22 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","total_s":$total}"""
     println(json)
+    // The driver archives only the LAST 2000 chars of stdout, and the
+    // per-query map alone exceeds that — so the full line above loses
+    // its leading total in the archived tail. Print a COMPACT summary
+    // line LAST (≈200 chars: total + probe + failures, no per-query
+    // map) so the archived tail always contains one complete,
+    // parseable JSON record with the headline numbers.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(compact)
     // stdout is wrapped in sbt [info] noise, so also write the bare
     // JSON line where tooling can parse it without de-prefixing
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (json + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

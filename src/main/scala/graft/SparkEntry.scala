@@ -211,6 +211,7 @@ object SparkEntry {
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
     "docs_pii_scrub" -> ((s, d) => present(TextAnalysis.piiScrub(s, d), "doc_id")),
     "docs_sample_fixed" -> ((s, d) => present(Sampling.docsSampleFixed(s, d), "lang", "rnk")),
+    "docs_sample_fixed_2p" -> ((s, d) => present(Sampling.docsSampleFixed2Phase(s, d), "lang", "rnk")),
     "q_changepoint" -> ((s, d) => present(Relational.qChangepoint(s, d), "event_type")),
     "q_having_join" -> ((s, d) => present(Relational.qHavingJoin(s, d), "o_orderkey")),
     "q_asof_nearest" -> ((s, d) => present(qAsOfNearest(s, d), "p_id")),
@@ -2704,6 +2705,20 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rnk
         |      FROM h)
         |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+    // the two-phase (per-partition heap + global refine) execution is
+    // result-identical to the single-pass rank by construction, so it
+    // shares the same replay — the gate IS the equality proof
+    "docs_sample_fixed_2p" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rnk
+        |      FROM h)
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
     // strip-and-diff charset counts; n_other closes the partition
     "text_charclass" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
@@ -2766,7 +2781,7 @@ object SparkEntry {
         |SELECT o_year,
         |       CAST(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
         |       CAST(sum(cents) AS BIGINT) AS total_cents,
-        |       CAST((10000 * sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END)) // sum(cents) AS BIGINT) AS share_e4
+        |       CAST((10000 * sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END)) // nullif(sum(cents), 0) AS BIGINT) AS share_e4
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_margin" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS supp_nat,
@@ -2798,7 +2813,7 @@ object SparkEntry {
     "q14_promo" ->
       """SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
         |       CAST(sum(cents) AS BIGINT) AS total_cents,
-        |       CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)) // sum(cents) AS BIGINT) AS promo_share_e4
+        |       CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)) // nullif(sum(cents), 0) AS BIGINT) AS promo_share_e4
         |FROM (SELECT l_partkey, CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents
         |      FROM lineitem
         |      WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')

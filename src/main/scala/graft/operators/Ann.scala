@@ -875,9 +875,17 @@ object Ann {
     */
   private def kmeansModel(spark: SparkSession, dir: String,
                           k: Int, iters: Int): (DataFrame, DataFrame) = {
+    // sq (per-row Σv² — the quality monitor's Σ‖x‖² input) is
+    // computed HERE, in the projection that already carries the
+    // grid-quantize HOF: a higher-order function inside the
+    // 66-function centroid aggregate would knock that whole corpus
+    // aggregate out of whole-stage codegen (measured 2.2× the
+    // trainer); as a plain column it's a codegen'd partial_sum.
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))").as("xs"))
+      .withColumn("sq", expr(
+        "aggregate(xs, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
     // (cid, n, ms): n only carried for the final report
     var cents: DataFrame = x.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), lit(0L).as("n"), col("xs").as("ms"))
@@ -887,16 +895,22 @@ object Ann {
         .withColumn("dist", expr(
           "aggregate(zip_with(xs, ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("xs")).as("xs"))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("xs"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("xs")).as("xs"), first(col("sq")).as("sq"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("xs"), col("sq"))
       lastAssigned = assigned
       // floored mean per dim: numerator is made exactly divisible
       // (positive-mod correction), so truncating `div` IS floor —
-      // identical to the oracle's `//` on the same longs
+      // identical to the oracle's `//` on the same longs.
+      // sum_sq (Σ‖x‖² over members) rides the SAME map-combinable
+      // aggregate so the quality monitor can recover the exact
+      // intra-cluster mass Σ‖x−m‖² = sum_sq − 2⟨m,sums⟩ + n·‖m‖²
+      // from the k-row table alone — no second pass over members.
       cents = assigned.groupBy("cid")
         .agg(count(lit(1)).as("n"),
-          array((0 until 64).map(i => sum(element_at(col("xs"), i + 1))): _*).as("sums"))
-        .select(col("cid"), col("n"),
+          array((0 until 64).map(i => sum(element_at(col("xs"), i + 1))): _*).as("sums"),
+          sum(col("sq")).as("sum_sq"))
+        .select(col("cid"), col("n"), col("sums"), col("sum_sq"),
           expr("transform(sums, s -> (s - ((s % n + n) % n)) div n)").as("ms"))
     }
     (lastAssigned, cents)
@@ -918,34 +932,39 @@ object Ann {
     * per unit of mean intra spread, exact integers throughout
     * (NULL for a zero-spread cluster). Cohesion uses the LAST
     * assignment against the centroids updated from it, matching
-    * the trainer's own fixed point. The k-row centroid table
-    * broadcasts twice (member join + k² separation cross); no new
-    * shuffle beyond the trainer's.
+    * the trainer's own fixed point — recovered WITHOUT re-reading
+    * the members: the trainer's update aggregate carries Σx (per
+    * dim) and Σ‖x‖² per cluster, and over integer vectors
+    * Σ‖x−m‖² = Σ‖x‖² − 2⟨m,Σx⟩ + n·‖m‖² exactly. The whole
+    * monitor is therefore k-row arithmetic + the k² separation
+    * cross on top of ONE execution of the Lloyd chain — it costs
+    * the trainer, not a multiple of it (was ~2.8× when cohesion
+    * re-joined the member assignment).
     */
   def embClusterQuality(spark: SparkSession, dir: String,
                         k: Int = 8, iters: Int = 2): DataFrame = {
-    val (assigned, cents) = kmeansModel(spark, dir, k, iters)
-    // the k-row centroid table feeds three consumers (member join +
-    // both sides of the separation cross) — eager-checkpoint so the
-    // Lloyd chain materializes once for them instead of three times.
-    // The member cohesion pass still re-executes the chain once for
-    // `assigned` (persisting it would cache the full corpus), so the
-    // monitor costs ~2× the trainer — measured ~2.8× the trainer's
-    // bench time at sf0.1 including the quality joins.
-    val cm = cents.select(col("cid"), col("ms")).localCheckpoint(eager = true)
-    val intra = assigned
-      .join(broadcast(cm), "cid")
-      .withColumn("dist", expr(
-        "aggregate(zip_with(xs, ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"), sum("dist").as("intra_sum"))
-    val sep = cm.join(
-        broadcast(cm.select(col("cid").as("o_cid"), col("ms").as("o_ms"))),
-        col("cid") =!= col("o_cid"))
-      .withColumn("d", expr(
-        "aggregate(zip_with(ms, o_ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .groupBy("cid").agg(min("d").as("min_sep"))
-    intra.join(sep, "cid")
+    val cents = kmeansModel(spark, dir, k, iters)._2
+    // SINGLE-consumer shape: the k-row centroid table folds into one
+    // bounded row (k entries × ~1.6 KiB), and both cohesion and the
+    // k² separation cross are array arithmetic on that row — so the
+    // Lloyd chain is consumed exactly once per action (a shared
+    // subtree would race its own recomputation across the consumers'
+    // concurrent tasks), needs no checkpoint, and plan construction
+    // stays side-effect free.
+    val one = cents.agg(collect_list(struct(
+      col("cid"), col("n"), col("sums"), col("sum_sq"), col("ms"))).as("cs"))
+    one.select(explode(col("cs")).as("c"), col("cs"))
+      .select(col("c.cid").as("cid"), col("c.n").as("n"),
+        (col("c.sum_sq")
+          - lit(2L) * expr(
+              "aggregate(zip_with(c.ms, c.sums, (m, s) -> m * s), CAST(0 AS BIGINT), (a, v) -> a + v)")
+          + col("c.n") * expr(
+              "aggregate(c.ms, CAST(0 AS BIGINT), (a, m) -> a + m * m)")).as("intra_sum"),
+        expr("""array_min(transform(filter(cs, o -> o.cid != c.cid),
+               |o -> aggregate(zip_with(o.ms, c.ms, (a, b) -> (a - b) * (a - b)),
+               |               CAST(0 AS BIGINT), (x, v) -> x + v)))""".stripMargin)
+          .as("min_sep"))
+      .filter(col("min_sep").isNotNull)
       .select(col("cid"), col("n"), col("intra_sum"), col("min_sep"),
         expr("CASE WHEN intra_sum <= 0 THEN NULL ELSE (10000 * n * min_sep) div intra_sum END")
           .as("dunn_e4"))

@@ -1088,6 +1088,42 @@ object Relational {
     profile(Tables.events(spark, dir),
       Seq("user_id", "event_type", "value", "props"))
 
+  /** The 100 TB rendering of [[profile]]: identical output contract
+    * (one row per column: rows / nulls / distinct) with the distinct
+    * cardinality as an HLL++ sketch (`approx_count_distinct`)
+    * instead of exact `count_distinct`. The difference in plan
+    * shape is the whole point at scale — exact multi-distinct
+    * expands the scan (one Expand row per distinct column) and
+    * shuffles EVERY (column, value) pair to dedup it, while the
+    * sketch is a constant ≈1.04/rsd² registers per column, merged
+    * map-side: the profile becomes a single partial-aggregate pass
+    * whose shuffle is K sketch payloads, independent of data volume.
+    * Correctness contract is the published rsd bound, asserted
+    * against the exact twin in ScalaTest (engine-specific sketch ⇒
+    * no DuckDB equality replay, same adjudication as
+    * [[qSketchProfile]]).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      approx_count_distinct(col(c), rsd).as(s"nd_$c")))
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct_approx)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct_approx"))
+  }
+
+  /** [[profileApprox]] applied to the events stream table — the
+    * approx twin of [[qColProfile]].
+    */
+  def qColProfileApprox(spark: SparkSession, dir: String,
+                        rsd: Double = 0.02): DataFrame =
+    profileApprox(Tables.events(spark, dir),
+      Seq("user_id", "event_type", "value", "props"), rsd)
+
   /** Interval UNION per type: each event opens a 30-min interval;
     * overlapping/touching intervals coalesce into maximal spans
     * (uptime/coverage reporting — the complement of
@@ -1128,6 +1164,28 @@ object Relational {
       .groupingSets(Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
         col("event_type"), col("day"))
       .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** The 100 TB rendering of [[qDistinctRollup]]: the same grouping
+    * sets (per-type / per-day / total audience marginals) with the
+    * distinct-user count as an HLL++ sketch. Exact multi-marginal
+    * distinct shuffles every (gid, key, user) triple before it can
+    * dedup — the user column rides the Expand fan-out through the
+    * exchange; the sketch version collapses map-side to one
+    * constant-size register block per (gid, key), so the shuffle
+    * carries |types| + |days| + 1 sketches regardless of corpus
+    * size. n_events stays exact (plain map-combinable count — no
+    * reason to approximate it). rsd-bound contract vs the exact
+    * twin in ScalaTest, like [[profileApprox]].
+    */
+  def qDistinctRollupApprox(spark: SparkSession, dir: String,
+                            rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
 
   /** Single change-point detection (CUSUM / binary-segmentation
     * score) on each type's daily volume — "which day did the feed

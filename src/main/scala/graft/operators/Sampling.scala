@@ -178,4 +178,62 @@ object Sampling {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
+
+  /** TWO-PHASE exactly-k sample — the 100 TB execution of
+    * [[docsSampleFixed]]'s contract, result-identical by
+    * construction. The single-pass rendering shuffles every row to
+    * its stratum and sorts each stratum's FULL membership inside one
+    * window partition; at corpus scale that per-stratum sort is the
+    * bottleneck (and a whole-corpus stratum is a single-partition
+    * sort). Here phase 1 keeps a bounded top-k heap PER (stratum,
+    * input partition) — k·|strata| tuples of task state, no shuffle,
+    * corpus touched exactly once at scan speed — and phase 2 ranks
+    * only the ≤ k·|strata|·#partitions survivors (the window sort
+    * runs on that reduced set, never the corpus).
+    *
+    * Equality argument: the global top-k of a stratum is contained
+    * in the union of per-partition top-k's (any globally-selected
+    * row is in its own partition's top-k), and rows ABOVE a selected
+    * row in the (h, doc_id) order also all survive phase 1 — so the
+    * phase-2 rank of every kept row equals its global rank. The
+    * order key is unique (doc_id dedups ties), so ranks are
+    * deterministic. This is the genuine per-partition imperative
+    * case (a bounded heap fold) — `mapPartitions` with constant
+    * memory, not a window over the corpus.
+    */
+  def docsSampleFixed2Phase(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docsSampleFixed2PhaseOn(Tables.documents(spark, dir), k)
+
+  /** [[docsSampleFixed2Phase]] over any (doc_id, lang, …) frame —
+    * the seam the layout-invariance spec drives with adversarial
+    * repartitionings (the result must not depend on which rows share
+    * an input partition).
+    */
+  def docsSampleFixed2PhaseOn(documents: DataFrame, k: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents
+      .select(col("doc_id"), col("lang"), hash32(col("doc_id")).as("h"))
+      .as[(Long, String, Long)]
+    // max-heap on (h, doc_id): the worst kept row sits on top and is
+    // evicted by any better arrival once the heap holds k entries
+    val local = base.mapPartitions { it =>
+      val ord = implicitly[Ordering[(Long, Long)]]
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (id, lang, h) =>
+        val q = heaps.getOrElseUpdate(lang,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+        if (q.size < k) q.enqueue((h, id))
+        else if (ord.lt((h, id), q.head)) { q.dequeue(); q.enqueue((h, id)) }
+      }
+      heaps.iterator.flatMap { case (lang, q) =>
+        q.iterator.map { case (h, id) => (id, lang, h) }
+      }
+    }.toDF("doc_id", "lang", "h")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    local.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
 }

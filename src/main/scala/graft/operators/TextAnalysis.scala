@@ -688,27 +688,31 @@ object TextAnalysis {
     * estimate for a fixed word list: 1 − share). Exact integers
     * end-to-end: counts are longs, shares are floor(1e4·cov/total).
     *
-    * Scale shape: word counting is one map-combinable groupBy; the
-    * top-max(k) cut is a TakeOrderedAndProject (distributed heap,
-    * never a global sort of the vocabulary); ranking happens on the
-    * bounded post-limit rows; the corpus total is a 1-row broadcast.
-    * Mirrors [[textZipf]]'s bounded-head posture.
+    * Scale shape: word counting is ONE map-combinable groupBy pass,
+    * lazy-checkpointed (vocab-sized — orders of magnitude below the
+    * corpus) so its two consumers (the 1-row total and the
+    * top-max(k) head) share it instead of re-scanning the corpus;
+    * the head cut is a TakeOrderedAndProject (distributed heap,
+    * never a global sort of the vocabulary); the per-k coverage is
+    * one aggregate over (bounded head × |ks|) rows via a broadcast
+    * k-list join — no per-k union branches. Mirrors [[textZipf]]'s
+    * bounded-head posture.
     */
   def textVocabCoverage(spark: SparkSession, dir: String,
                         ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
     val w = Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("w"))
     val f = w.groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = false)
     val total = f.agg(sum("f").as("total_tokens"))
     val ranked = f.orderBy(col("f").desc, col("w")).limit(ks.max)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("f").desc, col("w"))))
-    ks.map { k =>
-      ranked.filter(col("rnk") <= k)
-        .agg(lit(k).cast("long").as("k"),
-          count(lit(1)).as("n_vocab"),
-          sum("f").as("coverage_tokens"))
-    }.reduce(_ union _)
+    val kdf = spark.createDataFrame(ks.map(k => Tuple1(k.toLong))).toDF("k")
+    ranked.crossJoin(broadcast(kdf))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_vocab"), sum("f").as("coverage_tokens"))
       .crossJoin(broadcast(total))
       .withColumn("share_e4", expr("(10000 * coverage_tokens) div total_tokens"))
   }

@@ -84,7 +84,7 @@ object Tpch {
       .agg(
         sum(when(col("s_nationkey") === targetNat, col("cents")).otherwise(lit(0L))).as("nation_cents"),
         sum("cents").as("total_cents"))
-      .withColumn("share_e4", expr("(10000 * nation_cents) div total_cents"))
+      .withColumn("share_e4", expr("(10000 * nation_cents) div nullif(total_cents, 0)"))
   }
 
   /** TPC-H Q10 shape (returned-item reporting): top customers by
@@ -145,7 +145,7 @@ object Tpch {
       .agg(
         sum(when(col("is_promo"), col("cents")).otherwise(lit(0L))).as("promo_cents"),
         sum("cents").as("total_cents"))
-      .withColumn("promo_share_e4", expr("(10000 * promo_cents) div total_cents"))
+      .withColumn("promo_share_e4", expr("(10000 * promo_cents) div nullif(total_cents, 0)"))
   }
 
   /** TPC-H Q17 shape (small-quantity revenue): lineitems of one

@@ -43,13 +43,22 @@ object CleanStream {
     * content dedup — the composition `operators.Pipeline` runs in
     * batch, lifted to arrival order. The gate is stateless
     * (stream ≡ batch above); the dedup stage is the stateful
-    * `dropDuplicates` on the content hash, whose first-arrival-wins
-    * semantics equal the batch min-doc_id keeper whenever arrival
-    * order follows doc_id (the ingest contract; the spec drives
-    * out-of-order splits WITHIN a batch too, where Spark still
-    * resolves by first micro-batch). Gate-before-dedup shrinks the
-    * stateful stage's input and therefore its state store — the
-    * same ordering argument as the batch pipeline's.
+    * `dropDuplicates` on the content hash. Its first-arrival-wins
+    * semantics equal the batch min-doc_id keeper ONLY under the
+    * strict ingest contract: arrival order follows doc_id ACROSS
+    * micro-batches, and rows sharing a content hash never race
+    * within one micro-batch across multiple input partitions —
+    * within a batch, streaming `dropDuplicates` keeps an arbitrary
+    * first row per shuffle partition, so a multi-partition source
+    * delivering equal-hash rows in the same batch may keep a
+    * non-minimal doc_id (the StreamingSpec equality case holds
+    * because MemoryStream feeds a single input partition).
+    * Deployments that cannot guarantee the contract should treat
+    * the kept representative as arbitrary-but-stable, exactly like
+    * the reference's cache (whichever consumer thread hits the
+    * cache first wins). Gate-before-dedup shrinks the stateful
+    * stage's input and therefore its state store — the same
+    * ordering argument as the batch pipeline's.
     *
     * State note: unbounded key space ⇒ production pairs this with a
     * watermark TTL ([[DedupStream.dedupWithinWatermark]]) or the

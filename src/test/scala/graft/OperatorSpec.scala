@@ -2283,4 +2283,74 @@ class OperatorSpec extends SparkSpec {
     }
     assert(q22 <= aboveAvg)
   }
+
+  test("approx column profile matches the exact twin within the rsd bound") {
+    import graft.operators.Relational
+    val exact = Relational.qColProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Relational.qColProfileApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, (nr, nn, nd)) =>
+      val (enr, enn, end) = exact(c)
+      // rows + nulls stay exact — only the distinct count is sketched
+      assert(nr === enr && nn === enn, s"$c: exact counters drifted")
+      // HLL++ rsd=0.02: allow 5 sigma (same adjudication as the
+      // sketch-profile contract)
+      assert(math.abs(nd - end) <= math.max(2.0, end * 0.10),
+        s"$c distinct: approx $nd vs exact $end")
+    }
+    // scale pin: the distinct really is the sketch (constant state,
+    // map-side partial merge), not a fallback to exact expand-distinct
+    val plan = Relational.qColProfileApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct"),
+      "approx profile plans no HLL sketch aggregate")
+    assert(!plan.contains("count(distinct"),
+      "approx profile fell back to exact distinct")
+  }
+
+  test("approx distinct rollup matches the exact marginals within the rsd bound") {
+    import graft.operators.Relational
+    def keyOf(r: org.apache.spark.sql.Row): (String, Long) =
+      (if (r.isNullAt(0)) "<all>" else r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val exact = Relational.qDistinctRollup(spark, sf).collect()
+      .map(r => keyOf(r) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = Relational.qDistinctRollupApprox(spark, sf).collect()
+      .map(r => keyOf(r) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (users, events)) =>
+      val (eu, ee) = exact(k)
+      assert(events === ee, s"$k: exact event count drifted")
+      assert(math.abs(users - eu) <= math.max(2.0, eu * 0.10),
+        s"$k users: approx $users vs exact $eu")
+    }
+    val plan = Relational.qDistinctRollupApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct") && !plan.contains("count(distinct"),
+      "approx rollup does not plan the sketch aggregate")
+  }
+
+  test("two-phase exactly-k sample equals the single-pass rank on any partition layout") {
+    import graft.operators.Sampling
+    val expect = Sampling.docsSampleFixed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty)
+    // adversarial layouts: however rows are spread across input
+    // partitions, the per-partition heaps + global refine must
+    // reproduce the corpus-wide rank exactly
+    Seq(1, 3, 7).foreach { parts =>
+      val docs = Tables.documents(spark, sf).repartition(parts)
+      val got = Sampling.docsSampleFixed2PhaseOn(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expect, s"two-phase sample diverged at $parts partitions")
+    }
+    // the corpus-wide window is gone: ranking runs on the bounded
+    // survivor set produced by the per-partition heap fold
+    val plan = Sampling.docsSampleFixed2Phase(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      "two-phase sample lost its per-partition fold")
+  }
 }

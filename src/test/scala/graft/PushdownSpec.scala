@@ -113,7 +113,11 @@ class PushdownSpec extends SparkSpec {
     val kmrs = km.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!kmrs.contains("label"), s"emb_kmeans_train reads label: $kmrs")
     // map-only text audits read only (doc_id, text)
-    Seq("docs_gopher_rules", "mm_audio_segments", "text_vocab_coverage").foreach { q =>
+    // (text_vocab_coverage now hides its scan behind the compute-once
+    // lazy checkpoint of the word-count pass — same precedent as
+    // q_pareto/q_rolling_dau — so text_charclass pins the
+    // documents-prune case for the text-audit family)
+    Seq("docs_gopher_rules", "mm_audio_segments", "text_charclass").foreach { q =>
       val rs = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString
       assert(!rs.contains("n_chars") && !rs.contains("lang") && !rs.contains("source"),
         s"$q reads unused document columns: $rs")
