@@ -93,6 +93,7 @@ object SparkEntry {
     "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
     "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
     "q_interval_overlap" -> ((s, d) => present(Relational.qIntervalOverlap(s, d), "event_type")),
+    "q_overlap_daily" -> ((s, d) => present(Relational.qIntervalOverlapDaily(s, d), "event_type")),
     "q_benford" -> ((s, d) => present(Relational.qBenford(s, d), "digit")),
     "q_time_profile" -> ((s, d) => present(Relational.qTimeProfile(s, d), "dow", "hour")),
     "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
@@ -146,6 +147,10 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => present(TextAnalysis.textRepetition(s, d), "doc_id")),
     "text_boilerplate" -> ((s, d) => present(TextAnalysis.textBoilerplate(s, d), "doc_id")),
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
+    "docs_line_dedup" -> ((s, d) => present(TextAnalysis.docsLineDedup(s, d), "doc_id")),
+    // top-k is ordered by construction (TakeOrderedAndProject)
+    "docs_line_topdup" -> ((s, d) => TextAnalysis.docsLineTopDup(s, d)),
+    "docs_quality_lines" -> ((s, d) => present(TextAnalysis.docsQualityFilterLines(s, d), "doc_id")),
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
@@ -156,6 +161,7 @@ object SparkEntry {
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
+    "text_bpe_merges" -> ((s, d) => present(TextAnalysis.textBpeMerges(s, d), "rnd")),
     "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
     "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
     "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
@@ -1204,6 +1210,23 @@ object SparkEntry {
     // sweep-line replay: +1/-1 interval deltas, close-before-open at
     // equal instants (half-open), running sum, first peak instant
     "q_interval_overlap" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS t0 FROM events),
+        |d AS (SELECT event_type, t0 AS t, 1 AS delta FROM e
+        |      UNION ALL
+        |      SELECT event_type, t0 + 1800000, -1 FROM e),
+        |o AS (SELECT event_type, t,
+        |             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |                              ROWS UNBOUNDED PRECEDING) AS open
+        |      FROM d),
+        |p AS (SELECT event_type, t, open,
+        |             max(open) OVER (PARTITION BY event_type) AS peak FROM o)
+        |SELECT event_type, CAST(max(peak) AS BIGINT) AS peak_concurrency,
+        |       min(t) AS peak_at_ms
+        |FROM p WHERE open = peak GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the per-day carry-in split is result-identical to the single
+    // sweep by construction (open(t) = carry_in(day) + local prefix),
+    // so it shares the single-sweep replay — the gate IS the equality
+    "q_overlap_daily" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) AS t0 FROM events),
         |d AS (SELECT event_type, t0 AS t, 1 AS delta FROM e
         |      UNION ALL
@@ -2276,6 +2299,73 @@ object SparkEntry {
         |       NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
         |         AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2) AS keep
         |FROM j ORDER BY doc_id""".stripMargin,
+    // 10-token pseudo-lines (delimiter-free corpus); line slice
+    // t[a:b] is 1-based inclusive = Spark slice(toks, a, 10)
+    "docs_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) + 9) // 10),
+        |        j -> array_to_string(t[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |      FROM toks),
+        |d AS (SELECT line, count(*) AS n_occ FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |       CAST((sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_frac_e4
+        |FROM l JOIN d USING (line) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_line_topdup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) + 9) // 10),
+        |        j -> array_to_string(t[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |      FROM toks)
+        |SELECT line, CAST(count(*) AS BIGINT) AS n_occ,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM l GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY n_occ DESC, line LIMIT 20""".stripMargin,
+    // the base quality-filter replay + the Gopher duplicate-line
+    // rule: 10*dup > 3*lines, keep requires it clear
+    "docs_quality_lines" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / nullif(CAST(length(text) AS DOUBLE), 0.0) AS pr,
+        |        greatest(len(toks) - 2, 0) AS nsh,
+        |        CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS nd
+        |      FROM tok),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS bigrams
+        |       FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT doc_id, unnest(bigrams) AS ngram FROM sh),
+        |top AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM ex GROUP BY 1
+        |                           ORDER BY df DESC, ngram LIMIT 20)),
+        |m AS (SELECT doc_id, count(*) AS n_top FROM ex JOIN top USING (ngram) GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |               i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS nb
+        |      FROM tok),
+        |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks) + 9) // 10),
+        |        j -> array_to_string(toks[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |      FROM tok),
+        |ldf AS (SELECT line, count(*) AS n_occ FROM l GROUP BY 1),
+        |ld AS (SELECT doc_id, count(*) AS n_lines,
+        |              sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+        |       FROM l JOIN ldf USING (line) GROUP BY 1),
+        |j AS (SELECT f.doc_id, f.nt, f.pr, f.nsh, f.nd, b.nb, coalesce(m.n_top, 0) AS n_top,
+        |             ld.n_lines, ld.n_dup
+        |      FROM f JOIN b ON f.doc_id = b.doc_id
+        |      LEFT JOIN m ON f.doc_id = m.doc_id
+        |      JOIN ld ON f.doc_id = ld.doc_id)
+        |SELECT doc_id,
+        |       nt < 5 AS flag_short,
+        |       nt > 80 AS flag_long,
+        |       coalesce(pr > 0.1, false) AS flag_punct,
+        |       nd * 5 < nsh * 4 AS flag_repetitive,
+        |       n_top * 5 > nb * 2 AS flag_boilerplate,
+        |       NOT (nt < 5) AND NOT (nt > 80) AND NOT coalesce(pr > 0.1, false)
+        |         AND NOT (nd * 5 < nsh * 4) AND NOT (n_top * 5 > nb * 2)
+        |         AND NOT (n_dup * 10 > n_lines * 3) AS keep,
+        |       n_dup * 10 > n_lines * 3 AS flag_dup_lines
+        |FROM j ORDER BY doc_id""".stripMargin,
     // chunk arithmetic is exact integers on both sides: n_chunks =
     // ceil((len - overlap)/stride) min 1, chunk i = substr at
     // i*stride + 1, fixed 200-char window (shorter tail allowed)
@@ -2380,6 +2470,37 @@ object SparkEntry {
         |      FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // full 2-round merge-loop replay: same spaced-symbol rendering,
+    // same (n DESC, l, r) tie-break, same double-replace
+    // re-segmentation (plain replace — consuming, non-overlapping —
+    // behaves identically in both engines)
+    "text_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |           i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS w
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        |s1 AS (SELECT string_split(trim(w), ' ') AS sy FROM w0),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+        |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
+        |       FROM s1 WHERE len(sy) >= 2),
+        |t1 AS (SELECT l, r, count(*) AS n FROM p1 GROUP BY 1, 2
+        |       ORDER BY n DESC, l, r LIMIT 1),
+        |w1 AS (SELECT replace(replace(w0.w, ' ' || t1.l || ' ' || t1.r || ' ',
+        |                                    ' ' || t1.l || t1.r || ' '),
+        |                      ' ' || t1.l || ' ' || t1.r || ' ',
+        |                      ' ' || t1.l || t1.r || ' ') AS w
+        |       FROM w0, t1),
+        |s2 AS (SELECT string_split(trim(w), ' ') AS sy FROM w1),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+        |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
+        |       FROM s2 WHERE len(sy) >= 2),
+        |t2 AS (SELECT l, r, count(*) AS n FROM p2 GROUP BY 1, 2
+        |       ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rnd, l, r, l || r AS merged, n FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS rnd, l, r, l || r AS merged, n FROM t2
+        |ORDER BY rnd""".stripMargin,
     // feature-hashing replay: same md5-top-32-bit identity hash as
     // docs_sample_stratified, mod 64; tf is an exact integer count
     "text_hashing_tf" ->

@@ -987,17 +987,30 @@ object Ann {
     * every sampled node by the kNN construction, so there are no
     * dangling nodes.
     *
-    * Scale shape: the edge set is lazy-checkpointed once (the
-    * block-pair cosine join must not re-execute per iteration — at
-    * production scale, a parquet handoff per round); each iteration
+    * Scale shape: the edge set is checkpointed once (the block-pair
+    * cosine join must not re-execute per iteration); each iteration
     * is one equi-join + one map-combinable groupBy on dst. Mass
-    * stays O(nodes); nothing driver-side.
+    * stays O(nodes); nothing driver-side. The default is a LAZY
+    * localCheckpoint (plan building stays side-effect free — the
+    * contract-query path); pass `checkpointDir` to hand the edge set
+    * off as parquet instead: restartable, executor-loss-proof, and
+    * the artifact a multi-iteration production run resumes from
+    * (note this writes at plan-BUILD time — a materializing context,
+    * not an Explain sweep). Output identical either way
+    * (spec-pinned).
     */
   def embGraphRank(spark: SparkSession, dir: String,
-                   k: Int = 3, iters: Int = 2): DataFrame = {
-    val edges = embKnnGraph(spark, dir, k)
+                   k: Int = 3, iters: Int = 2,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val rawEdges = embKnnGraph(spark, dir, k)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
-      .localCheckpoint(eager = false)
+    val edges = checkpointDir match {
+      case None => rawEdges.localCheckpoint(eager = false)
+      case Some(d) =>
+        val path = s"$d/knn_edges"
+        rawEdges.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
     val nodes = edges.select(col("src").as("v")).distinct()
     var mass = nodes.withColumn("mass", lit(1000000L))
     for (_ <- 0 until iters) {

@@ -908,16 +908,33 @@ object NearDup {
     * Returns (labels for every node — singletons label themselves,
     * rounds executed). Non-convergence within maxRounds throws, like
     * [[dedupGroups]] — never silently half-merged groups.
+    *
+    * `checkpointDir`: per-round lineage truncation defaults to
+    * `localCheckpoint` (executor-local blocks — fine single-box, but
+    * blocks die with an executor and a long job recomputes the whole
+    * chain). At production scale pass a storage directory: each
+    * round's edge set is handed off as parquet (round_N subdirs, one
+    * per round so an in-flight reader never races an overwrite) and
+    * the next round reads it back — restartable, executor-loss-proof,
+    * and the artifact a failed run resumes from. Label output is
+    * identical on either path (spec-pinned).
     */
   def starComponents(nodes: DataFrame, pairs: DataFrame,
-                     maxRounds: Int = 30): (DataFrame, Int) = {
+                     maxRounds: Int = 30,
+                     checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    def handoff(df: DataFrame, tag: String): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(d) =>
+        val path = s"$d/$tag"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+    }
     val Seq(srcCol, dstCol) = pairs.columns.toSeq.take(2)
-    var edges = pairs
+    var edges = handoff(pairs
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), "round_0")
     var rounds = 0
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
@@ -931,12 +948,11 @@ object NearDup {
         .distinct()
       // small-star: canonical edges already point large→small
       val smins = large.groupBy("u").agg(min("v").as("mn"))
-      val small = large.join(smins, "u")
+      val small = handoff(large.join(smins, "u")
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(smins.select(col("u"), col("mn").as("v")))
-        .distinct()
-        .localCheckpoint() // truncate per-round lineage
+        .distinct(), s"round_${rounds + 1}") // truncate per-round lineage
       done = small.count() == edges.count() && small.except(edges).isEmpty
       edges = small
       rounds += 1

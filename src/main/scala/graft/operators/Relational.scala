@@ -629,6 +629,60 @@ object Relational {
       .agg(max("peak").as("peak_concurrency"), min("t").as("peak_at_ms"))
   }
 
+  /** The PER-DAY CARRY-IN split of [[qIntervalOverlap]] — the scale
+    * execution its scaladoc documents, now as code and
+    * result-identical by construction. The single-sweep rendering
+    * sorts each type's WHOLE timeline inside one window partition
+    * (per-key-history-in-one-task, the qSessionize bound); here the
+    * sweep partitions on (type, DAY): each day's deltas sort
+    * independently (bounded by a day's traffic, embarrassingly
+    * parallel across days), and each day reduces to three numbers —
+    * its local peak prefix sum, that peak's first instant, and its
+    * net delta sum. The cross-day dependency is then a prefix sum of
+    * net sums on the DAY AXIS (types × days rows — calendar-bounded,
+    * nothing like the corpus): carry_in(d) = Σ earlier days' nets,
+    * and since open(t) = carry_in + local_open(t) for t in d,
+    * day-peak = carry_in + local peak, the global peak is the max
+    * over days and its first instant is the earliest achieving day's
+    * local peak instant (timestamps increase with day). Same
+    * (t, delta) close-before-open order inside each day, so the
+    * half-open semantics are untouched — a delta at midnight simply
+    * belongs to the new day's sweep.
+    */
+  def qIntervalOverlapDaily(spark: SparkSession, dir: String,
+                            winMs: Long = 1800000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_millis(ts)").as("t0"))
+    val deltas = ev.select(col("event_type"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct((col("t0") + winMs).as("t"), lit(-1L).as("delta")))).as("d"))
+      .select(col("event_type"), col("d.t").as("t"), col("d.delta").as("delta"),
+        expr("d.t div 86400000").as("day"))
+    // one shuffle on (type, day); the three windows share its sort
+    val wDay = Window.partitionBy("event_type", "day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPart = Window.partitionBy("event_type", "day")
+    val perDay = deltas
+      .withColumn("local_open", sum("delta").over(wDay))
+      .withColumn("local_peak", max("local_open").over(wPart))
+      .withColumn("day_sum", sum("delta").over(wPart))
+      .filter(col("local_open") === col("local_peak"))
+      .groupBy("event_type", "day")
+      .agg(max("local_peak").as("local_peak"), min("t").as("local_peak_at"),
+        max("day_sum").as("day_sum"))
+    // day-axis stitching runs on types x days rows only
+    val wType = Window.partitionBy("event_type").orderBy("day")
+    perDay
+      .withColumn("carry_in", coalesce(
+        sum("day_sum").over(wType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("day_peak", col("carry_in") + col("local_peak"))
+      .withColumn("peak", max("day_peak").over(Window.partitionBy("event_type")))
+      .filter(col("day_peak") === col("peak"))
+      .groupBy("event_type")
+      .agg(max("peak").as("peak_concurrency"), min("local_peak_at").as("peak_at_ms"))
+  }
+
   /** Day-of-week × hour activity heatmap — the traffic-shape profile
     * behind capacity planning and anomaly baselines. Deliberately
     * PURE INTEGER EPOCH MATH (dow = (epoch_days + 4) mod 7 with

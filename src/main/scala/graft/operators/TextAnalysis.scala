@@ -272,6 +272,84 @@ object TextAnalysis {
         expr("(n_shared * 10000) div n_chunks").as("shared_x1e4"))
   }
 
+  /** Fixed-span pseudo-line segmentation: consecutive `lineTokens`
+    * token runs joined back to text — the line axis for the
+    * line-level dedup rules. Production corpora split on '\n' (one
+    * `split` swap, same downstream plan); the synthetic documents
+    * table is delimiter-free, so a fixed token span stands in as the
+    * line boundary and exercises identical semantics. Map-only.
+    */
+  private[operators] def docsLines(spark: SparkSession, dir: String,
+                                   lineTokens: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) + ${lineTokens - 1}) div $lineTokens - 1),
+           |          j -> array_join(slice(toks, j * $lineTokens + 1, $lineTokens), ' '))""".stripMargin))
+        .as(Seq("line_idx", "line")))
+
+  /** LINE-LEVEL duplicate audit (C4 §4.1 / Gopher repetition rules —
+    * the standard cleaning signal between whole-doc dedup and
+    * pair-wise near-dup): per document, how many of its lines occur
+    * more than once in the CORPUS, and the ×10⁴ duplicate-line
+    * fraction. Boilerplate headers/footers/navigation are exactly
+    * the lines this flags; whole-doc hashes miss them and pair-wise
+    * near-dup is far more expensive. Shape is [[docsChunkDedup]] at
+    * line granularity: explode lines → one map-combinable count per
+    * line hash → equi-join back → per-doc reduce. Zipf-hot line
+    * hashes (the boilerplate itself) are AQE skew-split in the join.
+    */
+  def docsLineDedup(spark: SparkSession, dir: String,
+                    lineTokens: Int = 10): DataFrame = {
+    val lines = docsLines(spark, dir, lineTokens)
+      .select(col("doc_id"), md5(col("line")).as("h"))
+    val df = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    lines.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        expr("(n_dup_lines * 10000) div n_lines").as("dup_frac_e4"))
+  }
+
+  /** The corpus-side rendering of [[docsLineDedup]]: the top
+    * duplicated lines themselves (occurrence count + distinct docs
+    * containing them) — the report a cleaning pass reads to decide
+    * which boilerplate to strip globally. One map-combinable count
+    * keyed by the line, TakeOrdered head with a deterministic
+    * (count DESC, line) tie-break — never a global sort of the line
+    * table.
+    */
+  def docsLineTopDup(spark: SparkSession, dir: String,
+                     lineTokens: Int = 10, k: Int = 20): DataFrame =
+    docsLines(spark, dir, lineTokens)
+      .groupBy("line")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("n_occ").desc, col("line"))
+      .limit(k)
+
+  /** [[docsQualityFilter]] extended with the line-dedup rule (the
+    * Gopher duplicate-line-fraction gate): flag_dup_lines fires when
+    * more than 30% of a doc's lines are corpus-duplicated
+    * (cross-multiplied 10·dup > 3·lines — no float edge), and the
+    * keep verdict requires it clear. Follows the
+    * [[docsQualityFilterPii]] variant pattern: the base gate's
+    * contract is unchanged, the extended gate is its own oracled
+    * query.
+    */
+  def docsQualityFilterLines(spark: SparkSession, dir: String,
+                             minTokens: Int = 5, maxTokens: Int = 80,
+                             maxPunct: Double = 0.1,
+                             lineTokens: Int = 10): DataFrame = {
+    val dup = docsLineDedup(spark, dir, lineTokens)
+      .select(col("doc_id"),
+        (col("n_dup_lines") * 10 > col("n_lines") * 3).as("flag_dup_lines"))
+    docsQualityFilter(spark, dir, minTokens, maxTokens, maxPunct)
+      .join(dup, "doc_id")
+      .withColumn("keep", col("keep") && !col("flag_dup_lines"))
+  }
+
   /** The composite QUALITY GATE — the decision operator a cleaning
     * pipeline actually executes over the per-doc signals: length
     * bounds, punctuation ratio, intra-doc repetition, boilerplate
@@ -398,6 +476,71 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** BPE MERGE-LOOP trainer — the iterative tokenizer-induction pass
+    * [[textBpePairs]] is round zero of: count adjacent symbol pairs
+    * over the corpus, adopt the highest-count pair as a merge
+    * (deterministic (count DESC, left, right) tie-break), re-segment
+    * every word, repeat. Output: one row per adopted merge
+    * (rnd, l, r, merged, n). Like emb_kmeans_train's Lloyd loop, the
+    * whole multi-round trajectory is ONE lazy Catalyst plan — each
+    * round's winner is a 1-row TakeOrdered broadcast onto the word
+    * frame, no per-round driver collect, no mutable state.
+    *
+    * Words are carried as space-separated symbol strings padded with
+    * a leading/trailing space (symbols never contain spaces, so
+    * " l r " matches exactly whole-symbol adjacency). Re-segmentation
+    * is `replace` applied TWICE: one consuming left-to-right pass
+    * merges an occurrence run's odd positions (the trailing boundary
+    * space of a match is consumed, hiding the immediately following
+    * occurrence), and since two occurrences skipped in a row is
+    * impossible (the second's boundary would have been intact), the
+    * second pass — where every survivor sits between merged symbols —
+    * finishes the run: the pair is exactly greedy left-to-right BPE
+    * merging, and it replays engine-identically because plain
+    * `replace` has the same consuming non-overlapping semantics
+    * everywhere (no regex, no lookarounds — RE2 oracles can't do
+    * lookbehind).
+    *
+    * Scale shape: each round is one map-combinable pair count + a
+    * single-row TakeOrdered + a broadcast map-only rewrite — rounds
+    * compose without shuffling words (the only shuffles are the
+    * bounded pair-count aggregates). The corpus is re-derived per
+    * round (3 scans for 2 rounds); a production many-round trainer
+    * checkpoints the word frame every few rounds, the
+    * emb_graph_rank/starComponents handoff pattern.
+    */
+  def textBpeMerges(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    def pairTop(words: DataFrame): DataFrame =
+      words.select(split(trim(col("w")), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+    var words = Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), ' ')"),
+        lit(" ")).as("w"))
+    var out: DataFrame = null
+    for (rnd <- 1 to rounds) {
+      val top = pairTop(words)
+      val row = top.select(lit(rnd.toLong).as("rnd"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("n"))
+      out = if (out == null) row else out.union(row)
+      if (rnd < rounds)
+        words = words.crossJoin(broadcast(top))
+          .select(expr(
+            """replace(replace(w, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')),
+              |        concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))""".stripMargin)
+            .as("w"))
+    }
+    out
+  }
 
   /** Feature-hashing term frequencies (the HashingTF transform): each
     * token occurrence is bucketed by the engine's shared identity

@@ -1084,6 +1084,15 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("per-day carry-in interval sweep equals the single-sweep result") {
+    import graft.operators.Relational
+    val single = Relational.qIntervalOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val daily = Relational.qIntervalOverlapDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(daily === single && single.nonEmpty)
+  }
+
   test("time buckets form a dense step-aligned grid covering every event") {
     import graft.operators.Relational
     val got = Relational.qTimeBucket(spark, sf).collect()
@@ -2282,6 +2291,43 @@ class OperatorSpec extends SparkSpec {
       c.filter(col("cents") * n0 > sum0).count()
     }
     assert(q22 <= aboveAvg)
+  }
+
+  test("bpe merge loop equals a driver-side greedy replay") {
+    import graft.operators.TextAnalysis
+    val words0 = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .map(_.toCharArray.map(_.toString).toVector).toSeq
+    def pairCounts(ws: Seq[Vector[String]]): Map[(String, String), Long] = {
+      val m = collection.mutable.Map.empty[(String, String), Long]
+      ws.foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val k = (w(i), w(i + 1)); m(k) = m.getOrElse(k, 0L) + 1L
+        }
+      }
+      m.toMap
+    }
+    // canonical greedy left-to-right merge — the semantics the
+    // double-replace rendering must reproduce
+    def mergeWord(w: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == l && w(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    var ws = words0
+    val expect = (1 to 2).map { rnd =>
+      val ((l, r), n) = pairCounts(ws).toSeq
+        .minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+      if (rnd < 2) ws = ws.map(w => mergeWord(w, l, r))
+      (rnd.toLong, l, r, l + r, n)
+    }
+    val got = TextAnalysis.textBpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got === expect)
   }
 
   test("approx column profile matches the exact twin within the rsd bound") {

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "q22_global", // single-row (sum, count) threshold broadcast onto customer
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
     "emb_kmeans_train", // k-row centroid-table broadcast (Lloyd assignment fan-out)
-    "emb_cluster_quality" // same k-row broadcast + k x k separation cross
+    "emb_cluster_quality", // same k-row broadcast + k x k separation cross
+    "text_bpe_merges" // 1-row merge-winner broadcast onto the word frame per round
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {

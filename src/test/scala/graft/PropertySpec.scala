@@ -239,6 +239,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("storage-checkpoint handoff yields identical labels and graph ranks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      // components: chain + a random blob through the parquet handoff
+      val edges = ((0 until 12).map(i => (i.toLong, i + 1L)) ++
+        Seq((20L, 25L), (25L, 22L), (30L, 30L))).toDF("src", "dst")
+      val nodes = (0L until 31L).toDF("doc_id")
+      val (local, _) = graft.operators.NearDup.starComponents(nodes, edges)
+      val (stored, _) = graft.operators.NearDup.starComponents(
+        nodes, edges, checkpointDir = Some(s"$dir/stars"))
+      assert(stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // pagerank: the knn edge set through the parquet handoff
+      val rkLocal = graft.operators.Ann.embGraphRank(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rkStored = graft.operators.Ann.embGraphRank(spark, sf,
+          checkpointDir = Some(s"$dir/rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rkStored === rkLocal)
+      // the handoff artifacts really are on storage (restart seam)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/rank/knn_edges")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/stars/round_0")))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("PPJoin+ filters are exact: jaccard/containment == brute force on random corpora, salted included") {
     import spark.implicits._
     // synthetic corpora with real overlap structure: a few templates,
