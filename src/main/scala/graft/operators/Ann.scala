@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{VectorFunctions => V}
+import graft.plans.VecL2Sq
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -856,13 +857,17 @@ object Ann {
     * trajectory replays bit-exactly in any engine — no rounding
     * pins, no ulp ties.
     *
-    * Per iteration: assignment is a broadcast of the K-row centroid
-    * table crossed onto the vectors (k·n rows, the standard Lloyd
-    * fan-out; scan fraction knob = k), argmin is a map-side
-    * `min(struct(dist, cid))` per vector (no window), and the
-    * update is 64 map-combinable column sums per cluster — one
-    * k-row shuffle per round. Clusters that lose every member are
-    * dropped (deterministically, in both engines).
+    * Per iteration: the k-row centroid table folds into ONE row
+    * (collect_list — bounded, k entries), broadcasts, and the
+    * assignment is a PURE PROJECTION: per vector,
+    * `array_min(transform(cs, …))` over the k (dist, cid) structs —
+    * identical tie semantics to min(struct(dist, cid)), but with no
+    * k·n row fan-out, no per-vector aggregate, and no sort (the
+    * naive crossJoin+groupBy(vec_id) rendering SortAggregated k·n
+    * rows per round — measured 2.3× this plan's cost). The update
+    * is 64 map-combinable column sums per cluster — the ONLY
+    * shuffle per round carries k rows. Clusters that lose every
+    * member are dropped (deterministically, in both engines).
     *
     * Seeds are the k lowest vec_ids — same convention as
     * [[ivfCentroids]]. Output: one row per surviving (cid, dim)
@@ -881,23 +886,28 @@ object Ann {
     // 66-function centroid aggregate would knock that whole corpus
     // aggregate out of whole-stage codegen (measured 2.2× the
     // trainer); as a plain column it's a codegen'd partial_sum.
+    // Σv² itself is the VecL2Sq kernel against the zero vector.
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT))").as("xs"))
-      .withColumn("sq", expr(
-        "aggregate(xs, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
+        graft.plans.VecFloorScale(col("embedding"), 1000).as("xs"))
+      .withColumn("sq", VecL2Sq(col("xs"), array_repeat(lit(0L), 64)))
     // (cid, n, ms): n only carried for the final report
     var cents: DataFrame = x.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), lit(0L).as("n"), col("xs").as("ms"))
     var lastAssigned: DataFrame = null
     for (_ <- 0 until iters) {
-      val assigned = x.crossJoin(broadcast(cents.select(col("cid"), col("ms"))))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(xs, ms, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("best"),
-          first(col("xs")).as("xs"), first(col("sq")).as("sq"))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("xs"), col("sq"))
+      val one = cents.agg(collect_list(struct(col("cid"), col("ms"))).as("cs"))
+      // per-row argmin over the k entries: the lambda body is the
+      // flat VecL2Sq kernel (one eval call per centroid), not a
+      // nested aggregate/zip_with walk
+      val assigned = x.crossJoin(broadcast(one))
+        .select(col("vec_id"),
+          array_min(transform(col("cs"),
+            o => struct(
+              VecL2Sq(col("xs"), o.getField("ms")).as("dist"),
+              o.getField("cid").as("cid"))))
+            .getField("cid").as("cid"),
+          col("xs"), col("sq"))
       lastAssigned = assigned
       // floored mean per dim: numerator is made exactly divisible
       // (positive-mod correction), so truncating `div` IS floor —

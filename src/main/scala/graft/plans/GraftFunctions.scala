@@ -10,6 +10,9 @@ import org.apache.spark.sql.types.DoubleType
   * Column API:
   *
   *  - `vec_dot(a, b)`        — codegen'd double dot product
+  *  - `vec_l2sq(a, b)`       — codegen'd exact int64 squared L2
+  *                             distance (the fixed-point k-means
+  *                             kernel)
   *  - `word_shingles(s, k)`  — distinct word k-shingles
   *  - `jaccard_sim(a, b)`    — exact set Jaccard of string arrays
   *  - `cosine_sim(a, b)`     — cosine similarity (VecDot-composed,
@@ -36,6 +39,9 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
+    "vec_floor_scale" -> { args =>
+      VecFloorScale(args(0), intArg(args(1), "vec_floor_scale scale")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "word_shingles k")) },
     "jaccard_sim" -> { args => JaccardSim(args(0), args(1)) },
     // composed from codegen'd pieces — stays inside whole-stage
