@@ -76,7 +76,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> execute(n))
+    // SPARK_GRAFT_BENCH_REPS > 1 (targeted tuning only): run each
+    // query N times and report the minimum — isolates plan cost from
+    // first-run JIT/codegen-compile noise when comparing variants.
+    // The driver contract stays reps=1 (cold, one pass).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val results = names.map { n =>
+      val ts = Seq.fill(reps)(execute(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

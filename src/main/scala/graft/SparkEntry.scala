@@ -156,6 +156,7 @@ object SparkEntry {
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
+    "docs_pack_sharded" -> ((s, d) => present(Sampling.docsPackSharded(s, d), "doc_id")),
     "docs_pipeline" -> ((s, d) => present(Pipeline.docsPipeline(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
@@ -213,6 +214,7 @@ object SparkEntry {
     "emb_dedup_groups" -> ((s, d) => present(NearDup.embDedupGroups(s, d), "vec_id")),
     "emb_semantic_groups" -> ((s, d) => present(Ann.embSemanticGroups(s, d), "vec_id")),
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
+    "q_merge_daily" -> ((s, d) => present(Relational.qMergeIntervalsDaily(s, d), "event_type", "span_id")),
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
     "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
     "docs_pii_scrub" -> ((s, d) => present(TextAnalysis.piiScrub(s, d), "doc_id")),
@@ -1323,6 +1325,25 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |      FROM d)
         |SELECT doc_id, lang, n_tok,
+        |       (cum - n_tok) // 256 AS pack_id,
+        |       (cum - n_tok) % 256 AS pack_offset,
+        |       ((cum - n_tok) // 256) <> ((cum - 1) // 256) AS spills_over
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // sharded packing replay: same md5-top-32-bit identity hash as
+    // docs_shard_plan, pack windows keyed (lang, shard)
+    "docs_pack_sharded" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) % 4 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, shard, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM h)
+        |SELECT doc_id, lang, shard, n_tok,
         |       (cum - n_tok) // 256 AS pack_id,
         |       (cum - n_tok) % 256 AS pack_offset,
         |       ((cum - n_tok) // 256) <> ((cum - 1) // 256) AS spills_over
@@ -2727,6 +2748,22 @@ object SparkEntry {
     // interval-union replay: running max-end sweep, same
     // (t0, event_id) order, new-span iff t0 > every earlier end
     "q_merge_intervals" ->
+      """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts) AS t0,
+        |                   epoch_ms(ts) + 1800000 AS t1 FROM events),
+        |f AS (SELECT event_type, event_id, t0, t1,
+        |        coalesce(t0 > max(t1) OVER (PARTITION BY event_type ORDER BY t0, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), true) AS is_new
+        |      FROM iv),
+        |s AS (SELECT event_type, t0, t1,
+        |        CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (PARTITION BY event_type ORDER BY t0, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+        |      FROM f)
+        |SELECT event_type, span_id, min(t0) AS span_start_ms, max(t1) AS span_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the two-level (per-day coalesce + span stitch) execution is
+    // result-identical to the single sweep — shared replay
+    "q_merge_daily" ->
       """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts) AS t0,
         |                   epoch_ms(ts) + 1800000 AS t1 FROM events),
         |f AS (SELECT event_type, event_id, t0, t1,

@@ -1204,6 +1204,48 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** The PER-DAY SPLIT of [[qMergeIntervals]] — its scaladoc's scale
+    * note as code, result-identical by construction. Level 1 runs
+    * the running-max coalesce inside (type, DAY) partitions (each
+    * day's intervals sort independently — bounded, parallel across
+    * days) and collapses every day to its local maximal spans
+    * (start, max-end, member count). Level 2 re-runs the SAME sweep
+    * at span granularity over one (type) partition — but on the
+    * post-coalesce span rows, orders of magnitude below the event
+    * count (a day of dense traffic is a handful of spans), stitching
+    * boundary-crossing spans across any number of days. Equality:
+    * an interval joins its local span exactly when it would join the
+    * global one (the local prefix max is a lower bound of the global
+    * that only differs when a prior span absorbs the gap — which the
+    * stitch then merges), span starts are strictly increasing so the
+    * stitched order IS the global order, and ids/boundaries/counts
+    * aggregate identically (equality spec + shared replay).
+    */
+  def qMergeIntervalsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dur = 1800000L
+    val ordLoc = Window.partitionBy("event_type", "day").orderBy(col("t0"), col("event_id"))
+    val prevMaxLoc = max("t1").over(ordLoc.rowsBetween(Window.unboundedPreceding, -1))
+    val locSpans = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), expr("unix_millis(ts)").as("t0"))
+      .withColumn("t1", col("t0") + dur)
+      .withColumn("day", expr("t0 div 86400000"))
+      .withColumn("is_new", coalesce(col("t0") > prevMaxLoc, lit(true)))
+      .withColumn("loc_span", sum(col("is_new").cast("long"))
+        .over(ordLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "day", "loc_span")
+      .agg(min("t0").as("s"), max("t1").as("e"), count(lit(1)).as("n"))
+    // level 2: the same sweep over the reduced span rows
+    val ordSpan = Window.partitionBy("event_type").orderBy(col("s"))
+    val prevMaxSpan = max("e").over(ordSpan.rowsBetween(Window.unboundedPreceding, -1))
+    locSpans
+      .withColumn("is_new", coalesce(col("s") > prevMaxSpan, lit(true)))
+      .withColumn("span_id", sum(col("is_new").cast("long"))
+        .over(ordSpan.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "span_id")
+      .agg(min("s").as("span_start_ms"), max("e").as("span_end_ms"),
+        sum("n").as("n_events"))
+  }
+
   /** Exact DISTINCT counts under GROUPING SETS — distinct users per
     * type, per day, and overall in ONE logical pass (the audience
     * marginals report). Spark expands the sets then plans the

@@ -87,6 +87,37 @@ object Sampling {
           expr(s"(cum_tok - 1) div $budget")).as("spills_over"))
   }
 
+  /** The SHARDED rendering of [[docsPack]] — its scaladoc's scale
+    * note as code: the order key splits from (lang) to (lang,
+    * shard), where shard is the deterministic identity-hash
+    * round-robin of [[docsShardPlan]], and each (lang, shard) packs
+    * independently under the same budget. A whole-corpus stratum no
+    * longer lands in one window partition — partitions are
+    * 1/`shards` of a stratum, the knob a 100 TB run turns up until
+    * each in-partition sort fits an executor. Pack ids are LOCAL to
+    * (lang, shard) — exactly how a sharded loader consumes them (one
+    * pack stream per output shard); the trade is documented, not
+    * hidden: cross-shard pack boundaries don't exist, so per-shard
+    * tail packs may run short (bounded by shards·budget tokens of
+    * slack per lang). Deterministic on any layout (pure function of
+    * doc_id), replayed in full by the oracle.
+    */
+  def docsPackSharded(spark: SparkSession, dir: String, budget: Int = 256,
+                      shards: Int = 4): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(hash32(col("doc_id")), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("pack_id"),
+        pmod(col("cum_tok") - col("n_tok"), lit(budget.toLong)).as("pack_offset"),
+        (expr(s"(cum_tok - n_tok) div $budget") =!=
+          expr(s"(cum_tok - 1) div $budget")).as("spills_over"))
+  }
+
   /** Output-shard planning — the publishing pass that splits a
     * finished corpus into S shards and PROVES the split is balanced:
     * deterministic hash round-robin (the same md5-derived identity

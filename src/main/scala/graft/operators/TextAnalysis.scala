@@ -520,12 +520,15 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
+    // spaced-symbol rendering " h e l l o ": one regex pass per word
+    // (each char -> "char space", then the leading pad) — NOT a
+    // per-character interpreted lambda (transform(sequence(...))
+    // cost ~60% of this query's wall-clock). The oracle builds the
+    // identical string via its RE2-safe char-list join.
     var words = Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(concat(lit(" "),
-        expr("array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), ' ')"),
-        lit(" ")).as("w"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
     var out: DataFrame = null
     for (rnd <- 1 to rounds) {
       val top = pairTop(words)

@@ -1093,6 +1093,15 @@ class OperatorSpec extends SparkSpec {
     assert(daily === single && single.nonEmpty)
   }
 
+  test("per-day merge-interval split equals the single-sweep spans") {
+    import graft.operators.Relational
+    val single = Relational.qMergeIntervals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val daily = Relational.qMergeIntervalsDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(daily === single && single.nonEmpty)
+  }
+
   test("time buckets form a dense step-aligned grid covering every event") {
     import graft.operators.Relational
     val got = Relational.qTimeBucket(spark, sf).collect()
