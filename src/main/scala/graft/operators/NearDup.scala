@@ -366,8 +366,10 @@ object NearDup {
     * the jaccard candidate join once per query (the one-query-one-
     * plan contract each `SparkEntry.queries` entry keeps). The exact
     * jaccard edge set and the simhash edge set are each materialized
-    * once (eager localCheckpoint — at production scale, a reliable
-    * checkpoint/parquet handoff instead) and fed to all three
+    * once (eager localCheckpoint by default; pass `checkpointDir` to
+    * hand each artifact off as parquet — restartable, executor-
+    * loss-proof, and the edge/group sets a failed audit resumes
+    * from) and fed to all three
     * consumers via their precomputed-pairs parameters, and the group
     * labeling (the min-label closure) is computed once and shared by
     * the histogram and keep/drop stages; outputs are identical to
@@ -380,14 +382,22 @@ object NearDup {
     * twice.
     */
   def dedupAuditFamily(spark: SparkSession, dir: String,
-                       threshold: Double = 0.5, maxHamming: Int = 3)
+                       threshold: Double = 0.5, maxHamming: Int = 3,
+                       checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val jac = jaccardPairs(spark, dir, threshold)
-      .select("a_id", "b_id").localCheckpoint()
-    val sim = simhashPairs(spark, dir, maxHamming)
-      .select("a_id", "b_id").localCheckpoint()
-    val groups = dedupGroups(spark, dir, threshold,
-      precomputedPairs = Some(jac)).localCheckpoint()
+    def mat(df: DataFrame, tag: String): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(d) =>
+        val path = s"$d/$tag"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
+    val jac = mat(jaccardPairs(spark, dir, threshold)
+      .select("a_id", "b_id"), "jaccard_pairs")
+    val sim = mat(simhashPairs(spark, dir, maxHamming)
+      .select("a_id", "b_id"), "simhash_pairs")
+    val groups = mat(dedupGroups(spark, dir, threshold,
+      precomputedPairs = Some(jac)), "groups")
     (docsDetectorVenn(spark, dir, threshold, maxHamming, Some(jac), Some(sim)),
       docsGroupSizesOf(groups),
       dedupKeepOf(spark, dir, groups))

@@ -693,6 +693,20 @@ object TextAnalysis {
     * cell; past that, widen to decimal128.
     */
   def docsCoocLift(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, marg, total) = coocParts(spark, dir)
+    pairs
+      .join(marg.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(marg.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
+  }
+
+  /** (window pairs ≥ 5, token marginals, 1-row total) — shared by
+    * the plain and salted lift variants.
+    */
+  private def coocParts(spark: SparkSession,
+                        dir: String): (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("i", "tok")))
     val followers = toks
@@ -705,9 +719,31 @@ object TextAnalysis {
       .filter(col("c_ab") >= 5)
     val marg = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    pairs
-      .join(marg.select(col("tok").as("a"), col("c").as("c_a")), "a")
-      .join(marg.select(col("tok").as("b"), col("c").as("c_b")), "b")
+    (pairs, marg, total)
+  }
+
+  /** The SALTED rendering of [[docsCoocLift]]'s marginal joins — its
+    * scaladoc's hot-key note as code, result-identical by
+    * construction (the [[Relational.qSaltedJoin]] pattern): every
+    * pair row draws a deterministic salt, the token-marginal table
+    * replicates across all S salts, and both joins key on (token,
+    * salt) — a Zipf-hot token's pair rows now spread over S reduce
+    * partitions instead of one. Each pair row still matches exactly
+    * one replicated marginal row per side, so the output is the
+    * plain variant's row-for-row (equality spec + shared replay).
+    */
+  def docsCoocLiftSalted(spark: SparkSession, dir: String,
+                         salts: Int = 8): DataFrame = {
+    val (pairs, marg, total) = coocParts(spark, dir)
+    val saltedPairs = pairs.withColumn("_salt",
+      pmod(xxhash64(col("a"), col("b")), lit(salts.toLong)))
+    val margX = marg.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedPairs
+      .join(margX.select(col("tok").as("a"), col("c").as("c_a"), col("_salt")),
+        Seq("a", "_salt"))
+      .join(margX.select(col("tok").as("b"), col("c").as("c_b"), col("_salt")),
+        Seq("b", "_salt"))
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))

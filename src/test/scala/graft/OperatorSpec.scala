@@ -1093,6 +1093,16 @@ class OperatorSpec extends SparkSpec {
     assert(daily === single && single.nonEmpty)
   }
 
+  test("salted collocation lift equals the plain marginal joins") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val plain = rows(TextAnalysis.docsCoocLift(spark, sf))
+    val salted = rows(TextAnalysis.docsCoocLiftSalted(spark, sf))
+    assert(salted === plain && plain.nonEmpty)
+  }
+
   test("per-day merge-interval split equals the single-sweep spans") {
     import graft.operators.Relational
     val single = Relational.qMergeIntervals(spark, sf).collect()
@@ -1714,6 +1724,25 @@ class OperatorSpec extends SparkSpec {
       NearDup.docsGroupSizes(spark, sf).collect().map(key).sorted.toSeq)
     assert(keep.collect().map(key).sorted.toSeq ===
       NearDup.dedupKeep(spark, sf).collect().map(key).sorted.toSeq)
+    // the storage-handoff variant writes its edge/group artifacts to
+    // parquet and yields the identical family outputs
+    val dir = java.nio.file.Files.createTempDirectory("graft_fam_").toString
+    try {
+      val (v2, s2, k2) = NearDup.dedupAuditFamily(spark, sf,
+        checkpointDir = Some(dir))
+      assert(v2.collect().map(key).sorted.toSeq === venn.collect().map(key).sorted.toSeq)
+      assert(s2.collect().map(key).sorted.toSeq === sizes.collect().map(key).sorted.toSeq)
+      assert(k2.collect().map(key).sorted.toSeq === keep.collect().map(key).sorted.toSeq)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/jaccard_pairs")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/groups")))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    }
   }
 
   test("merged interval spans cover events and never overlap") {
