@@ -245,6 +245,8 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Tpch.q10Returns(s, d)),
     "q13_custdist" -> ((s, d) => present(Tpch.q13CustDist(s, d), "c_count")),
     "q14_promo" -> ((s, d) => Tpch.q14Promo(s, d)),
+    "q15_top_supplier" -> ((s, d) => present(Tpch.q15TopSupplier(s, d), "s_suppkey")),
+    "q4_exists" -> ((s, d) => present(Tpch.q4Exists(s, d), "o_orderpriority")),
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_global" -> ((s, d) => present(Tpch.q22Global(s, d), "c_nat")),
@@ -2993,6 +2995,23 @@ object SparkEntry {
         |      FROM lineitem
         |      WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
         |JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |           FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |           GROUP BY 1)
+        |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,

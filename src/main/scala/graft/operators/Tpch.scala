@@ -267,4 +267,52 @@ object Tpch {
       .groupBy("supp_nat", "l_year")
       .agg(sum("amount_cents").as("margin_cents"), count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q15 shape (top supplier): the supplier(s) whose revenue
+    * over one ship-date quarter equals the maximum — the classic
+    * aggregate-then-argmax-by-scalar pattern. The per-supplier
+    * aggregate is one map-combinable pass over the date-pruned scan;
+    * the max is a 1-ROW broadcast joined back by equality (never a
+    * global sort or a window over all suppliers); the name lookup
+    * broadcasts the supplier dim. Exact cents; ties all surface,
+    * like the spec's view formulation.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .select(col("l_suppkey"), volCents.as("cents"))
+      .groupBy("l_suppkey")
+      .agg(sum("cents").as("total_cents"))
+    val mx = rev.agg(max("total_cents").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_cents") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("total_cents"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking, re-keyed to the
+    * available columns): orders of one quarter with at least one
+    * RETURNED lineitem, counted by priority. The EXISTS is a
+    * fact-fact LEFT SEMI on orderkey — the semi build side carries
+    * only the returned lineitems' keys (returnflag pushed to the
+    * scan) and dedups during the join, so the probe never fans out
+    * per matching lineitem. One orderkey shuffle, then a tiny
+    * priority groupBy.
+    */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-10-01 00:00:00"))
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
 }

@@ -27,12 +27,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto", // single-row total broadcast onto 10 decile rows
     "q_skew_profile", // single-row total broadcast onto <=64 bucket rows
     "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
+    "docs_cooc_salted", // same single-row total broadcast as the plain variant
     "text_zipf", // single-row corpus-total broadcast onto k post-limit rows
     "q22_global", // single-row (sum, count) threshold broadcast onto customer
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
     "emb_kmeans_train", // k-row centroid-table broadcast (Lloyd assignment fan-out)
     "emb_cluster_quality", // same k-row broadcast + k x k separation cross
-    "text_bpe_merges" // 1-row merge-winner broadcast onto the word frame per round
+    "text_bpe_merges", // 1-row merge-winner broadcast onto the word frame per round
+    "q15_top_supplier" // 1-row max-revenue broadcast onto the supplier aggregate
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {

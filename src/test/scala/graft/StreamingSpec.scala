@@ -462,6 +462,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest pipeline dedup runs unchanged on the RocksDB state store") {
+    // the disk-backed store is the 100 TB state answer (dedup-key
+    // state larger than executor heap spills to local RocksDB instead
+    // of OOMing the HDFS-backed in-memory map); output must be
+    // provider-invariant
+    import graft.streaming.CleanStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = CleanStream.ingestPipeline(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("rocksdb_pipe")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+        input.addData(b2.toSeq: _*); q.processAllAvailable()
+        val got = spark.table("rocksdb_pipe").collect()
+          .map(_.getAs[Long]("doc_id")).sorted.toSeq
+        val gated = graft.operators.TextAnalysis.docsGopherRules(spark, sf)
+          .collect().filter(_.getAs[Boolean]("pass"))
+          .map(_.getAs[Long]("doc_id")).toSet
+        val expect = docs.filter(d => gated(d._1))
+          .groupBy(_._2).values.map(_.map(_._1).min).toSeq.sorted
+        assert(got === expect)
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("ingest pipeline resumes from its checkpoint: recovered dedup state, exactly-once file output") {
     import graft.operators.TextAnalysis
     import graft.streaming.CleanStream

@@ -13,8 +13,10 @@ import sys
 
 
 def main():
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
+    # bench files carry a full line plus a compact tail-summary line;
+    # the per-query map lives on the first line
+    small = json.loads(open(sys.argv[1]).readline())
+    big = json.loads(open(sys.argv[2]).readline())
     qs, qb = small["queries"], big["queries"]
     rows = []
     for name in sorted(qb):
