@@ -163,6 +163,7 @@ object SparkEntry {
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.textBpePairs(s, d)),
     "text_bpe_merges" -> ((s, d) => present(TextAnalysis.textBpeMerges(s, d), "rnd")),
+    "text_bpe_apply" -> ((s, d) => present(TextAnalysis.textBpeApply(s, d), "doc_id")),
     "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
     "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
     "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
@@ -2525,6 +2526,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS rnd, l, r, l || r AS merged, n FROM t2
         |ORDER BY rnd""".stripMargin,
+    // the apply pass replays the same 2-round chain with doc identity
+    // carried, then aggregates symbol counts per doc (chars are
+    // merge-invariant — the denominator of the compression floor)
+    "text_bpe_apply" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |           i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        |s1 AS (SELECT string_split(trim(w), ' ') AS sy FROM w0),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+        |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
+        |       FROM s1 WHERE len(sy) >= 2),
+        |t1 AS (SELECT l, r FROM (SELECT l, r, count(*) AS n FROM p1 GROUP BY 1, 2
+        |                         ORDER BY n DESC, l, r LIMIT 1)),
+        |w1 AS (SELECT doc_id,
+        |         replace(replace(w0.w, ' ' || t1.l || ' ' || t1.r || ' ',
+        |                                ' ' || t1.l || t1.r || ' '),
+        |                 ' ' || t1.l || ' ' || t1.r || ' ',
+        |                 ' ' || t1.l || t1.r || ' ') AS w
+        |       FROM w0, t1),
+        |s2 AS (SELECT string_split(trim(w), ' ') AS sy FROM w1),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+        |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
+        |       FROM s2 WHERE len(sy) >= 2),
+        |t2 AS (SELECT l, r FROM (SELECT l, r, count(*) AS n FROM p2 GROUP BY 1, 2
+        |                         ORDER BY n DESC, l, r LIMIT 1)),
+        |w2 AS (SELECT doc_id,
+        |         replace(replace(w1.w, ' ' || t2.l || ' ' || t2.r || ' ',
+        |                                ' ' || t2.l || t2.r || ' '),
+        |                 ' ' || t2.l || ' ' || t2.r || ' ',
+        |                 ' ' || t2.l || t2.r || ' ') AS w
+        |       FROM w1, t2)
+        |SELECT doc_id, count(*) AS n_words,
+        |       CAST(sum(len(replace(w, ' ', ''))) AS BIGINT) AS n_chars,
+        |       CAST(sum(len(string_split(trim(w), ' '))) AS BIGINT) AS n_bpe_tokens,
+        |       CAST((10000 * sum(len(string_split(trim(w), ' '))))
+        |            // nullif(sum(len(replace(w, ' ', ''))), 0) AS BIGINT) AS compression_e4
+        |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // feature-hashing replay: same md5-top-32-bit identity hash as
     // docs_sample_stratified, mod 64; tf is an exact integer count
     "text_hashing_tf" ->

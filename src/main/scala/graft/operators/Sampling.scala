@@ -241,6 +241,7 @@ object Sampling {
     * an input partition).
     */
   def docsSampleFixed2PhaseOn(documents: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, s"docsSampleFixed2Phase needs k > 0, got $k")
     val spark = documents.sparkSession
     import spark.implicits._
     val base = documents

@@ -510,21 +510,40 @@ object TextAnalysis {
     * checkpoints the word frame every few rounds, the
     * emb_graph_rank/starComponents handoff pattern.
     */
+  /** Top adjacent symbol pair of a spaced-symbol word frame —
+    * shared by the trainer and the apply pass.
+    */
+  private def bpePairTop(words: DataFrame): DataFrame =
+    words.select(split(trim(col("w")), " ").as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(sy) - 1), i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(1)
+
+  /** The double-replace greedy re-segmentation (see
+    * [[textBpeMerges]]'s equivalence argument).
+    */
+  private val bpeReplaceExpr: String =
+    """replace(replace(w, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')),
+      |        concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))""".stripMargin
+
   def textBpeMerges(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
-    def pairTop(words: DataFrame): DataFrame =
-      words.select(split(trim(col("w")), " ").as("sy"))
-        .filter(size(col("sy")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(sy) - 1), i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+    require(rounds >= 1, s"textBpeMerges needs rounds >= 1, got $rounds")
+    def pairTop(words: DataFrame): DataFrame = bpePairTop(words)
     // spaced-symbol rendering " h e l l o ": one regex pass per word
     // (each char -> "char space", then the leading pad) — NOT a
     // per-character interpreted lambda (transform(sequence(...))
     // cost ~60% of this query's wall-clock). The oracle builds the
     // identical string via its RE2-safe char-list join.
+    // deliberately NOT checkpointed: the three consumers re-derive
+    // the spaced words from the scan (measured within 4% of a
+    // localCheckpoint locally), and at corpus scale storing a
+    // 2×-corpus word frame loses to two extra columnar re-scans —
+    // the many-round production trainer checkpoints every FEW
+    // rounds (see scaladoc), not round 0
     var words = Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
@@ -537,12 +556,41 @@ object TextAnalysis {
       out = if (out == null) row else out.union(row)
       if (rnd < rounds)
         words = words.crossJoin(broadcast(top))
-          .select(expr(
-            """replace(replace(w, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')),
-              |        concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))""".stripMargin)
-            .as("w"))
+          .select(expr(bpeReplaceExpr).as("w"))
     }
     out
+  }
+
+  /** BPE APPLY — the consumer leg of the tokenizer family
+    * ([[textBpeMerges]] trains, this tokenizes with the result):
+    * re-learn the merge sequence in the same lazy plan, apply EVERY
+    * merge to every word (doc identity carried through), and report
+    * per document the word count, character count (merge-invariant),
+    * post-merge BPE token count, and the ×10⁴ tokens-per-char
+    * compression floor — the number a tokenizer-budget decision
+    * actually reads (chars never change under merges, so the ratio
+    * isolates what the learned vocabulary buys). Same plan shape as
+    * the trainer plus one map-only per-doc aggregate.
+    */
+  def textBpeApply(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    var words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
+    for (_ <- 1 to rounds) {
+      val top = bpePairTop(words)
+      words = words.crossJoin(broadcast(top))
+        .select(col("doc_id"), expr(bpeReplaceExpr).as("w"))
+    }
+    words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("length(replace(w, ' ', ''))")).as("n_chars"),
+        sum(size(split(trim(col("w")), " "))).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        expr("(10000 * n_bpe_tokens) div nullif(n_chars, 0)").as("compression_e4"))
   }
 
   /** Feature-hashing term frequencies (the HashingTF transform): each

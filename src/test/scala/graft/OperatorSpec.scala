@@ -2366,6 +2366,23 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(got === expect)
+
+    // apply pass: per-doc BPE token counts equal a full greedy
+    // replay with the same learned merges (chars merge-invariant)
+    val perDoc = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(_.toCharArray.map(_.toString).toVector).toSeq)).toMap
+    var docWords = perDoc
+    expect.foreach { case (_, l, r, _, _) =>
+      docWords = docWords.view.mapValues(_.map(w => mergeWord(w, l, r))).toMap
+    }
+    val gotApply = TextAnalysis.textBpeApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expApply = docWords.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.map(_.map(_.length).sum).sum.toLong,
+        ws.map(_.length).sum.toLong)
+    }
+    assert(gotApply === expApply)
   }
 
   test("approx column profile matches the exact twin within the rsd bound") {

@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
     "emb_kmeans_train", // k-row centroid-table broadcast (Lloyd assignment fan-out)
     "emb_cluster_quality", // same k-row broadcast + k x k separation cross
-    "text_bpe_merges", // 1-row merge-winner broadcast onto the word frame per round
+    "text_bpe_merges", "text_bpe_apply", // 1-row merge-winner broadcast per round
     "q15_top_supplier" // 1-row max-revenue broadcast onto the supplier aggregate
   )
 
