@@ -687,21 +687,38 @@ object NearDup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingled(spark, dir)
-    val sig = minhashSignatures(docs)
-    val rowsPerBand = MINHASH_PERMS / LSH_BANDS
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until LSH_BANDS).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = minhashBandKeys(minhashSignatures(docs))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifiedJaccard(cand, docs, threshold)
+  }
+
+  /** The corpus's production (wrapping-family) minhash signatures —
+    * the (doc_id, sig) frame the LSH banding consumes, exposed as
+    * the seam the streaming candidate generator's spec feeds.
+    */
+  def minhashLshSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(shingled(spark, dir))
+
+  /** The (doc_id, band, bh) LSH bucket keys of a (doc_id, sig)
+    * frame — band b's key hashes that band's `rowsPerBand` signature
+    * components. A STATELESS projection, so it applies unchanged to
+    * a streaming frame: the batch bucket self-join and the streaming
+    * bucket state (`NearDupStream.minhashCandidates`) key on
+    * byte-identical buckets by construction.
+    */
+  def minhashBandKeys(sig: DataFrame): DataFrame = {
+    val rowsPerBand = MINHASH_PERMS / LSH_BANDS
+    sig.select(col("doc_id"),
+      explode(array((0 until LSH_BANDS).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** 64-bit SimHash per doc: 64 signed bit-sums over md5-derived

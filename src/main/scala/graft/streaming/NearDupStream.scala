@@ -45,6 +45,59 @@ object NearDupStream {
   /** Fingerprints already seen in one bucket (capped). */
   case class BucketState(members: List[(Long, Long)])
 
+  /** One banded minhash arrival (band, bucket hash, doc). */
+  case class BandedSig(band: Int, bh: Long, doc_id: Long)
+
+  /** An emitted LSH candidate (a_id < b_id). Unverified by design:
+    * like the batch path, exact-Jaccard verification needs the
+    * shingle sets and composes downstream; may repeat across bands —
+    * distinct() downstream, exactly like the batch bucket join.
+    */
+  case class LshCandidate(a_id: Long, b_id: Long)
+
+  /** Doc ids already seen in one LSH bucket (capped). */
+  case class LshBucketState(members: List[Long])
+
+  /** Streaming MinHash-LSH candidate pairs over a (doc_id, sig)
+    * stream — the minhash twin of [[simhashCandidates]], completing
+    * the on-arrival near-dup symmetry (simhash buckets / minhash
+    * bands). Banding is [[NearDup.minhashBandKeys]] — the SAME
+    * stateless projection the batch join keys on — so with an
+    * unbounded cap the emitted set (after distinct) EQUALS the batch
+    * candidate set on the same signatures, micro-batch-split-
+    * independent (whichever member of a bucket-sharing pair arrives
+    * second sees the first in state; intra-batch arrivals see
+    * earlier rows of the same group iterator). State per bucket is
+    * doc ids only (the signature itself stays upstream — the
+    * verify step needs shingles, not signatures, so carrying 128
+    * longs per member would buy nothing); `maxBucket` bounds it at
+    * scale, where a hot bucket is degenerate near-dup mass.
+    */
+  def minhashCandidates(docs: DataFrame,
+                        maxBucket: Int = 64): Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    NearDup.minhashBandKeys(docs)
+      .select(col("band"), col("bh"), col("doc_id"))
+      .as[BandedSig]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[LshBucketState, LshCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedSig], state: GroupState[LshBucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Seq.newBuilder[LshCandidate]
+          rows.foreach { r =>
+            members.foreach { id =>
+              if (id != r.doc_id)
+                out += LshCandidate(math.min(id, r.doc_id), math.max(id, r.doc_id))
+            }
+            if (members.size < maxBucket)
+              members = r.doc_id :: members
+          }
+          state.update(LshBucketState(members))
+          out.result().iterator
+      }
+  }
+
   /** Streaming candidate pairs over a (doc_id, simhash) stream. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
                         maxBucket: Int = 64): Dataset[CandidatePair] = {

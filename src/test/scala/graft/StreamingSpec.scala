@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash-LSH candidates equal the batch bucket join") {
+    import graft.operators.NearDup
+    import graft.streaming.NearDupStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = NearDup.minhashLshSignatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val (b1, b2) = sigs.splitAt(sigs.length / 2)
+    val input = MemoryStream[(Long, Seq[Long])]
+    val out = NearDupStream.minhashCandidates(input.toDF().toDF("doc_id", "sig"))
+    val q = out.writeStream.format("memory").queryName("minhash_cand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("minhash_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bands = NearDup.minhashBandKeys(NearDup.minhashLshSignatures(spark, sf))
+      val expect = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect && expect.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
