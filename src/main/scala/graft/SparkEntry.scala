@@ -66,6 +66,7 @@ object SparkEntry {
     "q_intersect" -> ((s, d) => present(Relational.qIntersect(s, d), "user_id")),
     "q_retention" -> ((s, d) => present(Relational.qRetention(s, d), "cohort_d", "day_offset")),
     "q_funnel" -> ((s, d) => present(Relational.qFunnel(s, d), "user_id")),
+    "q_funnel_steps" -> ((s, d) => present(Relational.qFunnelSteps(s, d), "user_id")),
     "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
     "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
@@ -1361,6 +1362,21 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS converted
         |FROM fc LEFT JOIN p ON fc.user_id = p.user_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // strictly-ordered 3-step funnel on the exact µs axis
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > view_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > click_us GROUP BY 1)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        |       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |                 WHEN click_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY 1""".stripMargin,
     // the salted join must equal the PLAIN join — the oracle is the
     // unsalted form; only exact-integer aggregates are compared
     "q_salted_join" ->

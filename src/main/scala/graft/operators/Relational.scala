@@ -232,6 +232,36 @@ object Relational {
       .select(col("user_id"), col("c_ms").as("first_click_ms"), col("converted"))
   }
 
+  /** MULTI-STAGE sequential funnel (view → click → purchase,
+    * strictly ordered): per user, the first view, the first click
+    * AFTER that view, and the first purchase AFTER that click, plus
+    * the stage reached — the k-step generalization of [[qFunnel]]'s
+    * anchored-existence shape. Each stage is a map-combinable min
+    * aggregate over the stage-survivor join (stage N's frame is
+    * keyed by stage N−1's survivors, so the joined side SHRINKS
+    * monotonically down the funnel); no window over a user's whole
+    * history, no per-user event list. Exact µs integers; strict
+    * ordering (same-instant events don't chain), NULL stages render
+    * as the reached-stage counter.
+    */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min("us").as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("click_us"))
+      .groupBy("user_id").agg(min("us").as("purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+  }
+
   /** INTERSECT: users seen in BOTH click and purchase events — the
     * other set-op branch (compiles to a left-semi over distincts,
     * one shuffle per side).
