@@ -199,6 +199,7 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, d) => present(
       Multimodal.phashPairs(s, d), "doc_id_a", "doc_id_b")),
     "mm_phash_groups" -> ((s, d) => present(Multimodal.phashGroups(s, d), "doc_id")),
+    "mm_phash_keep" -> ((s, d) => present(Multimodal.phashKeep(s, d), "doc_id")),
     "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
     "docs_dedup_bloom" -> ((s, d) => present(BloomDedup.dedupBloom(s, d), "doc_id")),
     "q_transitions" -> ((s, d) => present(Relational.qTransitions(s, d), "from_type", "to_type")),
@@ -2144,6 +2145,24 @@ object SparkEntry {
          |      UNION
          |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
          |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
+    // groups closure + keep-largest-payload argmax (n_chars = text
+    // payload bytes on this corpus), doc_id tiebreak
+    "mm_phash_keep" ->
+      s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmPhashPairsSql)),
+         |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
+         |       UNION SELECT doc_id_b, doc_id_a FROM pp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
+         |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src),
+         |j AS (SELECT g.doc_id, g.group_id, CAST(d.n_chars AS BIGINT) AS n_bytes
+         |      FROM g JOIN documents d ON g.doc_id = d.doc_id)
+         |SELECT doc_id, group_id, n_bytes,
+         |       first_value(doc_id) OVER (PARTITION BY group_id
+         |         ORDER BY n_bytes DESC, doc_id) AS keep_id,
+         |       doc_id = first_value(doc_id) OVER (PARTITION BY group_id
+         |         ORDER BY n_bytes DESC, doc_id) AS is_keep
+         |FROM j ORDER BY doc_id""".stripMargin,
     // exact int64 gram over the emb_quantize codes: the qv lists
     // replay the same IEEE divisions, then every upper-triangle
     // (i, j) cell sums integer products — no float merge order

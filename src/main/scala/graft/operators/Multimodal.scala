@@ -372,6 +372,27 @@ object Multimodal {
     graft.operators.NearDup.starComponents(nodes, pairs, maxRounds)._1
   }
 
+  /** The ACTIONABLE media dedup decision — [[phashGroups]] reduced
+    * to keep/drop, completing the detector→groups→keep symmetry
+    * with the text path ([[NearDup.dedupKeep]]): per perceptual
+    * group, keep the LARGEST payload (the keep-highest-resolution
+    * heuristic media dedup uses — text docs rank by quality score,
+    * media by fidelity proxy), ties to the smallest doc_id. One join
+    * (groups ⋈ sizes) + one window over group_id.
+    */
+  def phashKeep(spark: SparkSession, dir: String,
+                maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val groups = phashGroups(spark, dir, maxDist, maxRounds)
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("n_bytes").desc, col("doc_id"))
+    groups.join(sizes, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("group_id"), col("n_bytes"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_keep"))
+  }
+
   /** documents → MediaRow dataset (text bytes as stand-in payloads). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
