@@ -155,6 +155,7 @@ object SparkEntry {
     "docs_chunk" -> ((s, d) => present(TextAnalysis.docsChunk(s, d), "doc_id", "chunk_idx")),
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
+    "docs_mix_tokens" -> ((s, d) => present(Sampling.docsMixTokens(s, d), "source")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "docs_pack_sharded" -> ((s, d) => present(Sampling.docsPackSharded(s, d), "doc_id")),
@@ -2486,6 +2487,39 @@ object SparkEntry {
     // mixture plan replay: weights from the source name, W and T as
     // scalar subqueries, keep decision cross-multiplied in HUGEINT —
     // the same no-division integer arithmetic as the Spark side
+    // token-mass mixture: same HUGEINT cross-multiplied keep rule
+    // with token sums as the ratio unit
+    "docs_mix_tokens" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(substr(source, 4) AS BIGINT) + 1 AS w_num,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT source, w_num, count(*) AS n_docs, sum(n_tok) AS n_toks
+        |      FROM d GROUP BY 1, 2),
+        |w AS (SELECT sum(w_num) AS w_den FROM c),
+        |cap AS (SELECT min((n_toks * (SELECT w_den FROM w)) // w_num) AS t FROM c),
+        |plan AS (SELECT source, w_num, n_docs, n_toks,
+        |           ((SELECT t FROM cap) * w_num) // (SELECT w_den FROM w) AS planned_tokens
+        |         FROM c),
+        |h AS (SELECT d.doc_id, d.source, d.n_tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS u
+        |  FROM d),
+        |kept AS (SELECT h.source, count(*) AS n_kept_docs, sum(h.n_tok) AS kept_tokens
+        |         FROM h JOIN plan USING (source)
+        |         WHERE CAST(u AS HUGEINT) * plan.n_toks
+        |               < CAST(plan.planned_tokens AS HUGEINT) * 4294967296
+        |         GROUP BY 1)
+        |SELECT plan.source, CAST(plan.n_docs AS BIGINT) AS n_docs,
+        |       CAST(plan.n_toks AS BIGINT) AS n_toks,
+        |       CAST(plan.w_num AS BIGINT) AS w_num,
+        |       CAST(plan.planned_tokens AS BIGINT) AS planned_tokens,
+        |       CAST(coalesce(kept.n_kept_docs, 0) AS BIGINT) AS n_kept_docs,
+        |       CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM plan LEFT JOIN kept ON plan.source = kept.source
+        |ORDER BY 1""".stripMargin,
     "docs_mix_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |             CAST(substr(source, 4) AS BIGINT) + 1 AS w_num

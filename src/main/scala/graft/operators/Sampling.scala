@@ -191,6 +191,52 @@ object Sampling {
         col("planned_keep"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** TOKEN-WEIGHTED mixture plan — [[docsMixSample]] with the ratio
+    * target on TOKEN MASS instead of document count (the unit a
+    * training mixture is actually specified in: "20% code tokens",
+    * not "20% code documents" — doc-count mixing over-weights
+    * short-doc sources). Same exact arithmetic: the largest total
+    * token budget T respecting w₁:w₂:… without upsampling is
+    * min over sources of ⌊tok_s·W / w_s⌋, each source's planned
+    * token mass ⌊T·w_s/W⌋, and a doc survives iff
+    * hash32(doc_id)·tok_s < planned_s·2³² — uniform per-doc keep
+    * probability planned/tok_s, so kept token mass is unbiased for
+    * the plan (reported exactly, per source, for the audit). The
+    * keep comparison cross-multiplies in DECIMAL(38,0): tok_s can
+    * reach 10¹³ at corpus scale, where long u·tok_s overflows.
+    * Same shape as the doc-count variant: per-source aggregates,
+    * two scalar broadcasts, one broadcast plan join, one count.
+    */
+  def docsMixTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 18).cast("long") + 1L).as("w_num"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val counts = docs.groupBy("source", "w_num")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_toks"))
+    val wden = counts.agg(sum("w_num").as("w_den"))
+    val caps = counts.crossJoin(broadcast(wden))
+      .withColumn("cap", expr("(n_toks * w_den) div w_num"))
+    val t = caps.agg(min("cap").as("t"))
+    val plan = caps.crossJoin(broadcast(t))
+      .withColumn("planned_tokens", expr("(t * w_num) div w_den"))
+      .select(col("source"), col("w_num"), col("n_docs"), col("n_toks"),
+        col("planned_tokens"))
+    val kept = docs
+      .withColumn("u", hash32(col("doc_id")))
+      .join(broadcast(plan.select(col("source"), col("n_toks"), col("planned_tokens"))),
+        "source")
+      .filter(col("u").cast("decimal(38,0)") * col("n_toks") <
+        col("planned_tokens").cast("decimal(38,0)") * lit(4294967296L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept_docs"), sum("n_tok").as("kept_tokens"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_toks"), col("w_num"),
+        col("planned_tokens"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   /** EXACTLY-k-per-stratum deterministic sample (eval-set / probe-set
     * construction, where "about k" isn't acceptable): rank each
     * language's docs on (identity hash, doc_id) — a uniform, stable,
