@@ -217,6 +217,7 @@ object SparkEntry {
     "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
     "emb_lsh_balance" -> ((s, d) => present(Ann.embLshBalance(s, d), "t")),
     "emb_dedup_groups" -> ((s, d) => present(NearDup.embDedupGroups(s, d), "vec_id")),
+    "emb_init_farthest" -> ((s, d) => present(Ann.embInitFarthest(s, d), "rnk")),
     "emb_semantic_groups" -> ((s, d) => present(Ann.embSemanticGroups(s, d), "vec_id")),
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
     "q_merge_daily" -> ((s, d) => present(Relational.qMergeIntervalsDaily(s, d), "event_type", "span_id")),
@@ -810,6 +811,29 @@ object SparkEntry {
       |u2 AS (SELECT cid, s[1] AS v, s[2] AS dim
       |       FROM (SELECT cid, unnest(list_zip(xs, range(1, 65))) AS s FROM a2)),
       |g2 AS (SELECT cid, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u2 GROUP BY 1, 2)""".stripMargin
+
+  /** Exact squared-L2 between two xs lists (the kmeansCtes idiom). */
+  private def l2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a.xs[i] - $b.xs[i]) * ($a.xs[i] - $b.xs[i])))"
+
+  /** Unrolled 4-round farthest-point selection over the quantized
+    * vectors — the emb_init_farthest replay.
+    */
+  private val farthestCtes: String =
+    s"""x AS (SELECT vec_id, list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT)) AS xs
+      |           FROM embeddings),
+      |s1 AS (SELECT vec_id, xs FROM x ORDER BY vec_id LIMIT 1),
+      |d2 AS (SELECT x.vec_id, x.xs, min(${l2("x", "c")}) AS md
+      |       FROM x CROSS JOIN s1 c GROUP BY 1, 2),
+      |s2 AS (SELECT vec_id, xs, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+      |c2 AS (SELECT vec_id, xs FROM s1 UNION ALL SELECT vec_id, xs FROM s2),
+      |d3 AS (SELECT x.vec_id, x.xs, min(${l2("x", "c")}) AS md
+      |       FROM x CROSS JOIN c2 c GROUP BY 1, 2),
+      |s3 AS (SELECT vec_id, xs, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1),
+      |c3 AS (SELECT vec_id, xs FROM c2 UNION ALL SELECT vec_id, xs FROM s3),
+      |d4 AS (SELECT x.vec_id, x.xs, min(${l2("x", "c")}) AS md
+      |       FROM x CROSS JOIN c3 c GROUP BY 1, 2),
+      |s4 AS (SELECT vec_id, xs, md FROM d4 ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
 
   private val simhashCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -3161,6 +3185,15 @@ object SparkEntry {
         |SELECT cid, CAST(dim AS BIGINT) AS dim,
         |       CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS m, CAST(n AS BIGINT) AS n
         |FROM g2 ORDER BY cid, dim""".stripMargin,
+    // greedy k-center selection: 3 unrolled argmax rounds over the
+    // exact grid distances; ties break to the smallest vec_id
+    "emb_init_farthest" ->
+      s"""WITH $farthestCtes
+        |SELECT CAST(1 AS BIGINT) AS rnk, vec_id, CAST(0 AS BIGINT) AS min_dist FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(md AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(md AS BIGINT) FROM s3
+        |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, CAST(md AS BIGINT) FROM s4
+        |ORDER BY rnk""".stripMargin,
     // quality replay: the same trajectory, plus the m2 centroid
     // lists, member-to-own-centroid distance mass, and the k²
     // nearest-other-centroid separation

@@ -980,6 +980,46 @@ object Ann {
           .as("dunn_e4"))
   }
 
+  /** FARTHEST-POINT initialization (greedy k-center / the
+    * deterministic cousin of k-means++ seeding) — the INIT leg of
+    * the trainer family: start from the smallest vec_id, then k−1
+    * rounds of "add the vector maximizing its min distance to the
+    * chosen set" (ties → smallest vec_id). Spread-out seeds are
+    * what makes [[embKmeansTrain]]'s lowest-ids convention worth
+    * replacing at scale — degenerate seeds cost Lloyd iterations,
+    * and each Lloyd iteration is a corpus pass.
+    *
+    * Shape: the chosen set folds to ONE collected row per round
+    * (bounded, ≤ k entries) and broadcasts; per-row min-distance is
+    * the flat [[graft.plans.VecL2Sq]] kernel inside an array_min;
+    * the round's winner is a 1-row TakeOrdered — the whole k-round
+    * selection is ONE lazy plan with no driver collect (the
+    * text_bpe_merges chaining pattern). Exact int64 grid distances
+    * replay bit-for-bit. Round r's plan embeds rounds 1..r−1, so
+    * scans grow O(k²) in the lazy rendering — a production
+    * many-seed init hands the k-row chosen set off per round (the
+    * starComponents checkpointDir pattern) for O(k) passes.
+    */
+  def embInitFarthest(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"embInitFarthest needs k >= 1, got $k")
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.plans.VecFloorScale(col("embedding"), 1000).as("xs"))
+    var chosen: DataFrame = x.orderBy(col("vec_id")).limit(1)
+      .select(lit(1L).as("rnk"), col("vec_id"), lit(0L).as("min_dist"), col("xs"))
+    for (r <- 2 to k) {
+      val one = chosen.agg(collect_list(struct(col("vec_id").as("cid"), col("xs"))).as("cs"))
+      val next = x.crossJoin(broadcast(one))
+        .select(col("vec_id"), col("xs"),
+          array_min(transform(col("cs"),
+            o => VecL2Sq(col("xs"), o.getField("xs")))).as("min_dist"))
+        .orderBy(col("min_dist").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(r.toLong).as("rnk"), col("vec_id"), col("min_dist"), col("xs"))
+      chosen = chosen.union(next)
+    }
+    chosen.select("rnk", "vec_id", "min_dist")
+  }
+
   /** Integer PageRank over the kNN graph — 2 power iterations of the
     * canonical iterative equi-join + aggregate shape (the plan every
     * distributed graph-centrality job runs; connected components

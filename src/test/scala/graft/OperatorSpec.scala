@@ -2385,6 +2385,29 @@ class OperatorSpec extends SparkSpec {
     assert(gotApply === expApply)
   }
 
+  test("farthest-point init equals a driver-side greedy replay") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(e => math.floor(e.toDouble * 1000.0).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector(vecs.head._1)
+    val expect = collection.mutable.ArrayBuffer((1L, vecs.head._1, 0L))
+    for (r <- 2 to 4) {
+      val byId = vecs.toMap
+      val (id, md) = vecs.map { case (id, xs) =>
+        (id, chosen.map(c => d2(xs, byId(c))).min)
+      }.minBy { case (id, md) => (-md, id) }
+      expect += ((r.toLong, id, md))
+      chosen :+= id
+    }
+    val got = Ann.embInitFarthest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === expect.toSeq)
+  }
+
   test("approx column profile matches the exact twin within the rsd bound") {
     import graft.operators.Relational
     val exact = Relational.qColProfile(spark, sf).collect()

@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "q22_global", // single-row (sum, count) threshold broadcast onto customer
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
     "emb_kmeans_train", // k-row centroid-table broadcast (Lloyd assignment fan-out)
+    "emb_init_farthest", // <=k-row chosen-set broadcast per selection round
     "emb_cluster_quality", // same k-row broadcast + k x k separation cross
     "text_bpe_merges", "text_bpe_apply", // 1-row merge-winner broadcast per round
     "q15_top_supplier" // 1-row max-revenue broadcast onto the supplier aggregate
