@@ -149,6 +149,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => present(TextAnalysis.textBoilerplate(s, d), "doc_id")),
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_line_dedup" -> ((s, d) => present(TextAnalysis.docsLineDedup(s, d), "doc_id")),
+    "docs_line_strip" -> ((s, d) => present(TextAnalysis.docsLineStrip(s, d), "doc_id")),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "docs_line_topdup" -> ((s, d) => TextAnalysis.docsLineTopDup(s, d)),
     "docs_quality_lines" -> ((s, d) => present(TextAnalysis.docsQualityFilterLines(s, d), "doc_id")),
@@ -2395,6 +2396,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
         |       CAST((sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_frac_e4
+        |FROM l JOIN d USING (line) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C4-style strip: drop lines with corpus occurrence > 2, account
+    // for the kept lines/tokens per doc
+    "docs_line_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) + 9) // 10),
+        |        j -> array_to_string(t[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |      FROM toks),
+        |d AS (SELECT line, count(*) AS n_occ FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN n_occ <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+        |       CAST(sum(CASE WHEN n_occ <= 2 THEN len(string_split(line, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+        |       CAST((sum(CASE WHEN n_occ <= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS kept_frac_e4
         |FROM l JOIN d USING (line) GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_line_topdup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -312,6 +312,29 @@ object TextAnalysis {
         expr("(n_dup_lines * 10000) div n_lines").as("dup_frac_e4"))
   }
 
+  /** The ACTION leg of the line family (C4 §4.1 executes exactly
+    * this): drop every line occurring more than `maxOcc` times in
+    * the corpus and account for what survives — per doc, the kept
+    * line and token counts plus the ×10⁴ kept-line fraction (the
+    * boilerplate-stripping yield a cleaning run reports).
+    * [[docsLineDedup]] audits, this decides; same explode →
+    * hash-count → join-back shape, one extra conditional aggregate.
+    */
+  def docsLineStrip(spark: SparkSession, dir: String,
+                    lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    val lines = docsLines(spark, dir, lineTokens)
+      .select(col("doc_id"), col("line"), md5(col("line")).as("h"))
+    val occ = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    lines.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") <= maxOcc, 1L).otherwise(0L)).as("n_kept_lines"),
+        sum(when(col("n_occ") <= maxOcc,
+          size(split(col("line"), " ")).cast("long")).otherwise(0L)).as("n_kept_tokens"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"), col("n_kept_tokens"),
+        expr("(n_kept_lines * 10000) div n_lines").as("kept_frac_e4"))
+  }
+
   /** The corpus-side rendering of [[docsLineDedup]]: the top
     * duplicated lines themselves (occurrence count + distinct docs
     * containing them) — the report a cleaning pass reads to decide
