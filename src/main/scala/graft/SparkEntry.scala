@@ -2602,28 +2602,26 @@ object SparkEntry {
         |      FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
-    // full 2-round merge-loop replay: same spaced-symbol rendering,
-    // same (n DESC, l, r) tie-break, same double-replace
-    // re-segmentation (plain replace — consuming, non-overlapping —
-    // behaves identically in both engines)
+    // full 2-round merge-loop replay: same double-space symbol
+    // rendering, same (n DESC, l, r) tie-break, same single-pass
+    // consuming replace (= exact greedy — each separator's second
+    // space re-supplies the next occurrence's boundary)
     "text_bpe_merges" ->
       """WITH w0 AS (
         |  SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
-        |           i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS w
+        |           i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS w
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE len(w) >= 1),
-        |s1 AS (SELECT string_split(trim(w), ' ') AS sy FROM w0),
+        |s1 AS (SELECT string_split(trim(w), '  ') AS sy FROM w0),
         |p1 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
         |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
         |       FROM s1 WHERE len(sy) >= 2),
         |t1 AS (SELECT l, r, count(*) AS n FROM p1 GROUP BY 1, 2
         |       ORDER BY n DESC, l, r LIMIT 1),
-        |w1 AS (SELECT replace(replace(w0.w, ' ' || t1.l || ' ' || t1.r || ' ',
-        |                                    ' ' || t1.l || t1.r || ' '),
-        |                      ' ' || t1.l || ' ' || t1.r || ' ',
-        |                      ' ' || t1.l || t1.r || ' ') AS w
+        |w1 AS (SELECT replace(w0.w, ' ' || t1.l || '  ' || t1.r || ' ',
+        |                            ' ' || t1.l || t1.r || ' ') AS w
         |       FROM w0, t1),
-        |s2 AS (SELECT string_split(trim(w), ' ') AS sy FROM w1),
+        |s2 AS (SELECT string_split(trim(w), '  ') AS sy FROM w1),
         |p2 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
         |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
         |       FROM s2 WHERE len(sy) >= 2),
@@ -2639,37 +2637,33 @@ object SparkEntry {
     "text_bpe_apply" ->
       """WITH w0 AS (
         |  SELECT doc_id, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
-        |           i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS w
+        |           i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS w
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE len(w) >= 1),
-        |s1 AS (SELECT string_split(trim(w), ' ') AS sy FROM w0),
+        |s1 AS (SELECT string_split(trim(w), '  ') AS sy FROM w0),
         |p1 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
         |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
         |       FROM s1 WHERE len(sy) >= 2),
         |t1 AS (SELECT l, r FROM (SELECT l, r, count(*) AS n FROM p1 GROUP BY 1, 2
         |                         ORDER BY n DESC, l, r LIMIT 1)),
         |w1 AS (SELECT doc_id,
-        |         replace(replace(w0.w, ' ' || t1.l || ' ' || t1.r || ' ',
-        |                                ' ' || t1.l || t1.r || ' '),
-        |                 ' ' || t1.l || ' ' || t1.r || ' ',
-        |                 ' ' || t1.l || t1.r || ' ') AS w
+        |         replace(w0.w, ' ' || t1.l || '  ' || t1.r || ' ',
+        |                       ' ' || t1.l || t1.r || ' ') AS w
         |       FROM w0, t1),
-        |s2 AS (SELECT string_split(trim(w), ' ') AS sy FROM w1),
+        |s2 AS (SELECT string_split(trim(w), '  ') AS sy FROM w1),
         |p2 AS (SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
         |              unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
         |       FROM s2 WHERE len(sy) >= 2),
         |t2 AS (SELECT l, r FROM (SELECT l, r, count(*) AS n FROM p2 GROUP BY 1, 2
         |                         ORDER BY n DESC, l, r LIMIT 1)),
         |w2 AS (SELECT doc_id,
-        |         replace(replace(w1.w, ' ' || t2.l || ' ' || t2.r || ' ',
-        |                                ' ' || t2.l || t2.r || ' '),
-        |                 ' ' || t2.l || ' ' || t2.r || ' ',
-        |                 ' ' || t2.l || t2.r || ' ') AS w
+        |         replace(w1.w, ' ' || t2.l || '  ' || t2.r || ' ',
+        |                       ' ' || t2.l || t2.r || ' ') AS w
         |       FROM w1, t2)
         |SELECT doc_id, count(*) AS n_words,
         |       CAST(sum(len(replace(w, ' ', ''))) AS BIGINT) AS n_chars,
-        |       CAST(sum(len(string_split(trim(w), ' '))) AS BIGINT) AS n_bpe_tokens,
-        |       CAST((10000 * sum(len(string_split(trim(w), ' '))))
+        |       CAST(sum(len(string_split(trim(w), '  '))) AS BIGINT) AS n_bpe_tokens,
+        |       CAST((10000 * sum(len(string_split(trim(w), '  '))))
         |            // nullif(sum(len(replace(w, ' ', ''))), 0) AS BIGINT) AS compression_e4
         |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // feature-hashing replay: same md5-top-32-bit identity hash as

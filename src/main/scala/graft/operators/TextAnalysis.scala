@@ -510,20 +510,16 @@ object TextAnalysis {
     * round's winner is a 1-row TakeOrdered broadcast onto the word
     * frame, no per-round driver collect, no mutable state.
     *
-    * Words are carried as space-separated symbol strings padded with
-    * a leading/trailing space (symbols never contain spaces, so
-    * " l r " matches exactly whole-symbol adjacency). Re-segmentation
-    * is `replace` applied TWICE: one consuming left-to-right pass
-    * merges an occurrence run's odd positions (the trailing boundary
-    * space of a match is consumed, hiding the immediately following
-    * occurrence), and since two occurrences skipped in a row is
-    * impossible (the second's boundary would have been intact), the
-    * second pass — where every survivor sits between merged symbols —
-    * finishes the run: the pair is exactly greedy left-to-right BPE
-    * merging, and it replays engine-identically because plain
-    * `replace` has the same consuming non-overlapping semantics
-    * everywhere (no regex, no lookarounds — RE2 oracles can't do
-    * lookbehind).
+    * Words are carried as DOUBLE-space-separated symbol strings
+    * padded with a boundary space (symbols never contain spaces, so
+    * " l␣␣r " matches exactly whole-symbol adjacency), and
+    * re-segmentation is ONE plain `replace` pass that IS greedy
+    * left-to-right BPE merging — see [[bpeReplaceExpr]] for why the
+    * double separator makes a consuming scan exact (and why the
+    * single-space rendering isn't). It replays engine-identically
+    * because plain `replace` has the same consuming non-overlapping
+    * semantics everywhere (no regex, no lookarounds — RE2 oracles
+    * can't do lookbehind).
     *
     * Scale shape: each round is one map-combinable pair count + a
     * single-row TakeOrdered + a broadcast map-only rewrite — rounds
@@ -534,10 +530,11 @@ object TextAnalysis {
     * emb_graph_rank/starComponents handoff pattern.
     */
   /** Top adjacent symbol pair of a spaced-symbol word frame —
-    * shared by the trainer and the apply pass.
+    * shared by the trainer and the apply pass (symbols are joined
+    * by a DOUBLE space — see [[bpeReplaceExpr]]).
     */
   private def bpePairTop(words: DataFrame): DataFrame =
-    words.select(split(trim(col("w")), " ").as("sy"))
+    words.select(split(trim(col("w")), "  ").as("sy"))
       .filter(size(col("sy")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(sy) - 1), i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
@@ -546,12 +543,22 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("l"), col("r"))
       .limit(1)
 
-  /** The double-replace greedy re-segmentation (see
-    * [[textBpeMerges]]'s equivalence argument).
+  /** EXACT greedy left-to-right re-segmentation as ONE plain
+    * `replace` pass. Words are rendered with a DOUBLE space between
+    * symbols and a single space pad at each end; the merge pattern
+    * " l␣␣r " consumes one space on each side, so every internal
+    * separator donates its second space to the neighboring
+    * occurrence — a consuming non-overlapping scan can therefore
+    * take EVERY greedy match, including back-to-back and
+    * self-overlapping (l = r) runs. (The single-space rendering's
+    * two-pass replace is NOT greedy on such runs — e.g. six 'a's
+    * merge (a,a) only twice instead of three times; the randomized
+    * PropertySpec case pins the double-space pass against a greedy
+    * reference on exactly those inputs.) Plain `replace` behaves
+    * identically in Spark and DuckDB — no regex, no lookarounds.
     */
   private val bpeReplaceExpr: String =
-    """replace(replace(w, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')),
-      |        concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))""".stripMargin
+    "replace(w, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
 
   def textBpeMerges(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"textBpeMerges needs rounds >= 1, got $rounds")
@@ -570,7 +577,7 @@ object TextAnalysis {
     var words = Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("w"))
     var out: DataFrame = null
     for (rnd <- 1 to rounds) {
       val top = pairTop(words)
@@ -600,7 +607,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .select(col("doc_id"),
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("w"))
     for (_ <- 1 to rounds) {
       val top = bpePairTop(words)
       words = words.crossJoin(broadcast(top))
@@ -609,7 +616,7 @@ object TextAnalysis {
     words.groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(expr("length(replace(w, ' ', ''))")).as("n_chars"),
-        sum(size(split(trim(col("w")), " "))).as("n_bpe_tokens"))
+        sum(size(split(trim(col("w")), "  "))).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"),
         col("n_chars").cast("long").as("n_chars"),
         col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),

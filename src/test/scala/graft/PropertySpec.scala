@@ -239,6 +239,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("double-space single-pass replace IS greedy BPE merging on adversarial runs") {
+    // the textBpeMerges re-segmentation claim, attacked directly at
+    // the string level: tiny alphabets maximize back-to-back and
+    // self-overlapping (l = r) occurrence runs — exactly where a
+    // consuming scan over SINGLE-space separators goes wrong (it
+    // merged six 'a's only twice; this test found that). With a
+    // DOUBLE space between symbols each separator donates a boundary
+    // space to both neighboring occurrences, so one consuming
+    // non-overlapping pass takes every greedy match. Plain
+    // String.replace has the same literal left-to-right consuming
+    // semantics as Spark's and DuckDB's replace().
+    def greedy(word: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < word.length) {
+        if (i + 1 < word.length && word(i) == l && word(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += word(i); i += 1 }
+      }
+      b.result()
+    }
+    val alphabets = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("ab", "a", "b"))
+    for (trial <- 0 until 2000) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val word = Vector.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length)))
+      val l = alpha(rnd.nextInt(alpha.length)); val r = alpha(rnd.nextInt(alpha.length))
+      val spaced = word.mkString(" ", "  ", " ")
+      val merged = spaced.replace(s" $l  $r ", s" $l$r ")
+      val got = merged.trim.split("  ").toVector
+      val expect = greedy(word, l, r)
+      assert(got === expect,
+        s"trial $trial: word=$word merge=($l,$r) got=$got expect=$expect")
+    }
+  }
+
   test("storage-checkpoint handoff yields identical labels and graph ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
