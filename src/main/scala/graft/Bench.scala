@@ -90,7 +90,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","total_s":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // The driver archives only the LAST 2000 chars of stdout, and the
     // per-query map alone exceeds that — so the full line above loses
@@ -102,11 +102,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(compact)
     // stdout is wrapped in sbt [info] noise, so also write the bare
-    // JSON line where tooling can parse it without de-prefixing
+    // JSON where tooling can parse it without de-prefixing. The full
+    // record is the ONLY line in $SPARK_GRAFT_BENCH_OUT (a whole-file
+    // json.load works); the compact summary goes to a sibling
+    // *_summary.json so no consumer ever sees a two-document file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    val summaryOut =
+      if (out.endsWith(".json")) out.stripSuffix(".json") + "_summary.json"
+      else out + "_summary.json"
+    def writeLine(path: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] write $path: ${e.getMessage}") }
+    writeLine(out, json)
+    writeLine(summaryOut, compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

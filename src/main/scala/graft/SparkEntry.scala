@@ -150,6 +150,7 @@ object SparkEntry {
     "docs_quality_filter" -> ((s, d) => present(TextAnalysis.docsQualityFilter(s, d), "doc_id")),
     "docs_line_dedup" -> ((s, d) => present(TextAnalysis.docsLineDedup(s, d), "doc_id")),
     "docs_line_strip" -> ((s, d) => present(TextAnalysis.docsLineStrip(s, d), "doc_id")),
+    "docs_line_strip_text" -> ((s, d) => present(TextAnalysis.docsLineStripText(s, d), "doc_id")),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "docs_line_topdup" -> ((s, d) => TextAnalysis.docsLineTopDup(s, d)),
     "docs_quality_lines" -> ((s, d) => present(TextAnalysis.docsQualityFilterLines(s, d), "doc_id")),
@@ -2410,6 +2411,22 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_occ <= 2 THEN len(string_split(line, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_tokens,
         |       CAST((sum(CASE WHEN n_occ <= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS kept_frac_e4
         |FROM l JOIN d USING (line) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the MATERIALIZED strip: kept lines re-joined in line order;
+    // md5 of the reconstruction is the content witness. Parallel
+    // unnest zips the idx and line lists in DuckDB.
+    "docs_line_strip_text" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(range(0, (len(t) + 9) // 10)) AS line_idx,
+        |        unnest(list_transform(range(0, (len(t) + 9) // 10),
+        |          j -> array_to_string(t[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |      FROM toks),
+        |d AS (SELECT line, count(*) AS n_occ FROM l GROUP BY 1),
+        |k AS (SELECT doc_id, line_idx, line FROM l JOIN d USING (line) WHERE n_occ <= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+        |       CAST(length(string_agg(line, ' ' ORDER BY line_idx)) AS BIGINT) AS clean_chars,
+        |       md5(string_agg(line, ' ' ORDER BY line_idx)) AS clean_md5
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_line_topdup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) + 9) // 10),

@@ -996,16 +996,32 @@ object Ann {
     * selection is ONE lazy plan with no driver collect (the
     * text_bpe_merges chaining pattern). Exact int64 grid distances
     * replay bit-for-bit. Round r's plan embeds rounds 1..r−1, so
-    * scans grow O(k²) in the lazy rendering — a production
-    * many-seed init hands the k-row chosen set off per round (the
-    * starComponents checkpointDir pattern) for O(k) passes.
+    * scans grow O(k²) in the lazy rendering — fine at the contract's
+    * k=4; a production many-seed init passes `checkpointDir` to hand
+    * the ≤k-row chosen set off as parquet per round (round_N subdirs,
+    * the starComponents pattern): each round then reads the tiny
+    * seed table back instead of replaying every earlier round, so
+    * the whole init is O(k) corpus passes, restartable from the last
+    * completed round's artifact. Output is identical on either path
+    * (spec-pinned). NOTE: with `checkpointDir` set the per-round
+    * writes happen at CALL time (each round's winner must
+    * materialize before the next round is planned) — a materializing
+    * context, not an Explain sweep.
     */
-  def embInitFarthest(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  def embInitFarthest(spark: SparkSession, dir: String, k: Int = 4,
+                      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"embInitFarthest needs k >= 1, got $k")
+    def handoff(df: DataFrame, r: Int): DataFrame = checkpointDir match {
+      case None => df
+      case Some(d) =>
+        val path = s"$d/round_$r"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), graft.plans.VecFloorScale(col("embedding"), 1000).as("xs"))
-    var chosen: DataFrame = x.orderBy(col("vec_id")).limit(1)
-      .select(lit(1L).as("rnk"), col("vec_id"), lit(0L).as("min_dist"), col("xs"))
+    var chosen: DataFrame = handoff(x.orderBy(col("vec_id")).limit(1)
+      .select(lit(1L).as("rnk"), col("vec_id"), lit(0L).as("min_dist"), col("xs")), 1)
     for (r <- 2 to k) {
       val one = chosen.agg(collect_list(struct(col("vec_id").as("cid"), col("xs"))).as("cs"))
       val next = x.crossJoin(broadcast(one))
@@ -1015,7 +1031,7 @@ object Ann {
         .orderBy(col("min_dist").desc, col("vec_id"))
         .limit(1)
         .select(lit(r.toLong).as("rnk"), col("vec_id"), col("min_dist"), col("xs"))
-      chosen = chosen.union(next)
+      chosen = handoff(chosen.union(next), r)
     }
     chosen.select("rnk", "vec_id", "min_dist")
   }

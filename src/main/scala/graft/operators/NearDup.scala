@@ -380,6 +380,11 @@ object NearDup {
     * plans) to ~7.2 s (−37%) through the seam — the candidate join
     * runs once instead of three times, the closure once instead of
     * twice.
+    *
+    * NOTE: with `checkpointDir` set, the parquet writes happen at
+    * CALL time (the handoff is what truncates lineage), not at first
+    * action on the returned frames — calling this from an
+    * explain/audit-only context mutates storage under the dir.
     */
   def dedupAuditFamily(spark: SparkSession, dir: String,
                        threshold: Double = 0.5, maxHamming: Int = 3,
@@ -944,7 +949,10 @@ object NearDup {
     * per round so an in-flight reader never races an overwrite) and
     * the next round reads it back — restartable, executor-loss-proof,
     * and the artifact a failed run resumes from. Label output is
-    * identical on either path (spec-pinned).
+    * identical on either path (spec-pinned). NOTE: with
+    * `checkpointDir` set the per-round parquet writes happen at CALL
+    * time (each round must materialize before the next is planned) —
+    * calling from an explain-only context mutates storage.
     */
   def starComponents(nodes: DataFrame, pairs: DataFrame,
                      maxRounds: Int = 30,

@@ -1031,6 +1031,83 @@ object Relational {
     perDay.withColumn("cum_users", sum("new_users").over(w))
   }
 
+  /** Per-day mergeable HLL reach sketches — the shared substrate of
+    * the day-axis approx reach family ([[qRollingDauApprox]],
+    * [[qRunningDistinctApprox]]): ONE DataSketches HLL per day over
+    * user_id (`hll_sketch_agg` — unlike `approx_count_distinct`, the
+    * sketch VALUE is exposed, so downstream windows/explodes merge
+    * REGISTERS instead of re-touching users). The aggregate is
+    * map-side combinable: the day-groupBy shuffle carries
+    * partitions × |days| constant-size register blocks, never a
+    * (day, user) pair — which is the entire 100 TB story, because the
+    * exact family's first shuffle is the distinct over day×user and
+    * it is the only data-sized stage either query has.
+    */
+  private def dayUserSketches(spark: SparkSession, dir: String,
+                              lgK: Int): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+
+  /** The 100 TB HLL swap of [[qRollingDau]] — same output contract
+    * (day, dau, wau, stickiness ×10⁴), sketched cardinalities. The
+    * exact rendering's ×7 contribution explode multiplies the
+    * distinct (day, user) PAIR table; here the explode runs over the
+    * per-day SKETCH table (|days| rows) and the window merge is
+    * `hll_union_agg` over ≤7 register blocks per target day — the
+    * whole reach family after the first aggregate is calendar-sized,
+    * not corpus-sized. This is the first exact-distinct a 100 TB
+    * engagement pipeline actually chokes on (VERDICT r6), swapped on
+    * the [[profileApprox]] pattern: rsd-bound ScalaTest contract vs
+    * the exact twin + a no-exact-fallback plan pin (engine-specific
+    * sketches can't equality-replay in DuckDB).
+    *
+    * lgK=14 ⇒ ~1.6% rsd, 16 KiB registers per day — at 10 years of
+    * days the whole sketch table is ~60 MiB, driver-broadcastable.
+    */
+  def qRollingDauApprox(spark: SparkSession, dir: String,
+                        lgK: Int = 14): DataFrame = {
+    val daySk = dayUserSketches(spark, dir, lgK)
+      // consumed by both the DAU estimate and the WAU explode: lazy-
+      // checkpoint so the corpus scan + sketch shuffle run once
+      .localCheckpoint(eager = false)
+    val dau = daySk.select(col("day"), hll_sketch_estimate(col("sk")).as("dau"))
+    val wau = daySk
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
+      .groupBy("day").agg(hll_union_agg(col("sk")).as("usk"))
+      .select(col("day"), hll_sketch_estimate(col("usk")).as("wau"))
+    // inner join keeps the exact twin's contract: only days with
+    // activity are emitted, each with its full trailing window
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_x1e4"))
+  }
+
+  /** The 100 TB HLL swap of [[qRunningDistinct]] — cumulative
+    * distinct-user reach from a running UNION of the per-day
+    * sketches: the prefix window runs over the bounded day axis
+    * (exactly like the exact twin's prefix sum) but merges register
+    * blocks, so no per-user min pass and no user-keyed shuffle exist
+    * anywhere in the plan. new_users falls out as the difference of
+    * consecutive cumulative estimates (HLL union estimates are
+    * monotone over nested prefixes in expectation but not pointwise —
+    * clamped at 0 so a register estimation dip can't report negative
+    * arrivals; the rsd contract covers cum_users, the analyst-facing
+    * number). Axis note: this emits every ACTIVE day — a superset of
+    * the exact twin's axis, which only materializes days contributing
+    * a first-seen user (an artifact of its decomposition).
+    */
+  def qRunningDistinctApprox(spark: SparkSession, dir: String,
+                             lgK: Int = 14): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dayUserSketches(spark, dir, lgK)
+      .withColumn("cum_users", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .withColumn("new_users",
+        greatest(col("cum_users") - coalesce(lag("cum_users", 1).over(Window.orderBy("day")), lit(0L)), lit(0L)))
+      .select(col("day"), col("new_users"), col("cum_users"))
+  }
+
   /** Per-type 2σ outlier flags with EXACT integer arithmetic — the
     * anomaly gate a monitoring pipeline runs on every value column.
     * |x − μ| > 2σ is evaluated as the cross-multiplied integer test

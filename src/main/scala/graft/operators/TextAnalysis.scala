@@ -278,14 +278,23 @@ object TextAnalysis {
     * `split` swap, same downstream plan); the synthetic documents
     * table is delimiter-free, so a fixed token span stands in as the
     * line boundary and exercises identical semantics. Map-only.
+    *
+    * The zero-token case is explicitly guarded: Spark's
+    * `sequence(0, -1)` infers a DESCENDING step and would produce two
+    * phantom lines where DuckDB's `range(0, 0)` is empty — currently
+    * unreachable (split() always returns ≥1 token) but pinned to the
+    * empty array on both engines so a future tokenizer that filters
+    * empty tokens cannot diverge.
     */
   private[operators] def docsLines(spark: SparkSession, dir: String,
                                    lineTokens: Int = 10): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, (size(toks) + ${lineTokens - 1}) div $lineTokens - 1),
-           |          j -> array_join(slice(toks, j * $lineTokens + 1, $lineTokens), ' '))""".stripMargin))
+        s"""case when size(toks) = 0 then array()
+           |     else transform(sequence(0, (size(toks) + ${lineTokens - 1}) div $lineTokens - 1),
+           |                    j -> array_join(slice(toks, j * $lineTokens + 1, $lineTokens), ' '))
+           |end""".stripMargin))
         .as(Seq("line_idx", "line")))
 
   /** LINE-LEVEL duplicate audit (C4 §4.1 / Gopher repetition rules —
@@ -334,6 +343,50 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_lines"), col("n_kept_lines"), col("n_kept_tokens"),
         expr("(n_kept_lines * 10000) div n_lines").as("kept_frac_e4"))
   }
+
+  /** The MATERIALIZED strip action — [[docsLineStrip]] accounts,
+    * this EMITS the cleaned document: kept lines (corpus occurrence
+    * ≤ `maxOcc`) re-joined per doc in original line order, so the
+    * C4 composition (gate → strip → dedup → pack) can run end-to-end
+    * on actual cleaned text rather than bookkeeping. When nothing is
+    * stripped the reconstruction IS the original token sequence
+    * (lines are token spans joined by the token separator), so
+    * downstream detectors see byte-identical content for untouched
+    * docs. Output: kept-line count, cleaned char length, and the md5
+    * of the cleaned text (the oracle-checkable content witness; the
+    * text itself is the `clean_text` column on the lib seam
+    * [[docsLineStripTextFull]]).
+    *
+    * Shape: the same explode → hash-count → join-back as the audit,
+    * then ONE per-doc reconstruction aggregate. The collect_list is
+    * bounded by lines-per-doc (= the document itself — re-emitting
+    * the doc is the operator's contract, same state as any per-doc
+    * rewrite); docs with ZERO surviving lines are absent, exactly
+    * like a cleaning pass dropping an all-boilerplate page.
+    */
+  def docsLineStripTextFull(spark: SparkSession, dir: String,
+                            lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    val lines = docsLines(spark, dir, lineTokens)
+      .select(col("doc_id"), col("line_idx"), col("line"), md5(col("line")).as("h"))
+    val occ = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    lines.join(occ, "h")
+      .filter(col("n_occ") <= maxOcc)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_lines"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            x => x.getField("line")), " ").as("clean_text"))
+  }
+
+  /** The oracled projection of [[docsLineStripTextFull]] (md5 content
+    * witness instead of the raw text column).
+    */
+  def docsLineStripText(spark: SparkSession, dir: String,
+                        lineTokens: Int = 10, maxOcc: Int = 2): DataFrame =
+    docsLineStripTextFull(spark, dir, lineTokens, maxOcc)
+      .select(col("doc_id"), col("n_kept_lines"),
+        length(col("clean_text")).cast("long").as("clean_chars"),
+        md5(col("clean_text")).as("clean_md5"))
 
   /** The corpus-side rendering of [[docsLineDedup]]: the top
     * duplicated lines themselves (occurrence count + distinct docs
@@ -525,9 +578,18 @@ object TextAnalysis {
     * single-row TakeOrdered + a broadcast map-only rewrite — rounds
     * compose without shuffling words (the only shuffles are the
     * bounded pair-count aggregates). The corpus is re-derived per
-    * round (3 scans for 2 rounds); a production many-round trainer
-    * checkpoints the word frame every few rounds, the
-    * emb_graph_rank/starComponents handoff pattern.
+    * round (3 scans for 2 rounds — fine at the contract's rounds=2);
+    * a MANY-round production trainer passes `checkpointDir` to hand
+    * the re-segmented word frame off as parquet every
+    * `checkpointEvery` rounds (round_N subdirs, the
+    * emb_graph_rank/starComponents handoff pattern): each round then
+    * re-derives at most `checkpointEvery` re-segmentations from the
+    * nearest artifact instead of the whole chain from the scan, and
+    * a killed run resumes from the last completed handoff. Merge
+    * output is identical on either path (spec-pinned at rounds=6).
+    * NOTE: with `checkpointDir` set the writes happen at CALL time
+    * (each handed-off round must materialize before later rounds are
+    * planned) — a materializing context, not an Explain sweep.
     */
   /** Top adjacent symbol pair of a spaced-symbol word frame —
     * shared by the trainer and the apply pass (symbols are joined
@@ -560,8 +622,11 @@ object TextAnalysis {
   private val bpeReplaceExpr: String =
     "replace(w, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))"
 
-  def textBpeMerges(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+  def textBpeMerges(spark: SparkSession, dir: String, rounds: Int = 2,
+                    checkpointDir: Option[String] = None,
+                    checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, s"textBpeMerges needs rounds >= 1, got $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def pairTop(words: DataFrame): DataFrame = bpePairTop(words)
     // spaced-symbol rendering " h e l l o ": one regex pass per word
     // (each char -> "char space", then the leading pad) — NOT a
@@ -584,9 +649,17 @@ object TextAnalysis {
       val row = top.select(lit(rnd.toLong).as("rnd"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("n"))
       out = if (out == null) row else out.union(row)
-      if (rnd < rounds)
+      if (rnd < rounds) {
         words = words.crossJoin(broadcast(top))
           .select(expr(bpeReplaceExpr).as("w"))
+        checkpointDir match {
+          case Some(d) if rnd % checkpointEvery == 0 =>
+            val path = s"$d/round_$rnd"
+            words.write.mode("overwrite").parquet(path)
+            words = spark.read.parquet(path)
+          case _ =>
+        }
+      }
     }
     out
   }

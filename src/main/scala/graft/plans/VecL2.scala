@@ -93,10 +93,14 @@ object VecL2Sq {
   * CAST(e AS DOUBLE) * scale) AS BIGINT))` rendering as ONE eval
   * call per row instead of an interpreted lambda per ELEMENT
   * (float→double is exact, so the value is identical). Null elements
-  * stay null, exactly like the HOF's CAST-of-null. CodegenFallback
-  * is fine: the cost model here is calls-per-row, and the fallback
-  * is one virtual call wrapping a tight primitive loop (the
-  * WordShingles adjudication).
+  * stay null, exactly like the HOF's CAST-of-null. Non-finite
+  * elements and values whose floor falls outside int64 THROW, exactly
+  * like the ANSI CAST they replace would (embeddings are external
+  * input per the project ANSI-guard rule — a silent 0 for NaN would
+  * diverge from both the HOF rendering and the DuckDB oracle).
+  * CodegenFallback is fine: the cost model here is calls-per-row, and
+  * the fallback is one virtual call wrapping a tight primitive loop
+  * (the WordShingles adjudication).
   */
 case class VecFloorScale(child: Expression, scale: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -124,7 +128,15 @@ case class VecFloorScale(child: Expression, scale: Int)
     while (i < n) {
       if (!x.isNullAt(i)) {
         val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        out(i) = math.floor(v * scale).toLong
+        val f = math.floor(v * scale)
+        // ANSI-cast parity: NaN/Inf and long-overflowing values throw
+        // rather than silently yielding 0 / saturating. The upper
+        // bound is Long.MaxValue rounded UP to a double, so >= is the
+        // exact first unrepresentable floor value.
+        if (java.lang.Double.isNaN(f) || f < -9.223372036854776e18 || f >= 9.223372036854776e18)
+          throw new ArithmeticException(
+            s"vec_floor_scale: value $v * $scale is not representable as BIGINT (ANSI cast semantics)")
+        out(i) = f.toLong
       }
       i += 1
     }

@@ -71,6 +71,25 @@ object DedupStream {
     (out, w.anchorMs)
   }
 
+  /** Multi-topic MERGE ahead of dedup — the streaming rendering of
+    * the reference's `multipleTopics` / `topicsPattern` consumer
+    * (environment.conf:7-10; a Pulsar connector surfaces the merged
+    * stream directly via its `topicsPattern` option, see
+    * [[graft.sources.FeedSource]]): N per-topic streams unioned BY
+    * NAME into ONE logical stream. A streaming union is free — no
+    * shuffle, no state of its own — and the downstream stateful dedup
+    * keys on CONTENT, so cross-topic duplicates (the redundant-feed
+    * deployment the reference exists for) collapse exactly like
+    * same-topic ones; StreamingSpec pins merged-stream dedup ≡ the
+    * batch union's first-wins replay across uneven micro-batch
+    * splits. unionByName so per-topic projection order can't
+    * silently misalign columns.
+    */
+  def mergeTopics[T](topics: Seq[Dataset[T]]): Dataset[T] = {
+    require(topics.nonEmpty, "mergeTopics needs at least one topic stream")
+    topics.reduce(_.unionByName(_))
+  }
+
   /** Streaming first-seen-wins dedup on the content key with
     * watermark-bounded state (built-in operator).
     */

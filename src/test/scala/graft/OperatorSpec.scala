@@ -1736,12 +1736,7 @@ class OperatorSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/jaccard_pairs")))
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/groups")))
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(dir))
+      TestSpark.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
 
@@ -2385,6 +2380,27 @@ class OperatorSpec extends SparkSpec {
     assert(gotApply === expApply)
   }
 
+  test("many-round bpe trainer with checkpoint-every-N handoff equals the lazy chain at rounds=6") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_ckpt").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      val lazyOut = rows(TextAnalysis.textBpeMerges(spark, sf, rounds = 6))
+      val stored = rows(TextAnalysis.textBpeMerges(spark, sf, rounds = 6,
+        checkpointDir = Some(dir), checkpointEvery = 2))
+      assert(stored === lazyOut && stored.size === 6)
+      // rounds really merged something distinct each time
+      assert(stored.map(t => (t._2, t._3)).distinct.size === 6)
+      // handoff artifacts on storage at rounds 2 and 4 (never the
+      // final round — nothing is re-segmented after the last merge)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/round_2")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/round_4")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/round_6")))
+    } finally TestSpark.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("farthest-point init equals a driver-side greedy replay") {
     import graft.operators.Ann
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
@@ -2406,6 +2422,21 @@ class OperatorSpec extends SparkSpec {
     val got = Ann.embInitFarthest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got === expect.toSeq)
+  }
+
+  test("farthest-point init with per-round parquet handoff equals the lazy rendering") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_init_ckpt").toString
+    try {
+      val lazyOut = Ann.embInitFarthest(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val stored = Ann.embInitFarthest(spark, sf, checkpointDir = Some(dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(stored === lazyOut && stored.size === 4)
+      // the handoff artifacts really are on storage (restart seam)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/round_1")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/round_4")))
+    } finally TestSpark.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("approx column profile matches the exact twin within the rsd bound") {
@@ -2454,6 +2485,64 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("approx_count_distinct") && !plan.contains("count(distinct"),
       "approx rollup does not plan the sketch aggregate")
+  }
+
+  test("approx rolling DAU/WAU matches the exact twin within the sketch bound") {
+    import graft.operators.Relational
+    val exact = Relational.qRollingDau(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Relational.qRollingDauApprox(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical day axis: only days with activity, full trailing window
+    assert(approx.keySet === exact.keySet && exact.nonEmpty)
+    approx.foreach { case (day, (dau, wau)) =>
+      val (ed, ew) = exact(day)
+      // lgK=14 rsd ≈ 1.6%; 5-sigma-ish slack floored at 2 (the
+      // profileApprox adjudication)
+      assert(math.abs(dau - ed) <= math.max(2.0, ed * 0.10), s"day $day dau: $dau vs $ed")
+      assert(math.abs(wau - ew) <= math.max(2.0, ew * 0.10), s"day $day wau: $wau vs $ew")
+    }
+    // scale pin: cardinalities come from mergeable HLL sketches — no
+    // exact distinct (and so no (day, user) pair shuffle) anywhere.
+    // (hll_sketch_agg itself sits behind the lazy checkpoint's RDD
+    // scan boundary in this plan — the running-distinct spec pins it
+    // on an uncheckpointed plan.)
+    val plan = Relational.qRollingDauApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_union_agg") && plan.contains("hll_sketch_estimate"),
+      "approx rolling reach does not plan the sketch merge")
+    assert(!plan.toLowerCase.contains("count(distinct") && !plan.contains("Expand"),
+      "approx rolling reach fell back to exact distinct")
+  }
+
+  test("approx running distinct reach matches the exact twin within the sketch bound") {
+    import graft.operators.Relational
+    val exact = Relational.qRunningDistinct(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Relational.qRunningDistinctApprox(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the approx axis is every ACTIVE day (the per-day sketch table);
+    // the exact twin's decomposition only emits days contributing a
+    // first-seen user — a strict subset
+    assert(exact.keySet.subsetOf(approx.keySet) && exact.nonEmpty)
+    // cumulative estimates carry the rsd contract; new_users is their
+    // clamped difference (≥ 0 by construction)
+    exact.foreach { case (day, (_, ecum)) =>
+      val (nu, cum) = approx(day)
+      assert(math.abs(cum - ecum) <= math.max(2.0, ecum * 0.10),
+        s"day $day cum_users: $cum vs $ecum")
+      assert(nu >= 0L, s"day $day new_users negative")
+    }
+    // approx total arrivals reconcile with the final cumulative reach
+    val lastDay = approx.keySet.max
+    assert(approx.values.map(_._1).sum >= approx(lastDay)._2 - 2,
+      "summed new_users inconsistent with final reach")
+    val plan = Relational.qRunningDistinctApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_sketch_agg") && plan.contains("hll_union_agg"),
+      "approx running reach does not plan the sketch aggregates")
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      "approx running reach fell back to exact distinct")
   }
 
   test("two-phase exactly-k sample equals the single-pass rank on any partition layout") {

@@ -296,12 +296,7 @@ class PropertySpec extends SparkSpec {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/rank/knn_edges")))
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/stars/round_0")))
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(dir))
+      TestSpark.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
 

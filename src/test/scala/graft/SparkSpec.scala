@@ -18,6 +18,19 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Recursive temp-dir cleanup with the directory stream CLOSED
+    * (a bare `Files.list(p).forEach(...)` leaks one file handle per
+    * directory — round_N checkpoint trees have many).
+    */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {

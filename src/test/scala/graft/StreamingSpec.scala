@@ -87,6 +87,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-topic merge then dedup equals the batch union replay across uneven splits " +
+    "(topicsPattern analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val ttl = 60000L
+    // two "topics" carrying overlapping content — the redundant-feed
+    // deployment: ev3 repeats ev1's content cross-topic, ev5/ev6
+    // repeat within-ttl
+    val topicAEvents = Seq(ev(1, base), ev(2, base + 1000, user = 2), ev(5, base + 4000))
+    val topicBEvents = Seq(ev(3, base), ev(4, base + 2000, user = 3), ev(6, base + 3000, user = 2))
+    val inputA = MemoryStream[Ev]
+    val inputB = MemoryStream[Ev]
+    val merged = DedupStream.mergeTopics(Seq(inputA.toDS(), inputB.toDS()))
+    val out = DedupStream.dedupTtlChain(merged, ttl)
+    val q = out.writeStream.format("memory").queryName("multi_topic_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // uneven micro-batch split: 1 row, then the other 5 across topics
+      inputA.addData(topicAEvents.head); q.processAllAvailable()
+      inputA.addData(topicAEvents.tail: _*)
+      inputB.addData(topicBEvents: _*)
+      q.processAllAvailable()
+      val got = spark.table("multi_topic_out").collect().map(_.getLong(0)).toSet
+      // batch replay over the UNION — the dedup_multi_topic semantics
+      val all = topicAEvents ++ topicBEvents
+      val expectIds = all.groupBy(DedupStream.contentKeyOf)
+        .values.flatMap(g => DedupStream.chainPrimes(g, ttl, None)._1.map(_.event_id)).toSet
+      assert(got === expectIds)
+      // and against the batch operator itself (ttl covers the span,
+      // so chain dedup == global first-wins here)
+      val batchFirst = graft.operators.Dedup.firstSeen(all.toDF())
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === batchFirst)
+      assert(got === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
