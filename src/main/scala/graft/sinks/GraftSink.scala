@@ -73,6 +73,29 @@ object GraftSink {
       .outputMode("append")
       .start()
 
+  /** [[startFileSink]] with the batch writer's DATE partitioning: the
+    * streaming sink lays files under p_date=YYYY-MM-DD dirs derived
+    * from `tsCol`, so downstream readers prune to their time slice at
+    * file-listing time exactly like the batch artifact — the durable
+    * rendering of a monitoring side-channel (e.g. the dedup alert
+    * stream) whose consumers are almost always "what fired TODAY".
+    * Append mode + checkpoint keep the file-sink commit protocol's
+    * exactly-once across restarts; the partition column is derived
+    * and daily-bounded, so a long-running query adds one dir per day,
+    * never a small-files key explosion.
+    */
+  def startDatePartitionedSink(df: DataFrame, path: String,
+                               checkpoint: String,
+                               tsCol: String = "ts"): StreamingQuery =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("p_date")
+      .outputMode("append")
+      .start()
+
   /** SMALL-FILES COMPACTION — the maintenance pass every streaming
     * or highly-parallel writer eventually owes: a micro-batch sink
     * emits files per (trigger × partition), and a year of 1-minute

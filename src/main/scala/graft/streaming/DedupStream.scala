@@ -359,6 +359,29 @@ object DedupStream {
     * (with the exception) after the final progress and is the place
     * to emit last-progress counters to an external monitor.
     */
+  /** The durable ALERT side-channel — the reference reports alerts by
+    * LOGGING them (Analytics.java:50-61, log.error on high-dup /
+    * feed-down); the Spark rendering makes the side-channel a
+    * first-class, queryable artifact: finalized stat windows that
+    * fired either alert flag, flattened (window struct → start/end
+    * columns) for a columnar sink. Compose with
+    * [[graft.sinks.GraftSink.startDatePartitionedSink]] for the
+    * durable leg: date-partitioned parquet, checkpointed, exactly-
+    * once across restarts (StreamingSpec pins the kill-and-resume
+    * case — including that a post-restart duplicate burst is flagged
+    * from the RECOVERED dedup state). Alert-only filtering keeps the
+    * sink tiny: quiet windows produce no files. Windows whose ratio
+    * is undefined (zero primes ⇒ null ratio) fire neither flag and
+    * are absent, like the reference's division guard.
+    */
+  def alerts(stats: DataFrame): DataFrame =
+    stats
+      .filter(col("alert_high_dup") || col("alert_feed_down"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("primes"), col("duplicates"), col("dup_ratio"),
+        col("alert_high_dup"), col("alert_feed_down"))
+
   def windowedStats(annotated: Dataset[Annotated],
                     alertThreshold: Double = 0.97): DataFrame =
     annotated

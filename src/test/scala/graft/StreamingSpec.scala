@@ -566,6 +566,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("alert sink leg: date-partitioned parquet alerts survive a restart exactly-once, " +
+    "flagged from recovered dedup state") {
+    import graft.sinks.GraftSink
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L - (1700000000000L % 60000L) // minute-aligned
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_alerts_").toString
+    val outPath = s"$tmp/alerts"; val ckpt = s"$tmp/ckpt"
+    val input = MemoryStream[Ev]
+    def freshQuery() = GraftSink.startDatePartitionedSink(
+      DedupStream.alerts(DedupStream.windowedStats(
+        DedupStream.annotate(input.toDS(), ttlMs = 3600000L))),
+      outPath, ckpt, tsCol = "window_start")
+    val q1 = freshQuery()
+    try {
+      // minute 0: 1 prime + 2 dups (ratio 2.0 → high-dup); minute 1:
+      // lone prime (ratio 0 → feed-down); minute 20: watermark
+      // advancer (its own lone-prime window alerts feed-down later)
+      input.addData(ev(1, base), ev(2, base + 9000), ev(5, base + 18000),
+        ev(3, base + 60000, user = 9), ev(20, base + 1200000, user = 99))
+      q1.processAllAvailable()
+      q1.stop() // forced shutdown after minutes 0-1 were committed
+      // arrivals while down: minute 21 repeats minute-0 CONTENT — the
+      // restarted query can only flag these as duplicates (ratio 2.0
+      // high-dup, not 0.5 feed-down) if the anchor state survived in
+      // the checkpoint; plus a far-future advancer to flush all
+      input.addData(ev(30, base + 1260000), ev(31, base + 1269000),
+        ev(32, base + 1278000, user = 77), ev(99, base + 7200000, user = 55))
+      val q2 = freshQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(outPath)
+        .select("window_start", "primes", "duplicates", "alert_high_dup", "alert_feed_down")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getBoolean(4))).sortBy(_._1).toSeq
+      // exactly-once: the pre-kill windows appear exactly once
+      assert(got.map(_._1).distinct.size === got.size, "restart duplicated alert output")
+      assert(got === Seq(
+        (base, 1L, 2L, true, false),
+        (base + 60000, 1L, 0L, false, true),
+        (base + 1200000, 1L, 0L, false, true),
+        (base + 1260000, 1L, 2L, true, false)))
+      // the sink really is date-partitioned (downstream prunes on dir)
+      val dirs = new java.io.File(outPath).listFiles().map(_.getName).filter(_.startsWith("p_date="))
+      assert(dirs.nonEmpty, s"no p_date partition dirs under $outPath")
+    } finally {
+      ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None => spark.conf.unset(ccKey)
+      }
+      TestSpark.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("ingest pipeline resumes from its checkpoint: recovered dedup state, exactly-once file output") {
     import graft.operators.TextAnalysis
     import graft.streaming.CleanStream
