@@ -162,6 +162,7 @@ object SparkEntry {
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "docs_pack_sharded" -> ((s, d) => present(Sampling.docsPackSharded(s, d), "doc_id")),
     "docs_pipeline" -> ((s, d) => present(Pipeline.docsPipeline(s, d), "doc_id")),
+    "docs_pipeline_strip" -> ((s, d) => present(Pipeline.docsPipelineStrip(s, d), "doc_id")),
     "text_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
     // top-k is ordered by construction (TakeOrderedAndProject)
     "text_ngram_topk" -> ((s, d) => TextAnalysis.textNgramTopk(s, d)),
@@ -1328,6 +1329,37 @@ object SparkEntry {
         |       (cum - n_tok) // 256 AS pack_id,
         |       (cum - n_tok) % 256 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the C4 composition on CLEANED text: gate keepset → line strip
+    // over the gated working set (occurrence counts on that subset) →
+    // exact dedup on the reconstructed text → packing on cleaned
+    // token counts; clean_chars pins the reconstruction content
+    "docs_pipeline_strip" ->
+      s"""WITH $pipelineSvCtes,
+        |gtok AS (SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS t
+        |         FROM documents d JOIN keepset USING (doc_id)),
+        |gl AS (SELECT doc_id,
+        |         unnest(range(0, (len(t) + 9) // 10)) AS line_idx,
+        |         unnest(list_transform(range(0, (len(t) + 9) // 10),
+        |           j -> array_to_string(t[j * 10 + 1 : j * 10 + 10], ' '))) AS line
+        |       FROM gtok),
+        |gd AS (SELECT line, count(*) AS n_occ FROM gl GROUP BY 1),
+        |gk AS (SELECT doc_id, line_idx, line FROM gl JOIN gd USING (line) WHERE n_occ <= 2),
+        |clean AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS ctext
+        |          FROM gk GROUP BY 1),
+        |ck AS (SELECT c.doc_id, g.lang, md5(c.ctext) AS ch,
+        |         CAST(length(c.ctext) AS BIGINT) AS clean_chars,
+        |         CAST(len(string_split(c.ctext, ' ')) AS BIGINT) AS n_tok
+        |       FROM clean c JOIN gtok g ON c.doc_id = g.doc_id),
+        |cded AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM ck),
+        |csv AS (SELECT doc_id, lang, clean_chars, n_tok FROM cded WHERE rn = 1),
+        |cc AS (SELECT doc_id, lang, clean_chars, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM csv)
+        |SELECT doc_id, lang, clean_chars, n_tok,
+        |       (cum - n_tok) // 256 AS pack_id,
+        |       (cum - n_tok) % 256 AS pack_offset
+        |FROM cc ORDER BY doc_id""".stripMargin,
     // per-source yield through the same gate + dedup chain: exact
     // doc/token counts at each stage, x10^4 floor survival share
     "docs_yield_report" ->

@@ -45,6 +45,54 @@ object Pipeline {
         pmod(col("cum_tok") - col("n_tok"), lit(budget.toLong)).as("pack_offset"))
   }
 
+  /** The C4 composition ON ACTUAL CLEANED TEXT — [[docsPipeline]]
+    * with the line-strip ACTION inserted between gate and dedup
+    * (C4 §4.1 executes exactly this order):
+    *
+    *   quality gate → STRIP (drop corpus-duplicated lines, re-join
+    *   the survivors per doc) → exact dedup ON THE CLEANED TEXT →
+    *   sequence packing on CLEANED token counts.
+    *
+    * Stripping before dedup is what makes the stage order matter:
+    * two mirrors that differ only in their (stripped) boilerplate
+    * now hash identically and collapse, which the raw-text pipeline
+    * provably misses. Line occurrence counts are computed over the
+    * GATED working set (each stage's selectivity shrinks what the
+    * next stage shuffles — the pipeline's composition principle);
+    * docs whose every line is boilerplate vanish entirely, exactly
+    * like a cleaning run dropping an all-template page. Still ONE
+    * lazy plan: gate semi-join → line explode/count/join-back →
+    * per-doc reconstruction → dedup window on the cleaned hash →
+    * per-lang packing window. The emitted clean_chars pins the
+    * reconstruction content through the oracle replay.
+    */
+  def docsPipelineStrip(spark: SparkSession, dir: String, budget: Int = 256,
+                        lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    val keep = TextAnalysis.docsQualityFilter(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val gated = Tables.documents(spark, dir)
+      .join(keep, "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cleaned = TextAnalysis.docsLineStripTextFullOn(
+        gated.select("doc_id", "text"), lineTokens, maxOcc)
+      .join(gated.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        md5(col("clean_text")).as("content_hash"),
+        length(col("clean_text")).cast("long").as("clean_chars"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
+    val dw = Window.partitionBy("content_hash").orderBy("doc_id")
+    val survivors = cleaned
+      .withColumn("rn", row_number().over(dw))
+      .filter(col("rn") === 1)
+    val pw = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("cum_tok", sum("n_tok").over(pw))
+      .select(col("doc_id"), col("lang"), col("clean_chars"), col("n_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("pack_id"),
+        pmod(col("cum_tok") - col("n_tok"), lit(budget.toLong)).as("pack_offset"))
+  }
+
   /** Per-source YIELD report through the same gate + dedup chain —
     * the accounting artifact every pipeline run ships: docs/tokens
     * in, docs surviving the quality gate, docs/tokens surviving

@@ -210,6 +210,25 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** The HLL swap of [[qRetention]], completing the day-axis approx
+    * reach family ([[qRollingDauApprox]] / [[qRunningDistinctApprox]]):
+    * the cohort assignment (per-user first-seen min — the shuffle that
+    * DEFINES cohorts, irreducible in any rendering) stays exact; the
+    * (cohort, offset) distinct-active count becomes one mergeable
+    * sketch per matrix CELL, so the second data-sized shuffle — every
+    * (cohort, offset, user) triple of the exact twin — collapses
+    * map-side to |cells| register blocks. Same contract columns.
+    */
+  def qRetentionApprox(spark: SparkSession, dir: String,
+                       lgK: Int = 14): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("n_users"))
+  }
+
   /** FUNNEL conversion: per user with at least one click, did any
     * purchase land within `windowMs` after the FIRST click? The
     * anchored-existence shape (anchor event, then any qualifying

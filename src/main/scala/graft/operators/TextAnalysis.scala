@@ -288,7 +288,14 @@ object TextAnalysis {
     */
   private[operators] def docsLines(spark: SparkSession, dir: String,
                                    lineTokens: Int = 10): DataFrame =
-    Tables.documents(spark, dir)
+    docsLinesOn(Tables.documents(spark, dir), lineTokens)
+
+  /** [[docsLines]] over any (doc_id, text) frame — the seam pipeline
+    * compositions drive with a pre-gated subset.
+    */
+  private[operators] def docsLinesOn(documents: DataFrame,
+                                     lineTokens: Int): DataFrame =
+    documents
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"""case when size(toks) = 0 then array()
@@ -365,8 +372,16 @@ object TextAnalysis {
     * like a cleaning pass dropping an all-boilerplate page.
     */
   def docsLineStripTextFull(spark: SparkSession, dir: String,
-                            lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
-    val lines = docsLines(spark, dir, lineTokens)
+                            lineTokens: Int = 10, maxOcc: Int = 2): DataFrame =
+    docsLineStripTextFullOn(Tables.documents(spark, dir), lineTokens, maxOcc)
+
+  /** [[docsLineStripTextFull]] over any (doc_id, text) frame — line
+    * occurrence counts are computed over THAT frame (a pipeline that
+    * gates first strips against its working set's line profile).
+    */
+  def docsLineStripTextFullOn(documents: DataFrame,
+                              lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    val lines = docsLinesOn(documents, lineTokens)
       .select(col("doc_id"), col("line_idx"), col("line"), md5(col("line")).as("h"))
     val occ = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
     lines.join(occ, "h")

@@ -2545,6 +2545,26 @@ class OperatorSpec extends SparkSpec {
       "approx running reach fell back to exact distinct")
   }
 
+  test("approx retention matrix matches the exact twin within the sketch bound") {
+    import graft.operators.Relational
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString, r.getInt(1))
+    val exact = Relational.qRetention(spark, sf).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    val approx = Relational.qRetentionApprox(spark, sf).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    // cohorts are exact (same first-seen min pass) → identical cells
+    assert(approx.keySet === exact.keySet && exact.nonEmpty)
+    approx.foreach { case (k, n) =>
+      val en = exact(k)
+      assert(math.abs(n - en) <= math.max(2.0, en * 0.10), s"cell $k: approx $n vs exact $en")
+    }
+    val plan = Relational.qRetentionApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_sketch_agg"), "approx retention does not plan the sketch")
+    assert(!plan.toLowerCase.contains("count(distinct") && !plan.contains("Expand"),
+      "approx retention fell back to exact distinct")
+  }
+
   test("two-phase exactly-k sample equals the single-pass rank on any partition layout") {
     import graft.operators.Sampling
     val expect = Sampling.docsSampleFixed(spark, sf).collect()
