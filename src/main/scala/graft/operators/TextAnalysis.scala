@@ -73,13 +73,15 @@ object TextAnalysis {
     * Shape: one distinct (doc, bigram) projection feeds BOTH a
     * map-combinable min-owner aggregate per bigram and the join
     * probe; everything is keyed on the bigram — two key-partitioned
-    * shuffles, Zipf keys left to AQE skew splitting, no per-key
-    * state.
+    * shuffles, no per-key state. The owner side is DETACHED (lazy
+    * localCheckpoint) so AQE's skew split stays eligible on the
+    * Zipf-hot bigrams (see [[docsChunkDedup]]'s shape note).
     */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val db = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 2)).as("b"))
     val owner = db.groupBy("b").agg(min("doc_id").as("owner"))
+      .localCheckpoint(eager = false)
     db.join(owner, "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -124,7 +126,11 @@ object TextAnalysis {
     * frequency per term) + a tf⋈df join + one window. The df side is
     * NOT broadcast-hinted: vocabulary grows with the corpus (at 100 TB
     * it far exceeds any broadcast limit), so the join is declared
-    * plain and AQE still picks broadcast when df happens to be small.
+    * plain and AQE still picks broadcast when df happens to be small;
+    * when it shuffles instead, the df side is DETACHED (lazy
+    * localCheckpoint) so AQE's skew split stays eligible on Zipf-hot
+    * terms (see [[docsChunkDedup]]'s shape note — a fused df
+    * aggregate under the join silently disables the split).
     */
   def textTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -141,6 +147,7 @@ object TextAnalysis {
     // for both aggregates instead — don't executor-cache it.
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint(eager = false) // skew-split eligibility, see docsChunkDedup
     val weight = col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
@@ -256,7 +263,16 @@ object TextAnalysis {
     *
     * Shape: chunking is map-side; one map-combinable distinct-doc df
     * per chunk hash; one equi-join back on the hash (Zipf-hot hashes
-    * ARE the boilerplate — AQE skew split); one per-doc reduce.
+    * ARE the boilerplate); one per-doc reduce. The df side is
+    * DETACHED (lazy localCheckpoint) before the join: left fused
+    * under the join, the aggregate makes AQE's skew split
+    * structurally ineligible — OptimizeSkewedJoin only matches
+    * bare-shuffle join children (measured: SkewBench/BASELINE
+    * round-7) — so the hot-hash partitions would straggle
+    * unmitigated; detached, both children are fresh exchanges and
+    * the split fires. The detach costs one |distinct-hash|-table
+    * materialization + re-exchange, orders below the corpus-sized
+    * left side it protects.
     */
   def docsChunkDedup(spark: SparkSession, dir: String,
                      size: Int = 200, overlap: Int = 50): DataFrame = {
@@ -264,6 +280,7 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("chunk_text")).as("h"))
     val df = chunks.distinct()
       .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+      .localCheckpoint(eager = false)
     chunks.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
@@ -312,14 +329,18 @@ object TextAnalysis {
     * the lines this flags; whole-doc hashes miss them and pair-wise
     * near-dup is far more expensive. Shape is [[docsChunkDedup]] at
     * line granularity: explode lines → one map-combinable count per
-    * line hash → equi-join back → per-doc reduce. Zipf-hot line
-    * hashes (the boilerplate itself) are AQE skew-split in the join.
+    * line hash → equi-join back → per-doc reduce. The line-df side
+    * is DETACHED (lazy localCheckpoint) so AQE's skew split is
+    * eligible on the Zipf-hot line hashes — see [[docsChunkDedup]]'s
+    * shape note for why the fused aggregate would otherwise disable
+    * it.
     */
   def docsLineDedup(spark: SparkSession, dir: String,
                     lineTokens: Int = 10): DataFrame = {
     val lines = docsLines(spark, dir, lineTokens)
       .select(col("doc_id"), md5(col("line")).as("h"))
     val df = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(eager = false)
     lines.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -341,6 +362,7 @@ object TextAnalysis {
     val lines = docsLines(spark, dir, lineTokens)
       .select(col("doc_id"), col("line"), md5(col("line")).as("h"))
     val occ = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(eager = false) // skew-split eligibility, see docsChunkDedup
     lines.join(occ, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -384,6 +406,7 @@ object TextAnalysis {
     val lines = docsLinesOn(documents, lineTokens)
       .select(col("doc_id"), col("line_idx"), col("line"), md5(col("line")).as("h"))
     val occ = lines.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(eager = false) // skew-split eligibility, see docsChunkDedup
     lines.join(occ, "h")
       .filter(col("n_occ") <= maxOcc)
       .groupBy("doc_id")
@@ -534,6 +557,7 @@ object TextAnalysis {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
     val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint(eager = false) // skew-split eligibility, see docsChunkDedup
     terms.join(df, "term")
       .groupBy("doc_id")
       .agg(
@@ -746,12 +770,17 @@ object TextAnalysis {
     * Shape at 100 TB: one map-combinable bigram count (the LM), one
     * re-aggregate of that (already-reduced) table for prefix counts,
     * then the doc-bigram stream equi-joins the LM on its natural key
-    * and reduces per doc — the joins are key-partitioned
-    * shuffle joins whose right sides are DISTINCT-bigram-sized, and
-    * hot keys (stop-word bigrams, Zipf) are exactly what AQE skew
-    * splitting handles: no per-key state grows with corpus size.
-    * Docs under 2 tokens have no bigrams and are absent by
-    * construction.
+    * and reduces per doc — the joins are key-partitioned shuffle
+    * joins whose right sides are DISTINCT-bigram-sized. Both LM
+    * tables are DETACHED (lazy localCheckpoint) before the joins:
+    * the hot keys (stop-word bigrams, Zipf) sit on the corpus-sized
+    * LEFT side, and AQE's skew split only fires when the join's
+    * children are bare shuffle stages — fused LM aggregates would
+    * silently disable it ([[docsChunkDedup]]'s shape note; measured
+    * in SkewBench/BASELINE round-7). The detach also materializes
+    * cBg ONCE for its two consumers (the doc join and the prefix
+    * re-aggregate). Docs under 2 tokens have no bigrams and are
+    * absent by construction.
     */
   def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
@@ -761,7 +790,9 @@ object TextAnalysis {
         expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
     val cPre = cBg.groupBy("w1").agg(sum("c2").as("c1"))
+      .localCheckpoint(eager = false)
     bg.join(cBg, Seq("w1", "w2"))
       .join(cPre, Seq("w1"))
       .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("term"))
@@ -883,7 +914,13 @@ object TextAnalysis {
         Seq("doc_id", "j"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
+    // marg is consumed twice (both directional joins) and sits under
+    // Zipf-hot join keys: the detach materializes it once AND keeps
+    // AQE's skew split eligible (see docsChunkDedup's shape note) —
+    // which is exactly the regime where the salted variant's ×S
+    // replication stops paying (SkewBench: eligible AQE beat salting)
     val marg = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val total = toks.agg(count(lit(1)).as("n_total"))
     (pairs, marg, total)
   }
