@@ -171,6 +171,7 @@ object SparkEntry {
     "text_bpe_apply" -> ((s, d) => present(TextAnalysis.textBpeApply(s, d), "doc_id")),
     "text_hashing_tf" -> ((s, d) => present(TextAnalysis.textHashingTf(s, d), "doc_id", "bucket")),
     "text_bigram_lm" -> ((s, d) => present(TextAnalysis.textBigramLm(s, d), "doc_id")),
+    "text_lm_gate" -> ((s, d) => present(TextAnalysis.textLmGate(s, d), "doc_id")),
     "docs_lang_confusion" -> ((s, d) => present(TextAnalysis.docsLangConfusion(s, d), "lang", "lang_pred")),
     "text_ngram_novelty" -> ((s, d) => present(TextAnalysis.textNgramNovelty(s, d), "doc_id")),
     "docs_chunk_dedup" -> ((s, d) => present(TextAnalysis.docsChunkDedup(s, d), "doc_id")),
@@ -2740,6 +2741,31 @@ object SparkEntry {
         |       CAST(sum((c2t.c2 * 1000000) // c1t.c1) // count(*) AS BIGINT) AS lm_score_x1e6
         |FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail gate: the same LM replay, then exact
+    // discrete terciles from the bounded integer-score histogram
+    // (3*cum >= k*total — percentile_disc semantics, all-integer)
+    "text_lm_gate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+        |       FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |       WHERE len(t) >= 2),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1),
+        |lm AS (SELECT bg.doc_id,
+        |              CAST(sum((c2t.c2 * 1000000) // c1t.c1) // count(*) AS BIGINT) AS s
+        |       FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+        |       GROUP BY 1),
+        |h AS (SELECT s, count(*) AS n FROM lm GROUP BY 1),
+        |c AS (SELECT s, sum(n) OVER (ORDER BY s) AS cum,
+        |             (SELECT sum(n) FROM h) AS total FROM h),
+        |cuts AS (SELECT min(CASE WHEN cum * 3 >= total THEN s END) AS c_tail,
+        |                min(CASE WHEN cum * 3 >= 2 * total THEN s END) AS c_mid
+        |         FROM c)
+        |SELECT doc_id, s AS lm_score_x1e6,
+        |       CASE WHEN s <= c_tail THEN 'tail'
+        |            WHEN s <= c_mid THEN 'middle'
+        |            ELSE 'head' END AS bucket
+        |FROM lm, cuts ORDER BY doc_id""".stripMargin,
     // Zipf head: top-k token counts with rank + cumulative share;
     // shares divide exact integers (one IEEE op each), rounded
     "text_zipf" ->

@@ -801,6 +801,53 @@ object TextAnalysis {
         expr("sum(term) div count(1)").as("lm_score_x1e6"))
   }
 
+  /** CCNet-style LM gate (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * bucket every document head / middle / tail by the corpus
+    * distribution of its own [[textBigramLm]] fluency score — the
+    * pretraining step that keeps head+middle and drops (or
+    * down-samples) the tail. Cut points are the exact discrete
+    * terciles (SQL percentile_disc semantics: smallest score whose
+    * cumulative count reaches p·total) computed WITHOUT a
+    * buffer-all-values percentile aggregate: the score axis is
+    * integral and bounded ([0, 10⁶]), so the cuts come from a
+    * map-combinable score histogram plus a running sum over the
+    * ≤10⁶-row distinct-score axis — mergeable at 100 TB where an
+    * exact single-group percentile_disc is a single-reducer
+    * ObjectAggregate over every doc. The un-partitioned window rides
+    * that BOUNDED axis only (the [[textZipf]] /
+    * qRunningDistinct precedent), never the corpus; the histogram
+    * total and the 2-value cut row land on the classify side as
+    * broadcast 1-row cross joins. `3·cum ≥ k·total` is exact integer
+    * arithmetic, so the buckets replay bit-identically on any
+    * engine. The scorer is detached (lazy localCheckpoint) because
+    * it has two consumers (histogram chain + classify) and is the
+    * expensive leg; the ≤10⁶-row histogram is recomputed from the
+    * materialized scores per consumer, one cheap doc-level pass
+    * each. Docs with <2 tokens have no bigrams and are absent,
+    * inheriting the scorer's contract. Ties at a cut follow
+    * percentile_disc: every doc AT the cut value lands in the lower
+    * bucket.
+    */
+  def textLmGate(spark: SparkSession, dir: String): DataFrame = {
+    val lm = textBigramLm(spark, dir)
+      .select(col("doc_id"), col("lm_score_x1e6"))
+      .localCheckpoint(eager = false)
+    val hist = lm.groupBy("lm_score_x1e6").agg(count(lit(1)).as("n"))
+    val total = hist.agg(sum("n").as("total"))
+    val cuts = hist
+      .withColumn("cum", sum("n").over(Window.orderBy("lm_score_x1e6")))
+      .crossJoin(broadcast(total))
+      .agg(
+        min(when(col("cum") * 3 >= col("total"), col("lm_score_x1e6"))).as("c_tail"),
+        min(when(col("cum") * 3 >= col("total") * 2, col("lm_score_x1e6"))).as("c_mid"))
+    lm.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lm_score_x1e6"),
+        when(col("lm_score_x1e6") <= col("c_tail"), lit("tail"))
+          .when(col("lm_score_x1e6") <= col("c_mid"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Corpus Zipf profile: the top-k token frequency table with rank
     * and cumulative share — the curve a corpus-health check eyeballs
     * (a healthy natural-language crawl tracks rank·freq ≈ const;

@@ -399,4 +399,48 @@ object DedupStream {
       .withColumn("alert_high_dup", col("dup_ratio") > 1.0)
       .withColumn("alert_feed_down",
         !(col("dup_ratio") > 1.0) && col("dup_ratio") < alertThreshold)
+
+  /** Stream-STREAM event-time interval join — the cross-feed
+    * correlation the reference's multi-topic deployment implies but
+    * never computes (it only unions feeds; environment.conf:7-10):
+    * pair each primary event with every secondary event of the SAME
+    * user whose timestamp lands within ±`withinMs`. Both sides are
+    * watermarked and the join condition bounds event time in BOTH
+    * directions, so Spark's symmetric hash join can evict buffered
+    * rows once the watermark passes `ts + withinMs` — state is sized
+    * by rows-per-(watermark + within) horizon per key, never by
+    * stream history. The state store is partitioned by the join key
+    * (user_id), so a 1000-executor deployment shards it like any
+    * keyed shuffle; `joinType = "leftOuter"` additionally emits
+    * unmatched primaries (null secondary columns) AFTER their match
+    * window expires — the "page with no conversion" rendering —
+    * at the same bounded state cost. Batch inputs run the identical
+    * plan as a plain interval join (watermarks are no-ops in batch),
+    * which is exactly how the spec pins stream ≡ batch.
+    *
+    * `lag_ms` is b_ts − a_ts in exact integer milliseconds (null for
+    * the unmatched leftOuter rows, like the ANSI null-propagating
+    * subtraction it is).
+    */
+  def correlate(primary: DataFrame, secondary: DataFrame,
+                withinMs: Long = 60000L,
+                watermark: String = "10 minutes",
+                joinType: String = "inner"): DataFrame = {
+    val a = primary
+      .select(col("event_id").as("a_event_id"), col("user_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = secondary
+      .select(col("event_id").as("b_event_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user_id") &&
+          col("b_ts") >= expr(s"a_ts - INTERVAL $withinMs MILLISECOND") &&
+          col("b_ts") <= expr(s"a_ts + INTERVAL $withinMs MILLISECOND"),
+        joinType)
+      .select(col("a_event_id"), col("user_id"), col("a_ts"),
+        col("b_event_id"), col("b_ts"),
+        (unix_millis(col("b_ts")) - unix_millis(col("a_ts"))).as("lag_ms"))
+  }
 }

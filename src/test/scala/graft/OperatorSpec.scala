@@ -1417,6 +1417,26 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("lm gate buckets docs by exact discrete terciles of the corpus score") {
+    val scores = TextAnalysis.textBigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    val sorted = scores.map(_._2).sorted
+    val n = sorted.length
+    // percentile_disc(k/3): smallest value whose cumulative count
+    // reaches k/3 of n = the ceil(k*n/3)-th order statistic
+    val cTail = sorted(((n + 2) / 3) - 1)
+    val cMid = sorted(((2 * n + 2) / 3) - 1)
+    val expect = scores.map { case (id, s) =>
+      id -> (s, if (s <= cTail) "tail" else if (s <= cMid) "middle" else "head")
+    }.toMap
+    val got = TextAnalysis.textLmGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === expect)
+    // the gate actually splits at this SF: every bucket is populated
+    val byBucket = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+  }
+
   test("zipf head: ranked by frequency, cumulative share is a monotone prefix sum") {
     val got = TextAnalysis.textZipf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -125,6 +125,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval correlate equals the batch interval join across uneven splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    // primary: page-view-ish events; secondary: conversion-ish events.
+    // within=60s matches: (1,101) lag 10s; (3,103) lag 5s. Non-matches:
+    // 2↔102 same user but 170s apart; 3↔101 110s apart.
+    val prim = Seq(ev(1, base, user = 1), ev(2, base + 30000, user = 2),
+      ev(3, base + 120000, user = 1))
+    val sec = Seq(ev(101, base + 10000, user = 1), ev(102, base + 200000, user = 2),
+      ev(103, base + 125000, user = 1))
+    val inA = MemoryStream[Ev]
+    val inB = MemoryStream[Ev]
+    val out = DedupStream.correlate(inA.toDF(), inB.toDF(), withinMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("corr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // uneven splits: primary trickles in ahead of its matches
+      inA.addData(prim.head); q.processAllAvailable()
+      inB.addData(sec.take(2): _*); q.processAllAvailable()
+      inA.addData(prim.tail: _*); inB.addData(sec.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("corr_out")
+        .select("a_event_id", "b_event_id", "lag_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch replay through the SAME operator (watermarks are no-ops
+      // on batch inputs — one code path, two execution modes)
+      val expect = DedupStream.correlate(prim.toDF(), sec.toDF(), withinMs = 60000L)
+        .select("a_event_id", "b_event_id", "lag_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect)
+      assert(got === Set((1L, 101L, 10000L), (3L, 103L, 5000L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream leftOuter correlate emits unmatched primaries after the match window " +
+    "expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val inA = MemoryStream[Ev]
+    val inB = MemoryStream[Ev]
+    val out = DedupStream.correlate(inA.toDF(), inB.toDF(), withinMs = 60000L,
+      watermark = "10 seconds", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("corr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inA.addData(ev(1, base, user = 1), ev(2, base + 30000, user = 2))
+      inB.addData(ev(101, base + 10000, user = 1))
+      q.processAllAvailable()
+      // sentinels on BOTH streams advance the global watermark past
+      // ev2's match window (a_ts + within + delay); a further batch
+      // lets the state-cleanup pass emit the null-padded row
+      inA.addData(ev(98, base + 300000, user = 9))
+      inB.addData(ev(198, base + 300000, user = 8))
+      q.processAllAvailable()
+      inA.addData(ev(99, base + 310000, user = 9))
+      inB.addData(ev(199, base + 310000, user = 8))
+      q.processAllAvailable()
+      val rows = spark.table("corr_outer_out")
+        .filter(col("a_event_id") < 90)
+        .select("a_event_id", "b_event_id", "lag_ms").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      // matched primary joins normally; unmatched primary 2 emits ONCE
+      // with null secondary columns and null lag
+      assert(rows === Set((1L, Some(101L), Some(10000L)), (2L, None, None)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
