@@ -314,4 +314,51 @@ object Sampling {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
+
+  /** DSIR-style hashed n-gram importance scores (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how strongly its hashed
+    * word-bigram features lean toward a TARGET domain (here the
+    * `targetLang` slice of the corpus itself) versus the raw corpus —
+    * the selection signal DSIR resamples by. The paper's per-feature
+    * log-ratio log p_t(b)/p_r(b) is rendered as the exact integer
+    * affinity `(10⁶·(c_t(b)+1)) div (c_r(b)+1)` (add-1 smoothed;
+    * target ⊆ raw so it lives in (0, 10⁶]) and the per-doc score is
+    * the floor MEAN affinity over the doc's feature occurrences — the
+    * [[TextAnalysis.textBigramLm]] integer-mean precedent, dropping
+    * the doc-constant global normalizer a ranking doesn't need and
+    * the cross-engine float log a hash-compare can't tolerate.
+    *
+    * Shape at 100 TB: features are map-side (tokenize → bigram →
+    * [[hash32]] mod numBuckets); ONE map-combinable aggregate
+    * produces BOTH count tables (c_r unconditioned, c_t via
+    * conditional sum) keyed by the ≤numBuckets-row bucket axis. The
+    * bucket table is DETACHED (lazy localCheckpoint) and — being
+    * bounded by numBuckets regardless of corpus size, the point of
+    * hashed features in the paper — BROADCAST-hash-joins onto the
+    * corpus-sized feature stream: the join moves no corpus data at
+    * all, so Zipf-hot buckets cost nothing (no shuffle to skew), and
+    * the only shuffle in the plan is the final per-doc reduce.
+    */
+  def docsDsirWeights(spark: SparkSession, dir: String, numBuckets: Int = 4096,
+                      targetLang: String = "en"): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(
+        expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash32(col("f")), lit(numBuckets.toLong)).as("bucket"))
+    val counts = feats.groupBy("bucket")
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint(eager = false)
+    feats.join(counts, Seq("bucket"))
+      .select(col("doc_id"), col("lang"),
+        expr("(1000000 * (c_t + 1)) div (c_r + 1)").as("a"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_features"),
+        expr("sum(a) div count(1)").as("dsir_score_x1e6"))
+  }
 }

@@ -223,6 +223,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights replay the hashed-bigram target affinities and separate the target slice") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    def bucketOf(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 4096L
+    }
+    val feats = docs.flatMap { case (id, lang, t) =>
+      t.sliding(2).collect { case Seq(a, b) => (id, lang, bucketOf(s"$a $b")) } }
+    val cR = feats.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cT = feats.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expect = feats.groupBy(f => (f._1, f._2)).map { case ((id, lang), fs) =>
+      val terms = fs.map(f => 1000000L * (cT.getOrElse(f._3, 0L) + 1) / (cR(f._3) + 1))
+      (id, lang) -> (fs.length.toLong, terms.sum / fs.length)
+    }
+    val got = Sampling.docsDsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    // the selection signal separates: target-language docs score
+    // higher on average than the rest (hashed en-bigrams concentrate
+    // in buckets where c_t tracks c_r)
+    val (en, rest) = got.toSeq.partition(_._1._2 == "en")
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.length
+    assert(mean(en.map(_._2._2)) > mean(rest.map(_._2._2)))
+  }
+
   test("tile plan partitions every image exactly (areas sum, edges clip, row-major)") {
     import graft.operators.Multimodal
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf))

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "emb_init_farthest", // <=k-row chosen-set broadcast per selection round
     "emb_cluster_quality", // same k-row broadcast + k x k separation cross
     "text_bpe_merges", "text_bpe_apply", // 1-row merge-winner broadcast per round
-    "q15_top_supplier" // 1-row max-revenue broadcast onto the supplier aggregate
+    "q15_top_supplier", // 1-row max-revenue broadcast onto the supplier aggregate
+    "text_lm_gate" // 1-row histogram-total and 1-row tercile-cut broadcasts
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
