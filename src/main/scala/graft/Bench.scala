@@ -22,6 +22,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Data-movement accounting: task-level shuffle/spill/input bytes
+    // accumulated via a SparkListener, snapshotted per query — wall
+    // seconds say WHETHER a query is slow, these say WHY (a shuffle
+    // that is fine at sf0.1 but is the 100 TB bottleneck shows up as
+    // bytes here long before it shows up as seconds). Listener events
+    // are async, so each snapshot first lets the counters SETTLE
+    // (bounded poll, outside the timed region); a one-stage lag on a
+    // rare race only blurs adjacent queries' attribution, never the
+    // totals.
+    val mv = new org.apache.spark.scheduler.SparkListener {
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sp = new java.util.concurrent.atomic.AtomicLong
+      val in = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sp.addAndGet(m.diskBytesSpilled)
+          in.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+      def state: (Long, Long, Long, Long) = (sr.get, sw.get, sp.get, in.get)
+      def settled: (Long, Long, Long, Long) = {
+        var prev = (-1L, -1L, -1L, -1L)
+        var cur = state
+        var i = 0
+        while (cur != prev && i < 40) { Thread.sleep(25); prev = cur; cur = state; i += 1 }
+        cur
+      }
+    }
+    spark.sparkContext.addSparkListener(mv)
+    val movement = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
+
     // A failed query must be VISIBLE: it is reported in "failed", its
     // per-query slot reads -1 (never summed into total), and the
     // process exits nonzero — a broken query must not make the bench
@@ -35,6 +71,17 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    /** execute() + attribute the settled movement delta to `name`. */
+    def executeTracked(name: String): Double = {
+      val before = mv.settled
+      val t = execute(name)
+      val after = mv.settled
+      if (t >= 0)
+        movement(name) = (after._1 - before._1, after._2 - before._2,
+          after._3 - before._3, after._4 - before._4)
+      t
     }
 
     // untimed warmup: full scan of every table (file listing, footers,
@@ -82,7 +129,9 @@ object Bench {
     // The driver contract stays reps=1 (cold, one pass).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     val results = names.map { n =>
-      val ts = Seq.fill(reps)(execute(n))
+      // movement is attributed on the FIRST rep (cold, the driver
+      // contract); min-time still comes from all reps
+      val ts = executeTracked(n) +: Seq.fill(reps - 1)(execute(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -116,6 +165,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] write $path: ${e.getMessage}") }
     writeLine(out, json)
     writeLine(summaryOut, compact)
+    // Per-query movement record (MB, 2dp) → sibling *_movement.json —
+    // its own single-document file, same rule as the summary.
+    val movementOut =
+      if (out.endsWith(".json")) out.stripSuffix(".json") + "_movement.json"
+      else out + "_movement.json"
+    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    val mvJson = movement.map { case (k, (r, w, s, i)) =>
+      "\"" + k + "\":{\"shuffle_read_mb\":" + mb(r) + ",\"shuffle_write_mb\":" + mb(w) +
+        ",\"spilled_mb\":" + mb(s) + ",\"input_mb\":" + mb(i) + "}"
+    }.mkString("{\"unit\":\"MB\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    writeLine(movementOut, mvJson)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

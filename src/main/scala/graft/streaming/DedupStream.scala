@@ -192,6 +192,68 @@ object DedupStream {
       }
   }
 
+  /** [[dedupTtlChain]]'s chain walk as a Spark 4 `StatefulProcessor`
+    * — the arbitrary-state API that supersedes
+    * flatMapGroupsWithState: typed state HANDLES (ValueState) instead
+    * of one opaque state blob, and explicit event-time TIMERS instead
+    * of a single timeout slot. Same [[ChainWalker]] semantics, same
+    * eviction horizon (the anchor dies once `anchor + ttl` falls
+    * below the watermark and can no longer suppress anything — a
+    * stale timer from a superseded anchor is ignored by the
+    * expiry-time guard). Requires the RocksDB state-store provider,
+    * which is the 100 TB deployment's store anyway.
+    */
+  final class TtlChainProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ev, Ev] {
+    @transient private var anchor: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      anchor = getHandle.getValueState[Long]("anchor",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Ev] = {
+      val prior = if (anchor.exists()) Some(anchor.get()) else None
+      val (emitted, a) = chainPrimes(rows.toSeq, ttlMs, prior)
+      a.filter(!prior.contains(_)).foreach { p =>
+        anchor.update(p)
+        getHandle.registerTimer(p + ttlMs)
+      }
+      emitted.iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Ev] = {
+      // clear only if the CURRENT anchor is the one whose horizon
+      // expired — a newer prime re-registered its own timer
+      if (anchor.exists() && anchor.get() + ttlMs <= expired.getExpiryTimeInMs)
+        anchor.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[dedupTtlChain]] rendered on `transformWithState` (Spark 4's
+    * arbitrary-state API). Output is pinned equal to the
+    * flatMapGroupsWithState rendering by StreamingSpec — one
+    * [[ChainWalker]] drives both, so the semantics CANNOT drift; what
+    * this buys at scale is the new API's operational surface (typed
+    * state handles, per-key timers, state-v2 schema evolution) on the
+    * RocksDB store.
+    */
+  def dedupTtlChainTws(events: Dataset[Ev], ttlMs: Long,
+                       watermark: String = "10 minutes"): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(contentKeyOf)
+      .transformWithState(new TtlChainProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
   /** State for one bounded-cache slot: the occupant content key's
     * hash and its anchor prime's event-time millis.
     */

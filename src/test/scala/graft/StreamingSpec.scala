@@ -36,6 +36,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState ttl-chain dedup equals the flatMapGroupsWithState rendering " +
+    "(RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val ttl = 60000L
+    val batch1 = Seq(ev(1, base), ev(2, base + 1000), ev(10, base, user = 2))
+    val batch2 = Seq(ev(3, base + 30000), // dup of 1 (within ttl)
+      ev(4, base + 70000), // prime (anchor base, 70s > ttl)
+      ev(11, base + 5000, user = 2)) // dup of 10
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val out = DedupStream.dedupTtlChainTws(input.toDS(), ttl)
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+        val got = spark.table("tws_out").collect().map(_.getLong(0)).toSet
+        // same chain replay that pins the fMGWS rendering — ONE
+        // ChainWalker drives both operators
+        val expectIds = (batch1 ++ batch2).groupBy(DedupStream.contentKeyOf)
+          .values.flatMap(g => DedupStream.chainPrimes(g, ttl, None)._1.map(_.event_id)).toSet
+        assert(got === expectIds)
+        assert(got === Set(1L, 4L, 10L))
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming simhash candidates across micro-batches equal the batch pair join") {
     import graft.operators.NearDup
     import graft.streaming.NearDupStream
