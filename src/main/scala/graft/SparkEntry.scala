@@ -139,6 +139,7 @@ object SparkEntry {
     "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
     "emb_ivf_adc" -> ((s, d) => present(Ann.embIvfAdc(s, d), "q_id", "rnk")),
     "emb_pq_distortion" -> ((s, d) => present(Ann.embPqDistortion(s, d), "m")),
+    "emb_rq" -> ((s, d) => present(Ann.embRq(s, d), "vec_id")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -559,6 +560,52 @@ object SparkEntry {
        |                row_number() OVER (PARTITION BY sub.vec_id, sub.m
        |                                   ORDER BY $score DESC, c.cid DESC) AS rn
        |         FROM sub JOIN c1 c ON sub.m = c.m) WHERE rn = 1)""".stripMargin
+  }
+
+  /** emb_rq oracle: two deterministic-Lloyd stages replayed in full
+    * — stage 1 on the full vectors, stage 2 on the residuals — with
+    * the same 4-decimal rounded means, seed-keeping empty clusters,
+    * and score DESC / cid DESC assignment ties as Ann.embRq; the
+    * error is the same fixed-order ×10⁴ floored fold.
+    */
+  private def embRqOracleSql: String = {
+    def score(v: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $v.x[i] * $c.c[i])) - list_sum(list_transform($c.c, t -> t*t)) / 2"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS x FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < 16),
+       |a0 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM e v CROSS JOIN c0 c) WHERE rn = 1),
+       |m1 AS (SELECT a0.cid, i, round(avg(v.x[i]), 4) AS mv
+       |       FROM a0 JOIN e v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |c1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m1 GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m USING (cid)),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM e v CROSS JOIN c1 c) WHERE rn = 1),
+       |r AS (SELECT v.vec_id, a1.cid AS cid1,
+       |             list_transform(range(1, 65), i -> v.x[i] - c.c[i]) AS x
+       |      FROM e v JOIN a1 USING (vec_id) JOIN c1 c ON a1.cid = c.cid),
+       |r0 AS (SELECT vec_id AS cid, x AS c FROM r WHERE vec_id < 16),
+       |b0 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM r v CROSS JOIN r0 c) WHERE rn = 1),
+       |m2 AS (SELECT b0.cid, i, round(avg(v.x[i]), 4) AS mv
+       |       FROM b0 JOIN r v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |c2m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m2 GROUP BY cid),
+       |c2 AS (SELECT r0.cid, coalesce(c2m.c, r0.c) AS c FROM r0 LEFT JOIN c2m USING (cid)),
+       |b1 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM r v CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT r.vec_id, r.cid1, b1.cid AS cid2,
+       |       CAST(floor(list_sum(list_transform(range(1, 65),
+       |              i -> (r.x[i] - c.c[i]) * (r.x[i] - c.c[i]))) * 10000) AS BIGINT) AS err_x1e4
+       |FROM r JOIN b1 USING (vec_id) JOIN c2 c ON b1.cid = c.cid
+       |ORDER BY vec_id""".stripMargin
   }
 
   private def embPqOracleSql: String =
@@ -1729,6 +1776,7 @@ object SparkEntry {
     "docs_minhash_sig" -> minhashSigOracleSql,
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
+    "emb_rq" -> embRqOracleSql,
     "emb_pq" -> embPqOracleSql,
     "emb_adc" -> embAdcOracleSql,
     "emb_ivf_adc" -> embIvfAdcOracleSql,

@@ -544,6 +544,81 @@ object Ann {
         expr("sum(d6) div count(1)").as("mean_dist_x1e6"))
   }
 
+  /** Residual quantization (2-stage additive coding — the OTHER
+    * billion-scale compression family next to PQ: Chen et al.,
+    * "Approximate Nearest Neighbor Search by Residual Vector
+    * Quantization", 2010; the additive-codebook layout modern
+    * serving stacks build on): stage 1 quantizes the FULL vector
+    * with a K-codeword coarse codebook, stage 2 quantizes the
+    * RESIDUAL x − c₁ with a second codebook, so the code
+    * (cid1, cid2) reconstructs as c₁ + c₂ — error falls with every
+    * stage instead of with subspace count. Training is the engine's
+    * deterministic Lloyd recipe ([[annIvf]] / pqModel: first K
+    * vectors — for stage 2, their residuals — seed, one refinement
+    * with means ROUNDED to 4 decimals, empty clusters keep their
+    * seed, assignment ties take the larger cid via
+    * `max_by(cid, struct(score, cid))`).
+    *
+    * Plan shape: each assign is a crossJoin against a BROADCAST
+    * ≤K-row codebook (the annIvf adjudication) folded by a
+    * map-combinable max_by — no window over the ×K-scored rows; the
+    * residual subtraction is one zip_with over columns already on
+    * the row (no extra join — cid1 rides the stage-2 frame as a
+    * passthrough aggregate). `err_x1e4` = floor(10⁴·‖x−c₁−c₂‖²) is
+    * a fixed-order per-row fold of deterministic doubles, so it
+    * replays exactly on any engine.
+    */
+  val RQ_K = 16
+
+  def embRq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("x"))
+
+    // argmax_c ⟨v, c⟩ − ‖c‖²/2 over a broadcast codebook, keeping the
+    // vector and any passthrough columns on the aggregated row
+    def assign(vecs: DataFrame, vcol: String, cents: DataFrame,
+               extras: Seq[String]): DataFrame = {
+      val score = graft.plans.VecDot(col(vcol), col("c")) -
+        graft.plans.VecDot(col("c"), col("c")) / 2.0
+      val keep = (first(col(vcol)).as(vcol) +:
+        extras.map(c => first(col(c)).as(c))) :+
+        max_by(col("cid"), struct(col("score"), col("cid"))).as("cid")
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("score", score)
+        .groupBy("vec_id")
+        .agg(keep.head, keep.tail: _*)
+    }
+
+    // one deterministic-Lloyd round: seed → assign → rounded means →
+    // reassign; returns (codebook, assignment incl. vector + extras)
+    def train(vecs: DataFrame, vcol: String,
+              extras: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      val seeds = vecs.filter(col("vec_id") < RQ_K)
+        .select(col("vec_id").as("cid"), col(vcol).as("c"))
+      val a0 = assign(vecs, vcol, seeds, Nil)
+      val means = a0.groupBy("cid")
+        .agg(array((0 until DIM).map(i =>
+          round(avg(element_at(col(vcol), i + 1)), 4)): _*).as("mc"))
+      val cents = seeds.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mc"), col("c")).as("c"))
+      (cents, assign(vecs, vcol, cents, extras))
+    }
+
+    val (c1, a1) = train(e, "x")
+    val resid = a1.withColumnRenamed("cid", "cid1")
+      .join(broadcast(c1.withColumnRenamed("cid", "cid1")), "cid1")
+      .select(col("vec_id"), col("cid1"),
+        zip_with(col("x"), col("c"), (p, q) => p - q).as("r"))
+    val (c2, b1) = train(resid, "r", Seq("cid1"))
+    val err2 = aggregate(
+      zip_with(col("r"), col("c"), (p, q) => (p - q) * (p - q)),
+      lit(0.0), (a, v) => a + v)
+    b1.join(broadcast(c2), "cid")
+      .select(col("vec_id"), col("cid1"), col("cid").as("cid2"),
+        floor(err2 * 10000).cast("long").as("err_x1e4"))
+  }
+
   /** IVF + ADC composed search — the standard billion-scale serving
     * stack (FAISS's IVFPQ layout): the IVF coarse quantizer prunes
     * the scan to `nprobe` of `clusters` inverted lists, and within

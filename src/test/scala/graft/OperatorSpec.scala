@@ -1445,6 +1445,56 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("residual quantization replays the two-stage deterministic Lloyd end-to-end") {
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1).toSeq
+    def round4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def assign(vs: Seq[(Long, Array[Double])],
+               cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      vs.map { case (id, x) =>
+        id -> cents.maxBy { case (cid, c) => (dot(x, c) - dot(c, c) / 2, cid) }._1
+      }.toMap
+    def train(vs: Seq[(Long, Array[Double])])
+        : (Map[Long, Array[Double]], Map[Long, Long]) = {
+      val seeds = vs.filter(_._1 < Ann.RQ_K)
+      val a0 = assign(vs, seeds)
+      val byC = vs.groupBy(v => a0(v._1))
+      val cents = seeds.map { case (cid, c) =>
+        cid -> byC.get(cid).map { m =>
+          Array.tabulate(m.head._2.length)(i => round4(m.map(_._2(i)).sum / m.length))
+        }.getOrElse(c)
+      }
+      (cents.toMap, assign(vs, cents))
+    }
+    val (c1, a1) = train(e)
+    val resid = e.map { case (id, x) =>
+      val c = c1(a1(id)); id -> Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    val (c2, b1) = train(resid)
+    val expect = resid.map { case (id, r) =>
+      val c = c2(b1(id))
+      val err = r.indices.foldLeft(0.0)((s, i) => s + (r(i) - c(i)) * (r(i) - c(i)))
+      id -> (a1(id), b1(id), math.floor(err * 10000).toLong)
+    }.toMap
+    val got = Ann.embRq(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    // residual coding refines: total two-stage distortion is below the
+    // stage-1 distortion of the same vectors
+    val d1 = e.map { case (id, x) =>
+      val c = c1(a1(id))
+      x.indices.foldLeft(0.0)((s, i) => s + (x(i) - c(i)) * (x(i) - c(i)))
+    }.sum
+    val d2 = expect.values.map(_._3).sum / 10000.0
+    assert(d2 < d1)
+  }
+
   test("lm gate buckets docs by exact discrete terciles of the corpus score") {
     val scores = TextAnalysis.textBigramLm(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2))

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "emb_cluster_quality", // same k-row broadcast + k x k separation cross
     "text_bpe_merges", "text_bpe_apply", // 1-row merge-winner broadcast per round
     "q15_top_supplier", // 1-row max-revenue broadcast onto the supplier aggregate
-    "text_lm_gate" // 1-row histogram-total and 1-row tercile-cut broadcasts
+    "text_lm_gate", // 1-row histogram-total and 1-row tercile-cut broadcasts
+    "emb_rq" // <=16-row codebook broadcast per Lloyd assign (annIvf adjudication)
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
