@@ -140,6 +140,7 @@ object SparkEntry {
     "emb_ivf_adc" -> ((s, d) => present(Ann.embIvfAdc(s, d), "q_id", "rnk")),
     "emb_pq_distortion" -> ((s, d) => present(Ann.embPqDistortion(s, d), "m")),
     "emb_rq" -> ((s, d) => present(Ann.embRq(s, d), "vec_id")),
+    "emb_rq_adc" -> ((s, d) => present(Ann.embRqAdc(s, d), "q_id", "rnk")),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
@@ -568,10 +569,10 @@ object SparkEntry {
     * and score DESC / cid DESC assignment ties as Ann.embRq; the
     * error is the same fixed-order ×10⁴ floored fold.
     */
-  private def embRqOracleSql: String = {
+  private def rqCtes: String = {
     def score(v: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> $v.x[i] * $c.c[i])) - list_sum(list_transform($c.c, t -> t*t)) / 2"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS x FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS x FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < 16),
        |a0 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
@@ -600,13 +601,41 @@ object SparkEntry {
        |b1 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v", "c")} DESC, c.cid DESC) AS rn
-       |         FROM r v CROSS JOIN c2 c) WHERE rn = 1)
+       |         FROM r v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def embRqOracleSql: String =
+    s"""WITH $rqCtes
        |SELECT r.vec_id, r.cid1, b1.cid AS cid2,
        |       CAST(floor(list_sum(list_transform(range(1, 65),
        |              i -> (r.x[i] - c.c[i]) * (r.x[i] - c.c[i]))) * 10000) AS BIGINT) AS err_x1e4
        |FROM r JOIN b1 USING (vec_id) JOIN c2 c ON b1.cid = c.cid
        |ORDER BY vec_id""".stripMargin
-  }
+
+  /** emb_rq_adc oracle: the shared RQ model CTEs, the two additive
+    * lookup tables (floored ×10⁴ partial dots, exactly Ann.embRqAdc),
+    * the code join, the integer add, and the per-query top-k.
+    */
+  private def embRqAdcOracleSql: String =
+    s"""WITH $rqCtes,
+       |q AS (SELECT vec_id AS q_id, list_transform(embedding, t -> t::DOUBLE) AS qv
+       |      FROM embeddings WHERE vec_id < 5),
+       |l1 AS (SELECT q.q_id, c.cid AS cid1,
+       |         CAST(floor(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.c[i])) * 10000) AS BIGINT) AS p1
+       |       FROM q CROSS JOIN c1 c),
+       |l2 AS (SELECT q.q_id, c.cid AS cid2,
+       |         CAST(floor(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.c[i])) * 10000) AS BIGINT) AS p2
+       |       FROM q CROSS JOIN c2 c),
+       |codes AS (SELECT r.vec_id, r.cid1, b1.cid AS cid2 FROM r JOIN b1 USING (vec_id)),
+       |sc AS (SELECT l1.q_id, codes.vec_id, l1.p1 + l2.p2 AS rq_score
+       |       FROM codes JOIN l1 USING (cid1)
+       |       JOIN l2 ON l2.q_id = l1.q_id AND l2.cid2 = codes.cid2
+       |       WHERE l1.q_id <> codes.vec_id),
+       |rk AS (SELECT q_id, vec_id, rq_score,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY rq_score DESC, vec_id) AS rnk
+       |       FROM sc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, rq_score
+       |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private def embPqOracleSql: String =
     s"""WITH $pqCtes
@@ -1777,6 +1806,7 @@ object SparkEntry {
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
     "emb_rq" -> embRqOracleSql,
+    "emb_rq_adc" -> embRqAdcOracleSql,
     "emb_pq" -> embPqOracleSql,
     "emb_adc" -> embAdcOracleSql,
     "emb_ivf_adc" -> embIvfAdcOracleSql,

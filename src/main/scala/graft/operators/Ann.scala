@@ -570,7 +570,11 @@ object Ann {
     */
   val RQ_K = 16
 
-  def embRq(spark: SparkSession, dir: String): DataFrame = {
+  /** Trained RQ model: (stage-1 codebook, stage-2 codebook, per-vector
+    * frame with vec_id/cid1/residual r — join [[embRq]]'s consumers
+    * here so code assignment and search share one training).
+    */
+  private def rqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("x"))
@@ -611,12 +615,54 @@ object Ann {
       .select(col("vec_id"), col("cid1"),
         zip_with(col("x"), col("c"), (p, q) => p - q).as("r"))
     val (c2, b1) = train(resid, "r", Seq("cid1"))
+    (c1, c2, b1)
+  }
+
+  def embRq(spark: SparkSession, dir: String): DataFrame = {
+    val (_, c2, b1) = rqModel(spark, dir)
     val err2 = aggregate(
       zip_with(col("r"), col("c"), (p, q) => (p - q) * (p - q)),
       lit(0.0), (a, v) => a + v)
     b1.join(broadcast(c2), "cid")
       .select(col("vec_id"), col("cid1"), col("cid").as("cid2"),
         floor(err2 * 10000).cast("long").as("err_x1e4"))
+  }
+
+  /** RQ asymmetric search — the serving leg of [[embRq]], the
+    * additive counterpart of [[embAdc]]: a query scores a database
+    * vector from its CODE alone as ⟨q, c₁(code)⟩ + ⟨q, c₂(code)⟩
+    * (inner product against the additive reconstruction — linearity
+    * means the two stages' lookup tables just ADD). Per query the
+    * LUTs are 2·K partial dots against the codebooks; the data-side
+    * scan is two lookups and one integer add per vector — full
+    * precision vectors are never touched at query time.
+    *
+    * Plan shape: both LUTs (nQ·K rows each, partials FLOORED to ×10⁴
+    * integers — the [[embAdc]] determinism recipe) BROADCAST into
+    * equi-joins on cid1 / (q_id, cid2) against the n-row code frame;
+    * no per-vector float math, no window until the per-query top-k
+    * over the scored candidates.
+    */
+  def embRqAdc(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val (c1, c2, b1) = rqModel(spark, dir)
+    val codes = b1.select(col("vec_id"), col("cid1"), col("cid").as("cid2"))
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q"))
+    def lut(cb: DataFrame, cidName: String) = queries.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("cid").as(cidName),
+        floor(graft.plans.VecDot(col("q"), col("c")) * 10000).cast("long").as(s"p_$cidName"))
+    val scored = codes
+      .join(broadcast(lut(c1, "cid1")), Seq("cid1"))
+      .join(broadcast(lut(c2, "cid2")), Seq("q_id", "cid2"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("p_cid1") + col("p_cid2")).as("rq_score"))
+    val w = Window.partitionBy("q_id").orderBy(col("rq_score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"), col("rq_score"))
   }
 
   /** IVF + ADC composed search — the standard billion-scale serving

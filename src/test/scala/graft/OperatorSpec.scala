@@ -1445,38 +1445,42 @@ class OperatorSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // --- shared RQ trainer replay (residual-quantization specs) ---
+  private def rqRound4(v: Double) =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def rqDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+  private def rqAssign(vs: Seq[(Long, Array[Double])],
+                       cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+    vs.map { case (id, x) =>
+      id -> cents.maxBy { case (cid, c) => (rqDot(x, c) - rqDot(c, c) / 2, cid) }._1
+    }.toMap
+  private def rqTrain(vs: Seq[(Long, Array[Double])])
+      : (Map[Long, Array[Double]], Map[Long, Long]) = {
+    val seeds = vs.filter(_._1 < graft.operators.Ann.RQ_K)
+    val a0 = rqAssign(vs, seeds)
+    val byC = vs.groupBy(v => a0(v._1))
+    val cents = seeds.map { case (cid, c) =>
+      cid -> byC.get(cid).map { m =>
+        Array.tabulate(m.head._2.length)(i => rqRound4(m.map(_._2(i)).sum / m.length))
+      }.getOrElse(c)
+    }
+    (cents.toMap, rqAssign(vs, cents))
+  }
+  private def rqVectors: Seq[(Long, Array[Double])] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1).toSeq
+
   test("residual quantization replays the two-stage deterministic Lloyd end-to-end") {
     import graft.operators.Ann
-    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1).toSeq
-    def round4(v: Double) =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
-    def assign(vs: Seq[(Long, Array[Double])],
-               cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
-      vs.map { case (id, x) =>
-        id -> cents.maxBy { case (cid, c) => (dot(x, c) - dot(c, c) / 2, cid) }._1
-      }.toMap
-    def train(vs: Seq[(Long, Array[Double])])
-        : (Map[Long, Array[Double]], Map[Long, Long]) = {
-      val seeds = vs.filter(_._1 < Ann.RQ_K)
-      val a0 = assign(vs, seeds)
-      val byC = vs.groupBy(v => a0(v._1))
-      val cents = seeds.map { case (cid, c) =>
-        cid -> byC.get(cid).map { m =>
-          Array.tabulate(m.head._2.length)(i => round4(m.map(_._2(i)).sum / m.length))
-        }.getOrElse(c)
-      }
-      (cents.toMap, assign(vs, cents))
-    }
-    val (c1, a1) = train(e)
+    val e = rqVectors
+    val (c1, a1) = rqTrain(e)
     val resid = e.map { case (id, x) =>
       val c = c1(a1(id)); id -> Array.tabulate(x.length)(i => x(i) - c(i))
     }
-    val (c2, b1) = train(resid)
+    val (c2, b1) = rqTrain(resid)
     val expect = resid.map { case (id, r) =>
       val c = c2(b1(id))
       val err = r.indices.foldLeft(0.0)((s, i) => s + (r(i) - c(i)) * (r(i) - c(i)))
@@ -1493,6 +1497,29 @@ class OperatorSpec extends SparkSpec {
     }.sum
     val d2 = expect.values.map(_._3).sum / 10000.0
     assert(d2 < d1)
+  }
+
+  test("rq-adc search replays the additive two-LUT scoring over the codes") {
+    import graft.operators.Ann
+    val e = rqVectors
+    val (c1, a1) = rqTrain(e)
+    val resid = e.map { case (id, x) =>
+      val c = c1(a1(id)); id -> Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    val (c2, b1) = rqTrain(resid)
+    val queries = e.filter(_._1 < 5)
+    val expect = queries.flatMap { case (qid, q) =>
+      val scored = e.collect { case (vid, _) if vid != qid =>
+        val p1 = math.floor(rqDot(q, c1(a1(vid))) * 10000).toLong
+        val p2 = math.floor(rqDot(q, c2(b1(vid))) * 10000).toLong
+        (vid, p1 + p2)
+      }
+      scored.sortBy { case (vid, sc) => (-sc, vid) }.take(5).zipWithIndex
+        .map { case ((vid, sc), i) => (qid, i + 1L, vid, sc) }
+    }.toSet
+    val got = Ann.embRqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
   }
 
   test("lm gate buckets docs by exact discrete terciles of the corpus score") {

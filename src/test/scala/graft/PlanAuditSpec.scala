@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_bpe_merges", "text_bpe_apply", // 1-row merge-winner broadcast per round
     "q15_top_supplier", // 1-row max-revenue broadcast onto the supplier aggregate
     "text_lm_gate", // 1-row histogram-total and 1-row tercile-cut broadcasts
-    "emb_rq" // <=16-row codebook broadcast per Lloyd assign (annIvf adjudication)
+    "emb_rq", // <=16-row codebook broadcast per Lloyd assign (annIvf adjudication)
+    "emb_rq_adc" // same bounded codebook broadcasts + nQ*K LUT builds
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
