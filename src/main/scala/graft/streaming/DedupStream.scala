@@ -254,6 +254,90 @@ object DedupStream {
         OutputMode.Append)
   }
 
+  /** One heavy-hitter summary row: `count` overestimates the item's
+    * true count by at most `err` (SpaceSaving guarantee); `gen` is
+    * the shard's micro-batch generation — consumers read the max-gen
+    * rows per shard for the current summary.
+    */
+  case class HitterRow(shard: Int, gen: Long, item: String, count: Long, err: Long)
+
+  /** SpaceSaving heavy hitters (Metwally, Agrawal, El Abbadi,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams", ICDT 2005) as a `StatefulProcessor` with MapState —
+    * the bounded-state answer when per-item exact streaming counts
+    * can't fit anywhere (URLs, content keys, n-grams at 100 TB/day):
+    * each shard tracks exactly k counters; an untracked arrival
+    * evicts the MINIMUM counter and inherits its count as its error
+    * bound, so any item with true count > N_shard/k is GUARANTEED
+    * present and every reported count overestimates truth by at most
+    * `err`. State = k entries × `shards` groups, a constant, while
+    * the exact groupBy's state is unbounded key cardinality.
+    *
+    * Sharding by a deterministic item hash means each item lives in
+    * exactly ONE shard, so per-item counts never split and the
+    * global summary is just the union of shard summaries (per-shard
+    * ε applies). Eviction ties break (count, item) lexicographic —
+    * deterministic replay. Arrival-order dependence is intrinsic to
+    * SpaceSaving; the spec pins the single-partition in-order
+    * contract (the CleanStream precedent) and the order-free
+    * guarantees separately.
+    */
+  final class SpaceSavingProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Int, String), HitterRow] {
+    @transient private var counters:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+    @transient private var gen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val E = org.apache.spark.sql.Encoders
+      counters = getHandle.getMapState("ss", E.STRING,
+        E.tuple(E.scalaLong, E.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      gen = getHandle.getValueState("gen", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[(Int, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HitterRow] = {
+      // k is small: load the shard's counters once, fold the batch in
+      // memory, write back once — not one store round-trip per row
+      val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      counters.iterator().foreach { case (it, cv) => m(it) = cv }
+      rows.foreach { case (_, x) =>
+        m.get(x) match {
+          case Some((c, e)) => m(x) = (c + 1, e)
+          case None if m.size < k => m(x) = (1L, 0L)
+          case None =>
+            val (mi, (mc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+            m.remove(mi); counters.removeKey(mi)
+            m(x) = (mc + 1, mc)
+        }
+      }
+      m.foreach { case (it, cv) => counters.updateValue(it, cv) }
+      val g = (if (gen.exists()) gen.get() else 0L) + 1
+      gen.update(g)
+      m.toSeq.sortBy(_._1).iterator
+        .map { case (it, (c, e)) => HitterRow(shard, g, it, c, e) }
+    }
+  }
+
+  /** Streaming top-item tracking over `items` with k counters per
+    * shard (state bounded by k·shards regardless of item
+    * cardinality). Each micro-batch emits every touched shard's full
+    * current summary at a new `gen`; read the max-gen rows per shard.
+    */
+  def heavyHitters(items: Dataset[String], k: Int = 16,
+                   shards: Int = 32): Dataset[HitterRow] = {
+    import items.sparkSession.implicits._
+    items
+      .map(s => (math.floorMod(s.hashCode, shards), s))
+      .groupByKey(_._1)
+      .transformWithState(new SpaceSavingProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** State for one bounded-cache slot: the occupant content key's
     * hash and its anchor prime's event-time millis.
     */

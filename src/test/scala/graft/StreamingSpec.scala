@@ -72,6 +72,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("space-saving heavy hitters: exact when distinct items fit, bounded overestimate " +
+    "under eviction (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // regime 1 — k larger than distinct items per shard: the sketch
+      // IS the exact count, across uneven micro-batches
+      val words = Seq("a", "b", "a", "c", "a", "b", "d", "a", "c", "e")
+      val in1 = MemoryStream[String]
+      val q1 = DedupStream.heavyHitters(in1.toDS(), k = 16, shards = 2)
+        .toDF().writeStream.format("memory").queryName("hh_exact")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in1.addData(words.take(3): _*); q1.processAllAvailable()
+        in1.addData(words.drop(3): _*); q1.processAllAvailable()
+        val rows = spark.table("hh_exact").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        // current summary = max-gen rows per shard
+        val latest = rows.groupBy(_._1).values.flatMap { rs =>
+          val g = rs.map(_._2).max; rs.filter(_._2 == g)
+        }
+        val got = latest.map(r => r._3 -> (r._4, r._5)).toMap
+        val exact = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        assert(got === exact.map { case (w, c) => w -> (c, 0L) })
+      } finally q1.stop()
+
+      // regime 2 — k=2, forced evictions: the true heaviest item is
+      // guaranteed present, every count overestimates by at most err
+      val skew = Seq.fill(30)("hot") ++ Seq("x1", "x2", "x3", "x4") ++ Seq.fill(10)("hot")
+      val in2 = MemoryStream[String]
+      val q2 = DedupStream.heavyHitters(in2.toDS(), k = 2, shards = 1)
+        .toDF().writeStream.format("memory").queryName("hh_skew")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in2.addData(skew: _*); q2.processAllAvailable()
+        val rows = spark.table("hh_skew").collect()
+          .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        val g = rows.map(_._1).max
+        val latest = rows.filter(_._1 == g).map(r => r._2 -> (r._3, r._4)).toMap
+        assert(latest.size === 2)
+        val exact = skew.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val (hotCount, hotErr) = latest("hot") // guaranteed: 40 > N/k
+        assert(hotCount >= exact("hot") && hotCount - hotErr <= exact("hot"))
+        latest.foreach { case (it, (c, e)) =>
+          val t = exact.getOrElse(it, 0L)
+          assert(c >= t && c - e <= t, s"$it count $c err $e true $t")
+        }
+      } finally q2.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming simhash candidates across micro-batches equal the batch pair join") {
     import graft.operators.NearDup
     import graft.streaming.NearDupStream
