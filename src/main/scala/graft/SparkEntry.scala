@@ -161,6 +161,7 @@ object SparkEntry {
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
     "docs_mix_tokens" -> ((s, d) => present(Sampling.docsMixTokens(s, d), "source")),
     "docs_dsir_weights" -> ((s, d) => present(Sampling.docsDsirWeights(s, d), "doc_id")),
+    "docs_dsir_sample" -> ((s, d) => present(Sampling.docsDsirSample(s, d), "doc_id")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
     "docs_pack_sharded" -> ((s, d) => present(Sampling.docsPackSharded(s, d), "doc_id")),
@@ -2679,6 +2680,40 @@ object SparkEntry {
         |         AS dsir_score_x1e6
         |FROM fb JOIN c USING (bucket)
         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // DSIR resample replay: same weight CTEs, then the HUGEINT
+    // cross-multiplied weight-proportional keep rule on the hash32
+    // identity (u*W < 2^32 * nTarget * w)
+    "docs_dsir_sample" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |              t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS f
+        |       FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |       WHERE len(t) >= 2),
+        |fb AS (SELECT doc_id, lang,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, 9),
+        |             i -> CAST(strpos('0123456789abcdef', substr(md5(f), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |           (a, x) -> a * 16 + x) % 4096 AS bucket
+        |       FROM bg),
+        |c AS (SELECT bucket, count(*) AS c_r,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |      FROM fb GROUP BY 1),
+        |wts AS (SELECT doc_id, lang,
+        |          CAST(sum((1000000 * (c.c_t + 1)) // (c.c_r + 1)) // count(*) AS BIGINT)
+        |            AS dsir_score_x1e6
+        |        FROM fb JOIN c USING (bucket) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(dsir_score_x1e6) AS HUGEINT) AS w_total FROM wts),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |          (a, x) -> a * 16 + x) AS u
+        |      FROM wts)
+        |SELECT wts.doc_id, wts.lang, wts.dsir_score_x1e6
+        |FROM wts JOIN h USING (doc_id), tot
+        |WHERE CAST(h.u AS HUGEINT) * tot.w_total
+        |      < CAST(wts.dsir_score_x1e6 AS HUGEINT) * 4294967296 * 100
+        |ORDER BY wts.doc_id""".stripMargin,
     "docs_mix_tokens" ->
       """WITH d AS (SELECT doc_id, source,
         |             CAST(substr(source, 4) AS BIGINT) + 1 AS w_num,

@@ -361,4 +361,31 @@ object Sampling {
       .agg(count(lit(1)).as("n_features"),
         expr("sum(a) div count(1)").as("dsir_score_x1e6"))
   }
+
+  /** The DSIR RESAMPLING action on [[docsDsirWeights]] — the paper's
+    * importance-resample step rendered as weight-proportional
+    * Bernoulli selection with the engine's deterministic-sampling
+    * identity hash: doc i is kept iff
+    * `hash32(doc_id)/2³² < nTarget · wᵢ / W` (inclusion probability
+    * ∝ its importance weight, expected sample size ≈ nTarget, heavy
+    * docs with nTarget·wᵢ ≥ W always kept). The paper's Gumbel
+    * top-k needs per-row float logs a cross-engine hash compare
+    * cannot tolerate; weight-proportional Bernoulli keeps DSIR's
+    * selection pressure AND replays bit-identically: the comparison
+    * CROSS-MULTIPLIES in DECIMAL(38,0) (`u·W < 2³²·nTarget·wᵢ` — the
+    * [[docsMixSample]] rule; W = Σwᵢ can pass int64·2³² at corpus
+    * scale, decimal cannot overflow it at 38 digits). W is a 1-row
+    * broadcast; everything else is map-side on the weights frame, so
+    * the selection adds no shuffle beyond the scorer's own.
+    */
+  def docsDsirSample(spark: SparkSession, dir: String, nTarget: Int = 100,
+                     numBuckets: Int = 4096, targetLang: String = "en"): DataFrame = {
+    val w = docsDsirWeights(spark, dir, numBuckets, targetLang)
+      .localCheckpoint(eager = false) // two consumers: W total + filter
+    val total = w.agg(sum("dsir_score_x1e6").as("w_total"))
+    w.crossJoin(broadcast(total))
+      .filter(hash32(col("doc_id")).cast("decimal(38,0)") * col("w_total") <
+        col("dsir_score_x1e6").cast("decimal(38,0)") * lit(4294967296L) * nTarget)
+      .select(col("doc_id"), col("lang"), col("dsir_score_x1e6"))
+  }
 }

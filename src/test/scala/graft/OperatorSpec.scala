@@ -251,6 +251,23 @@ class OperatorSpec extends SparkSpec {
     assert(mean(en.map(_._2._2)) > mean(rest.map(_._2._2)))
   }
 
+  test("dsir resample keeps docs by the exact weight-proportional hash rule") {
+    import graft.operators.Sampling
+    val wts = Sampling.docsDsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val wTotal = wts.map(_._3).map(BigInt(_)).sum
+    val expect = wts.filter { case (id, _, w) =>
+      BigInt(Sampling.hash32Of(id)) * wTotal < BigInt(w) * BigInt(4294967296L) * 100
+    }.map(t => (t._1, t._2, t._3)).toSet
+    val got = Sampling.docsDsirSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect && got.nonEmpty)
+    // selection pressure: the kept set's mean weight exceeds the corpus mean
+    val meanAll = wts.map(_._3).sum.toDouble / wts.length
+    val meanKept = got.toSeq.map(_._3).sum.toDouble / got.size
+    assert(meanKept > meanAll)
+  }
+
   test("tile plan partitions every image exactly (areas sum, edges clip, row-major)") {
     import graft.operators.Multimodal
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf))

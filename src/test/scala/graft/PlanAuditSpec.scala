@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier", // 1-row max-revenue broadcast onto the supplier aggregate
     "text_lm_gate", // 1-row histogram-total and 1-row tercile-cut broadcasts
     "emb_rq", // <=16-row codebook broadcast per Lloyd assign (annIvf adjudication)
-    "emb_rq_adc" // same bounded codebook broadcasts + nQ*K LUT builds
+    "emb_rq_adc", // same bounded codebook broadcasts + nQ*K LUT builds
+    "docs_dsir_sample" // 1-row weight-total broadcast onto the weights frame
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
