@@ -128,4 +128,47 @@ object GraftSink {
       .write.mode("overwrite").parquet(outPath)
     parts
   }
+
+  /** Morton (Z-order) interleave of two non-negative integer keys —
+    * bit i of `a` lands at position 2i+1, bit i of `b` at 2i, so
+    * rows close in BOTH dimensions are close in one sort order.
+    * Plain shift/and/or column arithmetic (codegen-friendly, no UDF);
+    * `bits` per key ≤ 31 keeps the result in a positive int64.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 21): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits per key must be in [1, 31]")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDERED parquet layout (the lakehouse OPTIMIZE ZORDER
+    * technique): range-partition + sort the rows by the Morton
+    * interleave of two filter columns before writing, so every
+    * file's min/max footer stats span a small RECTANGLE of the
+    * 2-d key space instead of a thin slice of one dimension. A
+    * predicate on EITHER column (or both) then prunes row groups at
+    * scan time — where a single-column sort prunes only its own
+    * column and a query on the other one reads everything. At 100 TB
+    * this is the difference between a point-range query touching
+    * ~√s of the files and touching all of them; the layout cost is
+    * one range shuffle at write time, paid once.
+    *
+    * ZOrderSpec MEASURES the claim: on a uniform 2-d grid, a
+    * one-dimension range scan reads strictly fewer post-pruning rows
+    * from the z-ordered layout than from a layout sorted by the
+    * OTHER column.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 16, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
