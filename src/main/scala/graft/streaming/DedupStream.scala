@@ -282,6 +282,25 @@ object DedupStream {
     * contract (the CleanStream precedent) and the order-free
     * guarantees separately.
     */
+  /** One SpaceSaving arrival against counter map `m` (item →
+    * (count, err)): tracked items increment; an untracked item fills
+    * a free slot or evicts the (count, item)-lexicographic minimum
+    * and inherits its count as the error bound. `onEvict` lets the
+    * stateful caller mirror the removal into its store. Shared by the
+    * processor and the PropertySpec invariant replay — the algorithm
+    * cannot drift from its test.
+    */
+  def spaceSavingStep(m: scala.collection.mutable.HashMap[String, (Long, Long)],
+                      x: String, k: Int, onEvict: String => Unit = _ => ()): Unit =
+    m.get(x) match {
+      case Some((c, e)) => m(x) = (c + 1, e)
+      case None if m.size < k => m(x) = (1L, 0L)
+      case None =>
+        val (mi, (mc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+        m.remove(mi); onEvict(mi)
+        m(x) = (mc + 1, mc)
+    }
+
   final class SpaceSavingProcessor(k: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Int, String), HitterRow] {
     @transient private var counters:
@@ -305,14 +324,7 @@ object DedupStream {
       val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       counters.iterator().foreach { case (it, cv) => m(it) = cv }
       rows.foreach { case (_, x) =>
-        m.get(x) match {
-          case Some((c, e)) => m(x) = (c + 1, e)
-          case None if m.size < k => m(x) = (1L, 0L)
-          case None =>
-            val (mi, (mc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
-            m.remove(mi); counters.removeKey(mi)
-            m(x) = (mc + 1, mc)
-        }
+        spaceSavingStep(m, x, k, evicted => counters.removeKey(evicted))
       }
       m.foreach { case (it, cv) => counters.updateValue(it, cv) }
       val g = (if (gen.exists()) gen.get() else 0L) + 1

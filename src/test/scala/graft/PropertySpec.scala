@@ -34,6 +34,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("correlate (batch plan) equals the brute-force interval join on random events, ties included") {
+    import spark.implicits._
+    for (_ <- 1 to 8) {
+      val within = 1000L + rnd.nextInt(5000)
+      val prim = randEvents(40, 4, 20000L)
+      val sec = randEvents(40, 4, 20000L).map(e => e.copy(event_id = e.event_id + 1000))
+      val got = DedupStream.correlate(prim.toDF(), sec.toDF(), withinMs = within)
+        .select("a_event_id", "b_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        a <- prim; b <- sec
+        if a.user_id == b.user_id &&
+          math.abs(b.ts.getTime - a.ts.getTime) <= within
+      } yield (a.event_id, b.event_id)).toSet
+      assert(got === expect)
+    }
+  }
+
+  test("spaceSavingStep invariants: size <= k, counts bound truth, heavy items guaranteed") {
+    for (_ <- 1 to 50) {
+      val k = 2 + rnd.nextInt(6)
+      val n = 100 + rnd.nextInt(400)
+      // Zipf-ish item draw over a vocabulary larger than k
+      val vocab = (0 until k * 4).map(i => s"w$i")
+      val stream = (0 until n).map { _ =>
+        vocab(math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size)))
+      }
+      val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      stream.foreach(x => DedupStream.spaceSavingStep(m, x, k))
+      val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(m.size <= k)
+      // every tracked item: true <= count, count - err <= true
+      m.foreach { case (it, (c, e)) =>
+        val t = exact.getOrElse(it, 0L)
+        assert(c >= t && c - e <= t, s"item $it count $c err $e true $t (k=$k)")
+      }
+      // the guarantee: any item with true count > n/k must be tracked
+      exact.foreach { case (it, t) =>
+        if (t > n.toLong / k) assert(m.contains(it), s"heavy $it ($t > $n/$k) evicted")
+      }
+      // total counted mass is exactly the stream length (SpaceSaving
+      // conserves increments: every arrival bumps exactly one counter)
+      assert(m.values.map(_._1).sum === n.toLong)
+    }
+  }
+
   test("winnowedFingerprints: every fingerprint is a real window hash; count bounded") {
     for (_ <- 1 to 25) {
       val len = 10 + rnd.nextInt(200)
