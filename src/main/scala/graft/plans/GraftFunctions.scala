@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Divide, Expression, ExpressionInfo, Literal, Multiply, NullIf, Size, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, BitwiseAnd, BitwiseOr, Cast, Divide, Expression, ExpressionInfo, Literal, Multiply, NullIf, ShiftLeft, ShiftRight, Size, Sqrt}
 import org.apache.spark.sql.types.DoubleType
 
 /** SQL-surface registration of graft's custom Catalyst kernels, so
@@ -61,7 +61,27 @@ object GraftFunctions {
       val seed = if (args.length > 1) intArg(args(1), "murmur3_128 seed") else 42
       Murmur3_128(args(0), seed)
     },
-    "block_hash" -> { args => BlockHash(args(0)) })
+    "block_hash" -> { args => BlockHash(args(0)) },
+    "z_value" -> { args =>
+      val bits = if (args.length > 2) intArg(args(2), "z_value bits") else 21
+      zValueExpr(args(0), args(1), bits)
+    })
+
+  /** Morton bit-interleave of two int64 keys as a pure
+    * shift/and/or expression tree (codegen'd end-to-end) — shared by
+    * the SQL `z_value` function and `GraftSink.zValue`'s Column API.
+    */
+  def zValueExpr(a: Expression, b: Expression, bits: Int): Expression = {
+    require(bits >= 1 && bits <= 31, "z_value bits per key must be in [1, 31]")
+    def longE(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+    (0 until bits).map { i =>
+      val ab = ShiftLeft(BitwiseAnd(ShiftRight(longE(a), Literal(i)), Literal(1L)),
+        Literal(2 * i + 1))
+      val bb = ShiftLeft(BitwiseAnd(ShiftRight(longE(b), Literal(i)), Literal(1L)),
+        Literal(2 * i))
+      BitwiseOr(ab, bb): Expression
+    }.reduce((x, y) => BitwiseOr(x, y))
+  }
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -136,14 +136,9 @@ object GraftSink {
     * `bits` per key ≤ 31 keeps the result in a positive int64.
     */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-             bits: Int = 21): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, "bits per key must be in [1, 31]")
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_ bitwiseOR _)
-  }
+             bits: Int = 21): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.GraftShim.column(graft.plans.GraftFunctions.zValueExpr(
+      org.apache.spark.sql.classic.GraftShim.expression(a), org.apache.spark.sql.classic.GraftShim.expression(b), bits))
 
   /** Z-ORDERED parquet layout (the lakehouse OPTIMIZE ZORDER
     * technique): range-partition + sort the rows by the Morton
@@ -161,6 +156,12 @@ object GraftSink {
     * one-dimension range scan reads strictly fewer post-pruning rows
     * from the z-ordered layout than from a layout sorted by the
     * OTHER column.
+    *
+    * Note: `repartitionByRange` picks boundaries by SAMPLING (seed
+    * derives from the RDD id), so exact file boundaries — and hence
+    * the precise pruning fraction — vary slightly run to run; the
+    * expected fraction is governed by numFiles (each file covers
+    * ~range/numFiles of the z space).
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 16, bits: Int = 21): Unit = {

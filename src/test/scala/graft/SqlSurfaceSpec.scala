@@ -64,6 +64,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.forall(b => b >= 0 && b <= 0xFFFF))
   }
 
+  test("z_value on the SQL surface matches the Column kernel and the bit definition") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (170L, 85L))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("zv_in")
+    val viaSql = spark.sql("SELECT z_value(a, b, 8) AS z FROM zv_in")
+      .collect().map(_.getLong(0)).toSeq
+    val viaColumn = df.select(graft.sinks.GraftSink.zValue(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), bits = 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaColumn)
+    // driver-side bit definition: a-bits odd positions, b-bits even
+    def morton(a: Long, b: Long): Long =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))).reduce(_ | _)
+    assert(viaSql === Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (170L, 85L))
+      .map { case (a, b) => morton(a, b) })
+  }
+
   test("VecDotRewrite swaps the declarative HOF dot product for the kernel, semantics intact") {
     import spark.implicits._
     GraftFunctions.installOptimizations(spark)
