@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate drops late arrivals once the watermark passes their match window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val inA = MemoryStream[Ev]
+    val inB = MemoryStream[Ev]
+    val out = DedupStream.correlate(inA.toDF(), inB.toDF(), withinMs = 60000L,
+      watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("corr_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inA.addData(ev(1, base, user = 1))
+      inB.addData(ev(101, base + 1000, user = 1))
+      q.processAllAvailable()
+      // push the watermark ~10 minutes past base on BOTH streams
+      inA.addData(ev(98, base + 600000, user = 9))
+      inB.addData(ev(198, base + 600000, user = 8))
+      q.processAllAvailable()
+      // a late pair at base+2s/base+3s — both sides far below the
+      // watermark: state for their window is gone and the inputs are
+      // dropped, so the pair must NOT emit
+      inA.addData(ev(2, base + 2000, user = 1))
+      inB.addData(ev(102, base + 3000, user = 1))
+      q.processAllAvailable()
+      val got = spark.table("corr_late_out")
+        .select("a_event_id", "b_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
   test("stream-stream leftOuter correlate emits unmatched primaries after the match window " +
     "expires") {
     import spark.implicits._
