@@ -260,6 +260,9 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Tpch.q14Promo(s, d)),
     "q15_top_supplier" -> ((s, d) => present(Tpch.q15TopSupplier(s, d), "s_suppkey")),
     "q4_exists" -> ((s, d) => present(Tpch.q4Exists(s, d), "o_orderpriority")),
+    "q12_priority" -> ((s, d) => present(Tpch.q12Priority(s, d), "l_returnflag")),
+    "q18_large_orders" -> ((s, d) => present(Tpch.q18LargeOrders(s, d), "o_orderkey")),
+    "q21_waiting" -> ((s, d) => present(Tpch.q21Waiting(s, d), "s_suppkey")),
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_global" -> ((s, d) => present(Tpch.q22Global(s, d), "c_nat")),
@@ -3365,6 +3368,40 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q12 shape: delayed lines x order priority, conditional counts
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE datediff('day', o_orderdate, l_shipdate) > 750
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q18 shape: HAVING-subquery order-quantity gate, then join-back
+    "q18_large_orders" ->
+      """WITH q AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |           FROM lineitem GROUP BY 1
+        |           HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, q.sum_qty
+        |FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // Q21 shape: per-(order, supplier) lateness, EXISTS other
+    // supplier, NOT EXISTS other late supplier, count per supplier
+    "q21_waiting" ->
+      """WITH j AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+        |                  datediff('day', o.o_orderdate, l.l_shipdate) > 1200 AS late
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           WHERE o.o_orderstatus = 'F'),
+        |p AS (SELECT ok, sk, bool_or(late) AS late FROM j GROUP BY 1, 2),
+        |cand AS (SELECT ok, sk FROM p WHERE late),
+        |multi AS (SELECT c.ok, c.sk FROM cand c
+        |          WHERE EXISTS (SELECT 1 FROM p WHERE p.ok = c.ok AND p.sk <> c.sk)),
+        |sole AS (SELECT m.ok, m.sk FROM multi m
+        |         WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.ok = m.ok AND p.sk <> m.sk AND p.late))
+        |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier s ON sole.sk = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,

@@ -315,4 +315,83 @@ object Tpch {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** TPC-H Q12 shape (shipping-delay priority audit — shipmode
+    * re-keyed to returnflag, commit/receipt lateness re-keyed to
+    * ship-vs-order delay since the synthetic drop has neither
+    * commitdate nor shipmode): among DELAYED lines (> `lateDays`
+    * from order to ship), how many belong to high- vs low-priority
+    * orders, per class. One lineitem⋈orders shuffle on orderkey with
+    * the delay predicate applied pre-groupBy, then conditional
+    * counts over ≤|returnflag| rows — Q12's exact shape.
+    */
+  def q12Priority(spark: SparkSession, dir: String, lateDays: Int = 750): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity exceeds `minQty`, with their customer. The HAVING
+    * subquery is a map-combinable per-orderkey sum (exact BIGINT —
+    * quantities are integral) that shrinks the fact to the few
+    * qualifying keys BEFORE any join; orders joins those keys on the
+    * already-partitioned axis and customer broadcasts. No window, no
+    * fact-sized join input — Q18's point at 100 TB.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Long = 250): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sum("q").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    qty.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+        col("sum_qty"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): in
+    * finished ('F') multi-supplier orders, count per supplier the
+    * orders where it was the ONLY late shipper (late re-keyed to
+    * ship-vs-order delay > `lateDays`). The double-correlated
+    * EXISTS / NOT EXISTS renders as a LEFT SEMI then LEFT ANTI
+    * self-join of the per-(order, supplier) lateness table on the
+    * ORDER axis — after the one lineitem⋈orders shuffle, every join
+    * is co-partitioned on orderkey, and supplier broadcasts for the
+    * final name lookup. Q21 is the classic worst-case join shape;
+    * this is its shuffle-minimal Spark rendering.
+    */
+  def q21Waiting(spark: SparkSession, dir: String, lateDays: Int = 1200): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(expr("bool_or(datediff(l_shipdate, o_orderdate) > " + lateDays + ")").as("late"))
+    val cand = pairs.filter(col("late")).select("ok", "sk")
+    val others = pairs.select(col("ok").as("o_ok"), col("sk").as("o_sk"))
+    val lateOthers = pairs.filter(col("late"))
+      .select(col("ok").as("lo_ok"), col("sk").as("lo_sk"))
+    val sole = cand
+      .join(others, col("ok") === col("o_ok") && col("sk") =!= col("o_sk"), "left_semi")
+      .join(lateOthers,
+        col("ok") === col("lo_ok") && col("sk") =!= col("lo_sk"), "left_anti")
+    sole.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("sk") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
 }

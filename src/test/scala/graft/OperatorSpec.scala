@@ -251,6 +251,50 @@ class OperatorSpec extends SparkSpec {
     assert(mean(en.map(_._2._2)) > mean(rest.map(_._2._2)))
   }
 
+  test("tpch completions q12/q18/q21 replay from first principles") {
+    import graft.operators.Tpch
+    def ms(v: Any): Long = v match { // NTZ parquet surfaces LocalDateTime
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag", "l_quantity", "l_shipdate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3).toLong, ms(r.get(4))))
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), ms(r.get(2)), r.getString(3))).toMap
+    def days(shipMs: Long, ordMs: Long): Long =
+      shipMs / 86400000L - ordMs / 86400000L // midnight timestamps, UTC session
+    // q12: delayed lines by returnflag x priority class
+    val delayed = li.filter { case (ok, _, _, _, ship) => days(ship, ord(ok)._2) > 750 }
+    val expect12 = delayed.groupBy(_._3).view.mapValues { ls =>
+      val high = ls.count(l => Set("1-URGENT", "2-HIGH")(ord(l._1)._3)).toLong
+      (high, ls.length - high)
+    }.toMap
+    val got12 = Tpch.q12Priority(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got12 === expect12)
+    // q18: per-order quantity gate
+    val expect18 = li.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+      .filter(_._2 > 250).toMap
+    val got18 = Tpch.q18LargeOrders(spark, sf).collect()
+      .map(r => r.getLong(2) -> r.getLong(5)).toMap
+    assert(got18 === expect18)
+    // q21: sole-late supplier in finished multi-supplier orders
+    val pairs = li.filter(l => ord(l._1)._1 == "F")
+      .groupBy(l => (l._1, l._2)).view.mapValues(ls =>
+        ls.exists(l => days(l._5, ord(l._1)._2) > 1200)).toMap
+    val expect21 = pairs.keys.toSeq
+      .filter { case (okk, sk) => pairs((okk, sk)) &&
+        pairs.keys.exists(p => p._1 == okk && p._2 != sk) &&
+        !pairs.exists(p => p._1._1 == okk && p._1._2 != sk && p._2) }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got21 = Tpch.q21Waiting(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got21 === expect21 && got21.nonEmpty)
+  }
+
   test("dsir resample keeps docs by the exact weight-proportional hash rule") {
     import graft.operators.Sampling
     val wts = Sampling.docsDsirWeights(spark, sf).collect()
