@@ -31,30 +31,7 @@ object Bench {
     // (bounded poll, outside the timed region); a one-stage lag on a
     // rare race only blurs adjacent queries' attribution, never the
     // totals.
-    val mv = new org.apache.spark.scheduler.SparkListener {
-      val sr = new java.util.concurrent.atomic.AtomicLong
-      val sw = new java.util.concurrent.atomic.AtomicLong
-      val sp = new java.util.concurrent.atomic.AtomicLong
-      val in = new java.util.concurrent.atomic.AtomicLong
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) {
-          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          sp.addAndGet(m.diskBytesSpilled)
-          in.addAndGet(m.inputMetrics.bytesRead)
-        }
-      }
-      def state: (Long, Long, Long, Long) = (sr.get, sw.get, sp.get, in.get)
-      def settled: (Long, Long, Long, Long) = {
-        var prev = (-1L, -1L, -1L, -1L)
-        var cur = state
-        var i = 0
-        while (cur != prev && i < 40) { Thread.sleep(25); prev = cur; cur = state; i += 1 }
-        cur
-      }
-    }
+    val mv = new MovementMeter
     spark.sparkContext.addSparkListener(mv)
     val movement = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
 
@@ -170,7 +147,10 @@ object Bench {
     val movementOut =
       if (out.endsWith(".json")) out.stripSuffix(".json") + "_movement.json"
       else out + "_movement.json"
-    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    // Locale.ROOT: the default-locale f-interpolator renders comma
+    // decimals under e.g. de_DE, which is not JSON
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
     val mvJson = movement.map { case (k, (r, w, s, i)) =>
       "\"" + k + "\":{\"shuffle_read_mb\":" + mb(r) + ",\"shuffle_write_mb\":" + mb(w) +
         ",\"spilled_mb\":" + mb(s) + ",\"input_mb\":" + mb(i) + "}"

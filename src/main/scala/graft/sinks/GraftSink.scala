@@ -166,10 +166,15 @@ object GraftSink {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 16, bits: Int = 21): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("_z", zValue(col(colA), col(colB), bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    // the scratch sort key must not clobber (and then drop) a real
+    // input column of the same name
+    val zCol = "__graft_zorder"
+    require(!df.columns.contains(zCol),
+      s"input already has a $zCol column — rename it before z-ordering")
+    df.withColumn(zCol, zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -47,13 +47,19 @@ object EvolvingParquet {
 
   /** Lock `df` to the contract: expected column order and types,
     * typed nulls for columns `df` lacks, extras dropped, ANSI
-    * (widen-only) casts for the rest.
+    * (widen-only) casts for the rest. Name matching is
+    * CASE-INSENSITIVE like Spark's own default resolution
+    * (`spark.sql.caseSensitive=false`) — a generation written as
+    * `Lang` still conforms to a `lang` contract instead of being
+    * silently nulled.
     */
   def conform(df: DataFrame, expected: StructType): DataFrame = {
-    val have = df.schema.fieldNames.toSet
+    val have = df.schema.fieldNames.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
     val cols = expected.fields.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toSeq: _*)
   }

@@ -64,6 +64,15 @@ class EvolvingParquetSpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("conform resolves columns case-insensitively like Spark's default resolution") {
+    import spark.implicits._
+    val df = Seq((7L, "Hi", "en")).toDF("Doc_Id", "TEXT", "Lang")
+    val got = EvolvingParquet.conform(df, contract).collect().head
+    // real values conform under the contract names — never nulled for
+    // a case mismatch
+    assert(got.getLong(0) === 7L && got.getString(1) === "Hi" && got.getString(2) === "en")
+  }
+
   test("streaming read under the contract schema accepts old-generation files") {
     withTempDir { dir =>
       writeGens(dir)

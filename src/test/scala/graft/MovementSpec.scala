@@ -16,25 +16,12 @@ package graft
   */
 class MovementSpec extends SparkSpec {
 
-  private final class Acc extends org.apache.spark.scheduler.SparkListener {
-    val sw = new java.util.concurrent.atomic.AtomicLong
-    override def onStageCompleted(
-        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      val m = s.stageInfo.taskMetrics
-      if (m != null) sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-    }
-  }
-
   private def settledShuffleWrite(run: => Unit): Long = {
-    val acc = new Acc
+    // the same meter Bench uses — one listener, one settle heuristic
+    val acc = new MovementMeter
     spark.sparkContext.addSparkListener(acc)
-    try {
-      run
-      // listener events are async: poll until the counter stops moving
-      var prev = -1L; var cur = acc.sw.get; var i = 0
-      while (cur != prev && i < 40) { Thread.sleep(25); prev = cur; cur = acc.sw.get; i += 1 }
-      cur
-    } finally spark.sparkContext.removeSparkListener(acc)
+    try { run; acc.settled._2 }
+    finally spark.sparkContext.removeSparkListener(acc)
   }
 
   // budgets in KiB at sf0.001, ~4x the healthy observed shuffle-write;
