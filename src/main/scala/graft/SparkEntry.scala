@@ -733,12 +733,16 @@ object SparkEntry {
        |                   - list_sum(list_transform($c.c, x -> x*x)) / 2""".stripMargin
 
   /** The trained-quantizer CTEs (seed centroids → one Lloyd pass →
-    * c1) shared by the IVF search and router oracles.
+    * c1) shared by the IVF search and router oracles. `k` is the
+    * seed-count SQL expression — the search/router oracles pin 16;
+    * emb_semantic_groups derives it from the corpus count exactly
+    * like `Ann.clustersFor` (greatest(16, ceil(n/125))).
     */
-  private def ivfC1Ctes: String =
+  private def ivfC1Ctes: String = ivfC1CtesK("16")
+  private def ivfC1CtesK(k: String): String =
     s"""n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
        |e AS (SELECT vec_id, embedding FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < 16),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < ($k)),
        |a0 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
@@ -3102,9 +3106,11 @@ object SparkEntry {
     // SemDeDup replay: identical c1 quantizer + (score DESC, cid
     // DESC) assignment tie-break as the IVF oracles, in-cluster
     // pairs only, exact cosine verify, then the same reachability
-    // closure as emb_dedup_groups
+    // closure as emb_dedup_groups. Seed K is corpus-derived
+    // (Ann.clustersFor: greatest(16, ceil(n/125)) — 16 at every
+    // verify SF, grows past 2000 vectors so Σn_k² stays linear)
     "emb_semantic_groups" ->
-      s"""WITH RECURSIVE $ivfC1Ctes,
+      s"""WITH RECURSIVE ${ivfC1CtesK("SELECT greatest(16, (count(*) + 124) // 125) FROM embeddings")},
          |a1 AS (SELECT vec_id, cid FROM (
          |         SELECT v.vec_id, c.cid,
          |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn

@@ -871,7 +871,9 @@ object Ann {
     * grouped with [[NearDup.starComponents]].
     *
     * Scale shape: compare work drops from n²/2 to Σ_k n_k²/2 — ×K
-    * for balanced clusters — and K grows with the corpus (SemDeDup
+    * for balanced clusters — and K grows with the corpus
+    * (`clusters = 0` derives K = [[clustersFor]](n), pinning mean
+    * cluster size so compare/shuffle mass stays LINEAR in n; SemDeDup
     * runs K in the tens of thousands at web scale), so each
     * cluster's candidate block stays executor-sized while the
     * equi-join spreads clusters across the shuffle; a hot cluster is
@@ -892,13 +894,29 @@ object Ann {
     * constant.
     */
   def embSemanticGroups(spark: SparkSession, dir: String,
-                        threshold: Double = 0.4, clusters: Int = 16,
+                        threshold: Double = 0.4, clusters: Int = 0,
                         iters: Int = 1, maxRounds: Int = 30): DataFrame = {
     val pairs = embSemanticPairs(spark, dir, threshold, clusters, iters)
       .select("a_id", "b_id")
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
     NearDup.starComponents(nodes, pairs, maxRounds)._1
   }
+
+  /** SemDeDup's own scale contract as code: the cluster count GROWS
+    * with the corpus so the mean cluster size n/K stays pinned at
+    * `targetClusterSize` and the in-cluster compare mass Σ_k n_k²
+    * ≈ n·targetClusterSize stays LINEAR in n (the round-7 movement
+    * net measured the fixed-K=16 rendering's shuffle bytes growing
+    * 82× for 10× data — exactly the Σn_k² blowup this removes).
+    * Floor of 16 keeps every small-corpus quantizer identical to the
+    * historical fixed-K oracles; 125 pins K=16 on the 2000-vector
+    * sf0.1 corpus and K=160 at its 10× soak — the measured-linearity
+    * point. `clusters = 0` on the query entrypoints means "derive via
+    * this" (one metadata-only count at plan-build, next to the Lloyd
+    * seed collect that already runs there).
+    */
+  def clustersFor(n: Long, targetClusterSize: Long = 125): Int =
+    math.max(16L, (n + targetClusterSize - 1) / targetClusterSize).toInt
 
   /** The in-cluster verified edge set behind [[embSemanticGroups]],
     * exposed for recall audits against the exact
@@ -911,11 +929,13 @@ object Ann {
     * side.
     */
   def embSemanticPairs(spark: SparkSession, dir: String,
-                       threshold: Double = 0.4, clusters: Int = 16,
+                       threshold: Double = 0.4, clusters: Int = 0,
                        iters: Int = 1, nprobe: Int = 1): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
-    val cents = ivfCentroids(e, clusters, iters)
+    val k = if (clusters > 0) clusters
+            else clustersFor(Tables.embeddings(spark, dir).count())
+    val cents = ivfCentroids(e, k, iters)
     // top-nprobe cells per vector: the embRouter struct-sort shape,
     // map-only (ties break to the larger cid, matching the oracle's
     // score DESC, cid DESC assignment order)
