@@ -263,6 +263,10 @@ object SparkEntry {
     "q12_priority" -> ((s, d) => present(Tpch.q12Priority(s, d), "l_returnflag")),
     "q18_large_orders" -> ((s, d) => present(Tpch.q18LargeOrders(s, d), "o_orderkey")),
     "q21_waiting" -> ((s, d) => present(Tpch.q21Waiting(s, d), "s_suppkey")),
+    "q2_mincost" -> ((s, d) => present(Tpch.q2MinCost(s, d), "p_partkey", "s_suppkey")),
+    "q11_stock_value" -> ((s, d) => present(Tpch.q11StockValue(s, d), "ps_partkey")),
+    "q16_supplier_cnt" -> ((s, d) => present(Tpch.q16SupplierCnt(s, d), "p_brand", "p_type", "p_size")),
+    "q20_promo_parts" -> ((s, d) => present(Tpch.q20PromoParts(s, d), "s_suppkey")),
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_global" -> ((s, d) => present(Tpch.q22Global(s, d), "c_nat")),
@@ -772,6 +776,22 @@ object SparkEntry {
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** Derived-partsupp CTEs — the DuckDB rendering of
+    * `Tpch.partsupp`'s deterministic derivation (stride-mod supplier
+    * assignment, [1,25] availqty hash, 50-100%-of-retail exact-cents
+    * supplycost). All nonnegative integer arithmetic, shared by the
+    * Q2/Q11/Q16/Q20 oracles.
+    */
+  private val partsuppCtes: String =
+    """ps0 AS (SELECT p_partkey, p_retailprice, i.i AS i,
+      |               (p_partkey * 7 + i.i * (s.cnt // 4 + 1)) % s.cnt AS ps_suppkey
+      |        FROM part, (SELECT unnest(range(0, 4)) AS i) i,
+      |             (SELECT count(*) AS cnt FROM supplier) s),
+      |ps AS (SELECT p_partkey AS ps_partkey, ps_suppkey,
+      |              1 + (p_partkey * 37 + ps_suppkey * 11) % 25 AS ps_availqty,
+      |              (CAST(round(p_retailprice * 100) AS BIGINT) * (50 + (p_partkey * 13 + i * 29) % 51)) // 100 AS ps_cost_cents
+      |       FROM ps0)""".stripMargin
 
   /** Shared CTE chain computing exact word-3-shingle Jaccard pairs
     * ≥ 0.5 (`jp`) — the oracle core for docs_jaccard_pairs,
@@ -3408,6 +3428,63 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM sole JOIN supplier s ON sole.sk = s.s_suppkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Q2 shape: derived-partsupp CTE (shared verbatim with
+    // Tpch.partsupp), region-filtered suppliers, per-part min-cost
+    // join-back with all ties surfacing
+    "q2_mincost" ->
+      s"""WITH $partsuppCtes,
+         |rs AS (SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents, n_name
+         |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         |pp AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'STANDARD' AND p_size <= 25),
+         |j AS (SELECT pp.p_partkey, pp.p_brand, rs.s_suppkey, rs.s_name, rs.n_name, rs.bal_cents, ps.ps_cost_cents
+         |      FROM ps JOIN pp ON ps.ps_partkey = pp.p_partkey JOIN rs ON ps.ps_suppkey = rs.s_suppkey),
+         |m AS (SELECT p_partkey, min(ps_cost_cents) AS mc FROM j GROUP BY 1)
+         |SELECT j.p_partkey, j.p_brand, CAST(j.s_suppkey AS BIGINT) AS s_suppkey, j.s_name, j.n_name,
+         |       j.ps_cost_cents AS cost_cents, j.bal_cents
+         |FROM j JOIN m ON j.p_partkey = m.p_partkey AND j.ps_cost_cents = m.mc
+         |ORDER BY j.p_partkey, s_suppkey""".stripMargin,
+    // Q11 shape: region inventory value per part vs 2x the mean
+    // per-part value (scale-free cross-multiplied threshold)
+    "q11_stock_value" ->
+      s"""WITH $partsuppCtes,
+         |rs AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+         |v AS (SELECT ps_partkey, CAST(sum(ps_availqty * ps_cost_cents) AS BIGINT) AS value_cents
+         |      FROM ps JOIN rs ON ps_suppkey = s_suppkey GROUP BY 1),
+         |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents, count(*) AS n_parts FROM v)
+         |SELECT ps_partkey, value_cents FROM v, t
+         |WHERE value_cents * n_parts > 2 * total_cents ORDER BY ps_partkey""".stripMargin,
+    // Q16 shape: distinct-supplier count per (brand, type, size),
+    // excluded brand/type + delinquent-supplier anti-join
+    "q16_supplier_cnt" ->
+      s"""WITH $partsuppCtes,
+         |pp AS (SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size FROM part
+         |       WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1,5,10,15,20,25,30,35)),
+         |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps JOIN pp ON ps_partkey = p_partkey
+         |WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM bad)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q20 shape: surplus-stock suppliers of a part-name family — the
+    // nested correlated sum as a (partkey, suppkey) aggregate join,
+    // NULL-sum pairs excluded by the inner join
+    "q20_promo_parts" ->
+      s"""WITH $partsuppCtes,
+         |pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+         |sh AS (SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |       FROM lineitem
+         |       WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |         AND l_partkey IN (SELECT p_partkey FROM pk)
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT ps_suppkey FROM ps
+         |         JOIN sh ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |         WHERE 2 * ps_availqty > sum_qty),
+         |rs AS (SELECT s_suppkey, s_name, n_name
+         |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+         |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+         |FROM cand JOIN rs ON ps_suppkey = s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,

@@ -394,4 +394,161 @@ object Tpch {
       .groupBy(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
+
+  /** Derived partsupp: the testdata drop ships no partsupp table, so
+    * the four remaining classic TPC-H shapes (Q2/Q11/Q16/Q20) run
+    * over a DETERMINISTIC derivation shared verbatim with the DuckDB
+    * oracles. Each part gets 4 distinct suppliers by a stride-mod
+    * assignment over the supplier count (the stride S div 4 + 1
+    * keeps the four keys collision-free for the testdata's S ≥ 10),
+    * availqty is a small key hash in [1, 25] (sized so Q20's
+    * half-of-shipped gate actually bites), and supplycost is 50-100%
+    * of the part's retail price in exact cents. All operands are
+    * nonnegative integers, so every value replays bit-exactly
+    * cross-engine; the supplier count enters as a 1-row broadcast
+    * (never a driver-side collect), keeping the derivation one lazy
+    * plan. Scale: |partsupp| = 4·|part| — a dimension-sized frame
+    * that broadcasts in the probe-side joins below exactly as a real
+    * partsupp dimension would.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).agg(count(lit(1)).as("cnt"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .crossJoin(broadcast(s))
+      .select(col("p_partkey"), col("p_retailprice"), col("cnt"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .withColumn("ps_suppkey", expr("(p_partkey * 7 + i * (cnt div 4 + 1)) % cnt"))
+      .select(col("p_partkey").as("ps_partkey"), col("ps_suppkey"),
+        expr("1 + (p_partkey * 37 + ps_suppkey * 11) % 25").as("ps_availqty"),
+        expr("(CAST(round(p_retailprice * 100) AS BIGINT) * (50 + (p_partkey * 13 + i * 29) % 51)) div 100")
+          .as("ps_cost_cents"))
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part of one
+    * type/size band, the region's supplier(s) offering it at the
+    * minimum supplycost. The correlated MIN subquery renders as a
+    * per-part min over the region-filtered partsupp joined back by
+    * (partkey, cost) equality — the aggregate side is bounded by the
+    * FILTERED part dim (Q2's predicate is highly selective by
+    * construction), so both it and the dims broadcast; ties all
+    * surface, like the spec. The shared join frame feeds the min agg
+    * and the probe, so it is lazy-checkpointed (file-wide
+    * twice-consumed-subtree convention).
+    */
+  def q2MinCost(spark: SparkSession, dir: String, region: String = "EUROPE",
+                pType: String = "STANDARD", maxSize: Int = 25): DataFrame = {
+    val natR = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(natR), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("bal_cents"), col("n_name"))
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_type") === pType && col("p_size") <= maxSize)
+      .select("p_partkey", "p_brand")
+    val j = partsupp(spark, dir)
+      .join(broadcast(pp), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(rs), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("ps_cost_cents"), col("bal_cents"))
+      .localCheckpoint(eager = false)
+    val m = j.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min("ps_cost_cents").as("mc"))
+    j.join(broadcast(m),
+        col("p_partkey") === col("m_partkey") && col("ps_cost_cents") === col("mc"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("ps_cost_cents").as("cost_cents"), col("bal_cents"))
+  }
+
+  /** TPC-H Q11 shape (important stock): per-part inventory value
+    * (availqty · supplycost, exact cents) held by one region's
+    * suppliers, reporting parts whose value exceeds twice the MEAN
+    * per-part value. The spec's value > fraction·total threshold is
+    * made scale-free (value·n_parts > 2·total — the same 1-row
+    * broadcast cross-multiplication, but selective at every SF
+    * instead of only at the spec's fixed fraction). One partkey
+    * groupBy; the global (total, count) pair broadcasts.
+    */
+  def q11StockValue(spark: SparkSession, dir: String, region: String = "ASIA"): DataFrame = {
+    val natR = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(natR), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = partsupp(spark, dir)
+      .join(broadcast(rs), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_availqty") * col("ps_cost_cents")).as("value_cents"))
+    val t = v.agg(sum("value_cents").as("total_cents"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(t))
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
+      .select("ps_partkey", "value_cents")
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): how many
+    * distinct suppliers can provide each (brand, type, size) cell,
+    * excluding one brand/type and suppliers flagged delinquent
+    * (negative balance — the complaints-comment analog; the drop has
+    * no comment column). part broadcasts into the partsupp probe,
+    * the exclusion is a broadcast LEFT ANTI, and the distinct count
+    * groups on the small (brand, type, size) axis.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String,
+                     excludeBrand: String = "Brand#5",
+                     excludeType: String = "PROMO"): DataFrame = {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    partsupp(spark, dir)
+      .join(broadcast(pp), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): one region's
+    * suppliers holding surplus stock (availqty > half the quantity
+    * they shipped of that part over the window) of one name-prefix
+    * part family. The nested correlated-sum semi renders as: the
+    * name-semi-pruned, date-pruned lineitem aggregates per
+    * (partkey, suppkey) — map-combinable exact BIGINT — then joins
+    * the partsupp frame on BOTH keys (pairs with no shipments drop,
+    * matching the spec's NULL-sum exclusion), the surplus gate is
+    * the cross-multiplied 2·availqty > sum_qty, and the surviving
+    * supplier keys distinct before the broadcast name/nation lookup.
+    */
+  def q20PromoParts(spark: SparkSession, dir: String, namePrefix: String = "small",
+                    region: String = "EUROPE"): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix)).select(col("p_partkey"))
+    val sh = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val natR = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(natR), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    partsupp(spark, dir)
+      .join(sh, col("ps_partkey") === col("l_partkey") &&
+                col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("sum_qty"))
+      .select("ps_suppkey").distinct()
+      .join(broadcast(rs), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
 }

@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSpec {
     "text_lm_gate", // 1-row histogram-total and 1-row tercile-cut broadcasts
     "emb_rq", // <=16-row codebook broadcast per Lloyd assign (annIvf adjudication)
     "emb_rq_adc", // same bounded codebook broadcasts + nQ*K LUT builds
-    "docs_dsir_sample" // 1-row weight-total broadcast onto the weights frame
+    "docs_dsir_sample", // 1-row weight-total broadcast onto the weights frame
+    // derived-partsupp family: 1-row supplier-count broadcast into
+    // the stride-mod assignment (Tpch.partsupp); q11 adds its own
+    // 1-row (total, n_parts) threshold broadcast
+    "q2_mincost", "q11_stock_value", "q16_supplier_cnt", "q20_promo_parts"
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
