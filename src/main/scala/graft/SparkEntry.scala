@@ -135,6 +135,8 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "ann_recall_lsh" -> ((s, d) => present(Ann.annRecallLsh(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
+    "ann_graph_search" -> ((s, d) => present(Ann.annGraphSearch(s, d), "q_id", "rnk")),
+    "ann_recall_graph" -> ((s, d) => present(Ann.annRecallGraph(s, d), "q_id")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
     "emb_adc" -> ((s, d) => present(Ann.embAdc(s, d), "q_id", "rnk")),
     "emb_ivf_adc" -> ((s, d) => present(Ann.embIvfAdc(s, d), "q_id", "rnk")),
@@ -531,6 +533,67 @@ object SparkEntry {
     s"""WITH $knnEdgeCtes
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  /** ann_graph_search oracle: full unrolled replay of the
+    * bounded-beam navigation over the kNN graph — shared knnEdgeCtes
+    * edge set, entry = min sampled vec_id, then per round: top-beam
+    * of visited → neighbor expansion (NOT EXISTS dedup against
+    * visited) → exact-cosine scoring → UNION ALL. `v<rounds>` is the
+    * final visited set; consumers rank it (self excluded).
+    */
+  private def graphSearchCtes(nQ: Int = 10, beam: Int = 4,
+                              rounds: Int = 3, graphK: Int = 3): String = {
+    val score =
+      """list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+        |                 / nullif(sqrt(q.n2) * sqrt(v.n2), 0.0)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""$knnEdgeCtes,
+       |ed AS (SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $graphK),
+       |qv AS (SELECT vec_id AS q_id, embedding,
+       |              list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+       |       FROM embeddings WHERE vec_id < $nQ),
+       |ent AS (SELECT min(vec_id) AS vec_id FROM n),
+       |v0 AS (SELECT q.q_id, v.vec_id, $score AS sim
+       |       FROM qv q CROSS JOIN ent CROSS JOIN n v WHERE v.vec_id = ent.vec_id)""".stripMargin
+    for (rd <- 1 to rounds) {
+      val p = rd - 1
+      sb ++= s""",
+         |b$p AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |         FROM v$p) WHERE rn <= $beam),
+         |nk$rd AS (SELECT DISTINCT b.q_id, ed.dst AS vec_id FROM b$p b JOIN ed ON b.vec_id = ed.src
+         |          WHERE NOT EXISTS (SELECT 1 FROM v$p x WHERE x.q_id = b.q_id AND x.vec_id = ed.dst)),
+         |s$rd AS (SELECT nk.q_id, nk.vec_id, $score AS sim
+         |         FROM nk$rd nk JOIN n v ON v.vec_id = nk.vec_id JOIN qv q ON q.q_id = nk.q_id),
+         |v$rd AS (SELECT * FROM v$p UNION ALL SELECT * FROM s$rd)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def annGraphSearchOracleSql(k: Int = 5, rounds: Int = 3): String =
+    s"""WITH ${graphSearchCtes(rounds = rounds)}
+       |SELECT q_id, CAST(rn AS BIGINT) AS rnk, vec_id AS n_id, round(sim, 6) AS sim
+       |FROM (SELECT q_id, vec_id, sim,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |      FROM v$rounds WHERE vec_id <> q_id)
+       |WHERE rn <= $k ORDER BY q_id, rnk""".stripMargin
+
+  private def annRecallGraphOracleSql(k: Int = 5, rounds: Int = 3): String =
+    s"""WITH ${graphSearchCtes(rounds = rounds)},
+       |ex AS (SELECT q_id, n_id FROM (
+       |        SELECT q.q_id, v.vec_id AS n_id,
+       |               row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |                 list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+       |                   / nullif(sqrt(q.n2) * sqrt(v.n2), 0.0) DESC, v.vec_id) AS rn
+       |        FROM qv q JOIN n v ON v.vec_id <> q.q_id) WHERE rn <= $k),
+       |ap AS (SELECT q_id, vec_id AS n_id FROM (
+       |        SELECT q_id, vec_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |        FROM v$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+       |j AS (SELECT ex.q_id, CASE WHEN ap.n_id IS NOT NULL THEN 1 END AS m
+       |      FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id)
+       |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / $k.0, 4) AS recall
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
 
   /** emb_pq oracle: full DuckDB replication of Ann.embPq — the same
     * seed-codebook (vec_id < 16 subvectors), one Lloyd refinement
@@ -1833,6 +1896,10 @@ object SparkEntry {
     "docs_minhash_sig" -> minhashSigOracleSql,
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
+    // graph-ANN serving leg: unrolled fixed-round beam navigation +
+    // its recall monitor vs the exact top-k over the sampled universe
+    "ann_graph_search" -> annGraphSearchOracleSql(),
+    "ann_recall_graph" -> annRecallGraphOracleSql(),
     "emb_rq" -> embRqOracleSql,
     "emb_rq_adc" -> embRqAdcOracleSql,
     "emb_pq" -> embPqOracleSql,

@@ -768,6 +768,99 @@ object Ann {
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Bounded-beam greedy search over the [[embKnnGraph]] edge set —
+    * the SERVING leg of the graph-ANN family (HNSW/NSG-style
+    * navigation, flattened to a fixed number of expansion rounds so
+    * the whole search is ONE lazy Catalyst plan — the
+    * emb_init_farthest chaining shape). Per round: the current
+    * top-`beam` visited nodes per query expand through the edge
+    * frame (equi-join on the edge's source axis), unseen neighbors
+    * are exact-cosine scored against the query (broadcast query set,
+    * map-only), and the union re-ranks. After `rounds` rounds the
+    * answer is the top-k of everything visited (self excluded).
+    *
+    * Deterministic end-to-end: the entry point is the sample's
+    * minimum vec_id (1-row broadcast), every rank orders by
+    * (sim DESC, vec_id), and the visited set is exact keys — no RNG,
+    * so the DuckDB oracle replays the full unrolled trajectory.
+    *
+    * Scale shape: visited stays ≤ 1 + rounds·beam·graphK rows PER
+    * QUERY (bounded constants), every expansion is an equi-join on
+    * the graph's partitioned vec_id axis, every rank is a window
+    * over the per-query bounded visited set — with millions of
+    * queries everything co-partitions on q_id; nothing is ever
+    * corpus × queries. Each round's union is lazy-localCheckpointed
+    * (file-wide twice-consumed convention: the beam, the anti-join
+    * and the union all read it).
+    */
+  def annGraphSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+                     k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
+                     rate: Double = 0.1, blocks: Int = 16): DataFrame = {
+    val edges = embKnnGraph(spark, dir, graphK, rate, blocks)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      .localCheckpoint(eager = false)
+    val nodes = Tables.embeddings(spark, dir)
+      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+      .localCheckpoint(eager = false)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        V.normSq(col("embedding")).as("q_n2"))
+    val entry = nodes.agg(min("vec_id").as("vec_id"))
+    val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    def scoreKeys(keys: DataFrame): DataFrame =
+      keys.join(nodes, "vec_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"), sim.as("sim"))
+    val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    var visited = scoreKeys(q.select("q_id").crossJoin(broadcast(entry)))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val beamDf = visited.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= beam).select("q_id", "vec_id")
+      val newKeys = beamDf.join(edges, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      visited = visited.unionByName(scoreKeys(newKeys)).localCheckpoint(eager = false)
+    }
+    visited.filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** recall@k of the graph-beam search vs the exact top-k over the
+    * SAME candidate universe (the graph's sampled node set, self
+    * excluded) — the fourth recall curve next to IVF/LSH/ADC: this
+    * one moves with beam width and expansion rounds, isolating
+    * NAVIGATION loss from the sampling loss the graph build already
+    * chose. Exact side is the bounded-broadcast query scan over the
+    * sampled nodes.
+    */
+  def annRecallGraph(spark: SparkSession, dir: String, nQueries: Int = 10,
+                     k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
+                     rate: Double = 0.1, blocks: Int = 16): DataFrame = {
+    val approx = annGraphSearch(spark, dir, nQueries, k, beam, rounds, graphK, rate, blocks)
+      .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
+    val nodes = Tables.embeddings(spark, dir)
+      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        V.normSq(col("embedding")).as("q_n2"))
+    val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val exact = broadcast(q).join(nodes, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id")
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
   /** Matryoshka-truncation recall: top-k retrieval quality when only
     * the first `dims` of 64 dimensions are used (cosine over the
     * prefix) vs the full-dimension exact top-k — the evaluation an

@@ -1900,6 +1900,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("graph-beam search: universe/rank invariants + monotone rounds lever") {
+    import graft.operators.Ann
+    // the search's world is the sampled node set (= the graph's own
+    // source nodes): every answer lives there, the query itself
+    // never appears, ranks are dense 1..k with non-increasing sims
+    val nodes = Ann.embKnnGraph(spark, sf).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val res = Ann.annGraphSearch(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(nodes.contains(r.getLong(2)), s"answer ${r.getLong(2)} outside the sampled universe")
+      assert(r.getLong(2) != r.getLong(0), "query returned as its own neighbor")
+    }
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // extra rounds continue the SAME deterministic trajectory, so
+    // visited only grows; and a growing visited set can never lose a
+    // match (a displaced node is displaced by a higher-sim node,
+    // which then matches the exact top-k whenever the displaced one
+    // did) — so total matches are structurally monotone in rounds
+    def matches(rounds: Int, beam: Int = 4): Long =
+      Ann.annRecallGraph(spark, sf, rounds = rounds, beam = beam)
+        .agg(sum("n_match")).collect()(0).getLong(0)
+    val r1 = matches(1); val r3 = matches(3); val r5 = matches(5)
+    info(s"graph recall matches at beam=4: rounds1=$r1 rounds3=$r3 rounds5=$r5 (beam8/r5=${matches(5, 8)})")
+    assert(r1 <= r3 && r3 <= r5)
+  }
+
   test("dedup audit family through the shared pair seam equals recompute") {
     import graft.operators.NearDup
     val (venn, sizes, keep) = NearDup.dedupAuditFamily(spark, sf)

@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     // derived-partsupp family: 1-row supplier-count broadcast into
     // the stride-mod assignment (Tpch.partsupp); q11 adds its own
     // 1-row (total, n_parts) threshold broadcast
-    "q2_mincost", "q11_stock_value", "q16_supplier_cnt", "q20_promo_parts"
+    "q2_mincost", "q11_stock_value", "q16_supplier_cnt", "q20_promo_parts",
+    // 1-row entry-point broadcast crossed with the bounded query set
+    "ann_graph_search", "ann_recall_graph"
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
