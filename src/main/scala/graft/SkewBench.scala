@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * (skewedPartitionThresholdInBytes 4m / advisory 2m vs the 256m/64m
   * defaults, same ratio at ~1/50 the partition bytes of a production
   * shuffle) and applied IDENTICALLY across variants so only the
-  * mitigation differs. Each variant's aggregate result is printed so
-  * the three plans are visibly computing the same join.
+  * mitigation differs. Every variant's (chk, n) aggregate — an
+  * exact-integer checksum, summation-order-independent — is asserted
+  * equal across variants before any artifact is written; a
+  * mismatching mitigation exits nonzero instead of producing a
+  * plausible-looking A/B row.
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
@@ -59,9 +62,15 @@ object SkewBench {
       .distinct()
       .withColumn("payload", pmod(col("k"), lit(97L)))
 
-    def plainJoin: DataFrame = fact.join(dim, "k")
-      .agg(round(sum(col("value") * col("payload")), 2).as("chk"),
+    // exact-integer checksum: per-row cents × integer payload summed
+    // as BIGINT — summation-order-independent, so the cross-variant
+    // result assert below is EXACT (a float sum can differ in ulps
+    // across partitionings and would make the check flaky)
+    def chkAgg(df: DataFrame): DataFrame =
+      df.agg(sum(expr("CAST(round(value * 100) AS BIGINT)") * col("payload")).as("chk"),
         count(lit(1)).as("n"))
+
+    def plainJoin: DataFrame = chkAgg(fact.join(dim, "k"))
 
     // The ELIGIBILITY variant: OptimizeSkewedJoin only matches a join
     // whose children are Sort-over-bare-ShuffleQueryStage. In
@@ -72,25 +81,21 @@ object SkewBench {
     // behind a lazy localCheckpoint forces a fresh ENSURE_REQUIREMENTS
     // exchange under the join, making the stage shape eligible.
     def plainJoinDetachedDim: DataFrame =
-      fact.join(dim.localCheckpoint(eager = false), "k")
-        .agg(round(sum(col("value") * col("payload")), 2).as("chk"),
-          count(lit(1)).as("n"))
+      chkAgg(fact.join(dim.localCheckpoint(eager = false), "k"))
 
     def saltedJoin: DataFrame = {
       // deterministic per-row salt from the row's own identity
       val salted = fact.withColumn("_salt",
         pmod(xxhash64(col("k"), col("m"), col("value")), lit(salts.toLong)))
       val dimX = dim.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
-      salted.join(dimX, Seq("k", "_salt"))
-        .agg(round(sum(col("value") * col("payload")), 2).as("chk"),
-          count(lit(1)).as("n"))
+      chkAgg(salted.join(dimX, Seq("k", "_salt")))
     }
 
     // min over reps: isolates plan cost from box-contention noise
     // (straggler vs split differences are multiples, not percents —
     // the min is the honest per-plan floor)
     val reps = sys.env.get("SPARK_GRAFT_SKEW_REPS").map(_.toInt).getOrElse(3)
-    def run(tag: String, skewJoinOn: Boolean, df: => DataFrame): (Double, String) = {
+    def run(tag: String, skewJoinOn: Boolean, df: => DataFrame): (Double, String, (Long, Long)) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn.toString)
       val timed = (1 to reps).map { _ =>
         val frame = df
@@ -106,7 +111,7 @@ object SkewBench {
       }
       val (secs, skewFired, r) = timed.minBy(_._1)
       System.err.println(s"[skew] $tag chk=${r.get(0)} n=${r.get(1)} secs=$secs skewFired=$skewFired all=${timed.map(t => f"${t._1}%.2f").mkString(",")}")
-      (secs, s""""$tag":{"secs":$secs,"skew_split_fired":$skewFired}""")
+      (secs, s""""$tag":{"secs":$secs,"skew_split_fired":$skewFired}""", (r.getLong(0), r.getLong(1)))
     }
 
     // warmup: table scan + codegen
@@ -119,6 +124,17 @@ object SkewBench {
       run("salted_manual", skewJoinOn = false, saltedJoin),
       // both ON: does the salt mislead or compose with AQE?
       run("salted_with_aqe", skewJoinOn = true, saltedJoin))
+
+    // every mitigation variant must compute the SAME join result — a
+    // salting bug dropping rows would otherwise still emit a
+    // plausible timing artifact; the exact-integer chk makes this an
+    // equality, not a tolerance
+    val checks = results.map(_._3).distinct
+    if (checks.length > 1) {
+      System.err.println(s"[skew] RESULT MISMATCH across variants: (chk, n) = ${checks.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
 
     val json =
       s"""{"metric":"skew_ab","sf":"$sfDir","amp":$amp,"salts":$salts,"seconds":{${results.map(_._2).mkString(",")}}}"""

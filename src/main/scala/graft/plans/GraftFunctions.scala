@@ -62,6 +62,9 @@ object GraftFunctions {
       Murmur3_128(args(0), seed)
     },
     "block_hash" -> { args => BlockHash(args(0)) },
+    // z_value(a, b[, bits]): keys are masked to [0, 2^bits) — see
+    // zValueExpr's domain contract (out-of-range/negative keys alias
+    // deterministically; pruning quality, not correctness, degrades)
     "z_value" -> { args =>
       val bits = if (args.length > 2) intArg(args(2), "z_value bits") else 21
       zValueExpr(args(0), args(1), bits)
@@ -70,10 +73,23 @@ object GraftFunctions {
   /** Morton bit-interleave of two int64 keys as a pure
     * shift/and/or expression tree (codegen'd end-to-end) — shared by
     * the SQL `z_value` function and `GraftSink.zValue`'s Column API.
+    *
+    * Domain contract: keys are interleaved from their LOW `bits`
+    * bits, masked explicitly to [0, 2^bits). A key outside that
+    * range (wider, or negative — whose sign extension would
+    * otherwise leak 1-bits through ShiftRight and mis-order the
+    * curve) aliases DETERMINISTICALLY onto its masked value: scan
+    * results stay correct (data filters still apply), only the
+    * footer-stat pruning quality degrades for the aliased range, and
+    * the masking keeps ordering consistent instead of sign-flipped.
+    * Callers with wider domains should pre-scale (e.g. epoch-day
+    * rather than epoch-ms) or raise `bits`.
     */
   def zValueExpr(a: Expression, b: Expression, bits: Int): Expression = {
     require(bits >= 1 && bits <= 31, "z_value bits per key must be in [1, 31]")
-    def longE(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+    val mask = (1L << bits) - 1
+    def longE(e: Expression) =
+      BitwiseAnd(Cast(e, org.apache.spark.sql.types.LongType), Literal(mask))
     (0 until bits).map { i =>
       val ab = ShiftLeft(BitwiseAnd(ShiftRight(longE(a), Literal(i)), Literal(1L)),
         Literal(2 * i + 1))

@@ -54,6 +54,16 @@ object EvolvingParquet {
     * silently nulled.
     */
   def conform(df: DataFrame, expected: StructType): DataFrame = {
+    // two input columns differing only by case (possible after
+    // mergeSchema over case-sensitively written generations) would
+    // silently resolve to whichever the map kept last — and
+    // col(actual) could then throw an ambiguous-reference error far
+    // from the cause; fail HERE with the colliding names instead
+    val collisions = df.schema.fieldNames
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT)).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      s"conform: case-colliding input columns ${collisions.values.map(_.mkString("/")).mkString(", ")} — " +
+        "disambiguate (rename/drop) before conforming to the contract schema")
     val have = df.schema.fieldNames.map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
     val cols = expected.fields.map { f =>
       have.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {

@@ -73,6 +73,18 @@ class EvolvingParquetSpec extends SparkSpec {
     assert(got.getLong(0) === 7L && got.getString(1) === "Hi" && got.getString(2) === "en")
   }
 
+  test("conform fails fast on case-colliding input columns") {
+    import spark.implicits._
+    // mergeSchema over case-sensitively written generations can
+    // surface both `lang` and `Lang`; resolving either silently
+    // would pick an arbitrary winner — conform names the collision
+    val df = Seq((7L, "Hi", "en", "EN")).toDF("doc_id", "text", "lang", "Lang")
+    val e = intercept[IllegalArgumentException] {
+      EvolvingParquet.conform(df, contract)
+    }
+    assert(e.getMessage.contains("case-colliding") && e.getMessage.contains("lang"))
+  }
+
   test("streaming read under the contract schema accepts old-generation files") {
     withTempDir { dir =>
       writeGens(dir)

@@ -21,6 +21,21 @@ class ZOrderSpec extends SparkSpec {
     assert(rows === Seq(0L, 2L, 1L, 3L, 15L, 0xAAAAL))
   }
 
+  test("zValue masks keys to [0, 2^bits): no sign-extension leak, deterministic aliasing") {
+    import spark.implicits._
+    def zOf(a: Long, b: Long): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftSink.zValue(col("a"), col("b"), bits = 8))
+        .collect().head.getLong(0)
+    // each out-of-range key aliases exactly onto its low-8-bit value:
+    // -1 → 255 (not a sign-extended garbage curve), 256 → 0, -3 → 253
+    assert(zOf(-1L, 0L) === zOf(255L, 0L))
+    assert(zOf(256L, 3L) === zOf(0L, 3L))
+    assert(zOf(5L, -3L) === zOf(5L, 253L))
+    // and in-range values are untouched (mask is the identity there)
+    assert(zOf(3L, 3L) === 15L)
+  }
+
   test("z-ordered layout prunes a one-dimension range scan that a cross-column sort cannot") {
     withTempDir { dir =>
       val n = 1 << 16 // 256x256 grid, one row per cell
