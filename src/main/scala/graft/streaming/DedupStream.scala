@@ -350,6 +350,80 @@ object DedupStream {
         OutputMode.Append)
   }
 
+  /** One compacted CDC/upsert row: the key's LATEST event by
+    * (ts, event_id) at flush time — the streaming twin of
+    * `Relational.qCompactLatest`'s batch keep-newest.
+    */
+  case class CompactRow(user_id: Long, event_type: String,
+                        last_event_id: Long, last_ms: Long, last_value: Double)
+
+  /** Keep-LATEST compaction per (user_id, event_type) on
+    * `transformWithState`: ValueState holds the running max by
+    * (ts ms, event_id) — max is COMMUTATIVE, so the result is
+    * micro-batch-split- and arrival-order-independent (stronger than
+    * the TTL chain's in-order contract) — and an event-time TIMER at
+    * latest_ts + flushMs emits the compacted row once the key has
+    * been quiet past the horizon, then clears state. A superseded
+    * timer (newer event arrived after it was registered) is ignored
+    * by the same expiry-time guard as [[TtlChainProcessor]]. A key
+    * updated again AFTER its flush opens a new compaction epoch and
+    * will emit a second row — CDC upsert semantics downstream.
+    * State: one (long, long, double) per live key, watermark-bounded.
+    */
+  final class CompactLatestProcessor(flushMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), Ev, CompactRow] {
+    @transient private var latest:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val E = org.apache.spark.sql.Encoders
+      latest = getHandle.getValueState("latest",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CompactRow] = {
+      val cur = if (latest.exists()) Some(latest.get()) else None
+      val best = (cur.iterator ++ rows.map(e => (e.ts.getTime, e.event_id, e.value)))
+        .maxBy(t => (t._1, t._2))
+      if (!cur.contains(best)) latest.update(best)
+      getHandle.registerTimer(best._1 + flushMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CompactRow] = {
+      // emit only if the CURRENT latest's horizon expired — a newer
+      // event re-registered its own later timer
+      if (latest.exists() && latest.get()._1 + flushMs <= expired.getExpiryTimeInMs) {
+        val (ts, id, v) = latest.get()
+        latest.clear()
+        Iterator.single(CompactRow(key._1, key._2, id, ts, v))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming keep-latest compaction (the CDC mirror of the dedup
+    * family's first-wins): one compacted row per (user_id,
+    * event_type) once the key is quiet for `flushMs` of event time.
+    * Stream ≡ batch: over a closed input whose watermark passes every
+    * timer, the emitted set equals qCompactLatest's batch keep-newest
+    * (spec-pinned across uneven splits on RocksDB).
+    */
+  def compactLatest(events: Dataset[Ev], flushMs: Long = 600000L,
+                    watermark: String = "10 minutes"): Dataset[CompactRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new CompactLatestProcessor(flushMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
   /** State for one bounded-cache slot: the occupant content key's
     * hash and its anchor prime's event-time millis.
     */

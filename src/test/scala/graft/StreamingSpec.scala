@@ -130,6 +130,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState keep-latest compaction equals batch keep-newest " +
+    "across uneven splits (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def e(id: Long, tMs: Long, user: Long, typ: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(tMs), user, typ, v, "{}")
+    val evs = Seq(
+      e(1, base, 1, "a", 1.0), e(2, base + 5000, 1, "a", 2.0),
+      e(3, base + 1000, 1, "b", 3.0),
+      e(4, base + 2000, 2, "a", 4.0), e(5, base + 2000, 2, "a", 5.0), // ts tie → id 5
+      e(6, base + 9000, 2, "a", 6.0))
+    // a far-future fence advances the watermark past every key's
+    // flush horizon so all timers fire; its own key stays unflushed
+    val fence = e(999, base + 86400000L, 99, "zz", 0.0)
+    // batch keep-newest (qCompactLatest's rule: max by (ts, event_id))
+    val expect = evs.groupBy(x => (x.user_id, x.event_type)).map { case (k, g) =>
+      val m = g.maxBy(x => (x.ts.getTime, x.event_id))
+      (k._1, k._2, m.event_id, m.ts.getTime, m.value)
+    }.toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // max is commutative, so the emitted set must be identical for
+      // ANY micro-batch split of the same input
+      for (cut <- Seq(2, 4)) {
+        val input = MemoryStream[Ev]
+        val q = DedupStream.compactLatest(input.toDS(), flushMs = 60000L)
+          .toDF().writeStream.format("memory").queryName(s"cl_$cut")
+          .outputMode(OutputMode.Append).start()
+        try {
+          input.addData(evs.take(cut): _*); q.processAllAvailable()
+          input.addData(evs.drop(cut): _*); q.processAllAvailable()
+          input.addData(fence); q.processAllAvailable()
+          val got = spark.table(s"cl_$cut").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          assert(got.length === got.toSet.size, "duplicate compaction rows")
+          assert(got.toSet === expect, s"split at $cut")
+        } finally q.stop()
+      }
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming simhash candidates across micro-batches equal the batch pair join") {
     import graft.operators.NearDup
     import graft.streaming.NearDupStream
