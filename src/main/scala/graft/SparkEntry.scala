@@ -222,7 +222,6 @@ object SparkEntry {
     "q_pareto" -> ((s, d) => present(Relational.qPareto(s, d), "decile")),
     "q_attribution" -> ((s, d) => present(Relational.qAttribution(s, d), "event_id")),
     "docs_cooc_lift" -> ((s, d) => present(TextAnalysis.docsCoocLift(s, d), "a", "b")),
-    "docs_cooc_salted" -> ((s, d) => present(TextAnalysis.docsCoocLiftSalted(s, d), "a", "b")),
     "q_skew_profile" -> ((s, d) => present(Relational.qSkewProfile(s, d), "bucket")),
     "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
     "emb_lsh_balance" -> ((s, d) => present(Ann.embLshBalance(s, d), "t")),
@@ -3115,22 +3114,6 @@ object SparkEntry {
     // skip-gram replay: positional self-join within the +1..+3
     // window, exact counts, x10^4 integer-floor lift
     "docs_cooc_lift" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |p AS (SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS INT)] AS tok
-        |      FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
-        |pr AS (SELECT a.tok AS a, b.tok AS b, count(*) AS c_ab
-        |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
-        |       GROUP BY 1, 2 HAVING count(*) >= 5),
-        |m AS (SELECT tok, count(*) AS c FROM p GROUP BY 1),
-        |t2 AS (SELECT count(*) AS n_total FROM p)
-        |SELECT pr.a, pr.b, CAST(pr.c_ab AS BIGINT) AS c_ab,
-        |       CAST(ma.c AS BIGINT) AS c_a, CAST(mb.c AS BIGINT) AS c_b,
-        |       CAST((pr.c_ab * n_total * 10000) // (ma.c * mb.c) AS BIGINT) AS lift_x1e4
-        |FROM pr JOIN m ma ON pr.a = ma.tok JOIN m mb ON pr.b = mb.tok, t2
-        |ORDER BY a, b""".stripMargin,
-    // salting only re-keys the marginal joins (every pair row matches
-    // exactly one replicated marginal row per side) — shared replay
-    "docs_cooc_salted" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS INT)] AS tok
         |      FROM tok CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),

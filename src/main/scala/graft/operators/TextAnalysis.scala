@@ -980,7 +980,16 @@ object TextAnalysis {
     * salt) — a Zipf-hot token's pair rows now spread over S reduce
     * partitions instead of one. Each pair row still matches exactly
     * one replicated marginal row per side, so the output is the
-    * plain variant's row-for-row (equality spec + shared replay).
+    * plain variant's row-for-row (equality spec).
+    *
+    * LIB SEAM, not a contract query (demoted round 8): the round-7
+    * SkewBench A/B showed that once the marginal is detached (see
+    * [[coocParts]]), AQE's skew split is ELIGIBLE and beats this ×S
+    * replication — which costs ~9.7× at 10× data when no key is
+    * actually hot. Use the plain variant by default; select this
+    * rendering only on q_skew_profile evidence of a hot join key in
+    * a shape where AQE's split cannot fire (aggregate fused under
+    * the join, windows over the hot key, stream-stream joins).
     */
   def docsCoocLiftSalted(spark: SparkSession, dir: String,
                          salts: Int = 8): DataFrame = {

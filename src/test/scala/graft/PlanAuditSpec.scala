@@ -28,7 +28,6 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto", // single-row total broadcast onto 10 decile rows
     "q_skew_profile", // single-row total broadcast onto <=64 bucket rows
     "docs_cooc_lift", // single-row corpus-total broadcast onto pair rows
-    "docs_cooc_salted", // same single-row total broadcast as the plain variant
     "text_zipf", // single-row corpus-total broadcast onto k post-limit rows
     "q22_global", // single-row (sum, count) threshold broadcast onto customer
     "text_vocab_coverage", // single-row corpus-total broadcast onto |ks| rows
