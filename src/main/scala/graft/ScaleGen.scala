@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-up generator for the sf1 soak (VERDICT r4 item #5).
+/** Scale-up generator for the sf1 / sf10 soaks (VERDICT r4 item #5;
+  * the second decade is VERDICT r7 item #4).
   *
-  * Replicates the driver's sf0.1 fact tables `factor`× into an
-  * sf1-shaped directory, preserving each replica's INTERNAL
+  * Replicates the driver's sf0.1 fact tables `factor`× into a
+  * larger-SF-shaped directory, preserving each replica's INTERNAL
   * duplicate/cluster/session structure while keeping replicas
   * mutually dissimilar — so near-dup cluster COUNT scales linearly
   * (like real corpus growth) instead of cluster SIZE scaling (which
@@ -14,18 +15,23 @@ import org.apache.spark.sql.functions._
   *
   *  - keys (`doc_id`, `vec_id`, `event_id`, `user_id`, `o_orderkey`,
   *    `l_orderkey`) get a per-replica offset → disjoint key spaces;
-  *  - `documents.text` goes through a per-replica Caesar rotation of
-  *    the ASCII letters (a bijection on tokens): intra-replica
+  *  - `documents.text` goes through a per-replica AFFINE bijection
+  *    of the ASCII letters (i → a·i + b mod 26, a coprime to 26;
+  *    replica r < 26 gets a = 1 — exactly the old Caesar rotation,
+  *    so sf1 outputs are unchanged — and 312 distinct maps cover a
+  *    factor-100 run where bare rotations would collide and create
+  *    fake cross-replica exact duplicates): intra-replica
   *    shingle/minhash/simhash relations are isomorphic to the
-  *    original, while cross-replica vocabularies are disjoint;
+  *    original, cross-replica vocabularies (essentially) disjoint;
   *    lengths and charclass composition are preserved exactly;
-  *  - `embeddings.embedding` is cyclically rotated by 7·r dims: a
-  *    norm-preserving isometry per replica (intra-replica cosine
-  *    geometry identical), while a vector and its rotation are
-  *    near-orthogonal for the synthetic distribution — replicas do
-  *    not cross-match in cosine/IVF space;
+  *  - `embeddings.embedding` is cyclically rotated by 7·r dims, and
+  *    replicas ≥ 64 (where the 64-dim rotation cycle would repeat)
+  *    are additionally NEGATED — both norm-preserving isometries
+  *    (intra-replica cosine geometry identical), while a vector and
+  *    its transform are near-orthogonal for the synthetic
+  *    distribution — replicas do not cross-match in cosine/IVF space;
   *  - `events.ts` stays the raw int64 nanos the driver wrote (read
-  *    with the same legacy conf Tables.events uses), so the sf1
+  *    with the same legacy conf Tables.events uses), so the scaled
   *    directory honors the TIMESTAMP(NANOS) reader contract.
   *
   * Dimension tables (region/nation/customer/supplier/part) are
@@ -63,34 +69,47 @@ object ScaleGen {
     }
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    // affine letter bijection i → a·i + b (mod 26): a drawn from the
+    // units of Z26, b = r mod 26; r < 26 gives a = 1 = the original
+    // Caesar rotation (sf1 outputs unchanged), 12·26 = 312 distinct
+    // maps cover factor-100 runs without cross-replica collisions
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(r: Int): String = {
+      val a = units((r / 26) % units.length)
+      val b = r % 26
+      (0 until 26).map(i => lower((a * i + b) % 26)).mkString
+    }
+    val factParts = math.max(1, factor / 10)
 
-    replicate("orders", 8) { (df, r) =>
+    replicate("orders", 8 * factParts) { (df, r) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(Off * r))
     }
-    replicate("lineitem", 16) { (df, r) =>
+    replicate("lineitem", 16 * factParts) { (df, r) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(Off * r))
     }
-    replicate("events", 16) { (df, r) =>
+    replicate("events", 16 * factParts) { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(Off * r))
         .withColumn("user_id", col("user_id") + lit(Off * r))
     }
-    replicate("documents", 8) { (df, r) =>
+    replicate("documents", 8 * factParts) { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(Off * r))
         .withColumn("text",
           translate(col("text"),
             lower + lower.toUpperCase,
-            rot(lower, r) + rot(lower, r).toUpperCase))
+            affine(r) + affine(r).toUpperCase))
     }
-    replicate("embeddings", 8) { (df, r) =>
+    replicate("embeddings", 8 * factParts) { (df, r) =>
       val shift = (7 * r) % 64
       val rotated =
         if (shift == 0) col("embedding")
         else concat(
           slice(col("embedding"), shift + 1, 64 - shift),
           slice(col("embedding"), 1, shift))
+      // past one full rotation cycle, negate — a second isometry
+      // keeping replica pairs (r, r+64k) from being exact duplicates
+      val iso = if (r >= 64) transform(rotated, x => -x) else rotated
       df.withColumn("vec_id", col("vec_id") + lit(Off * r))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", iso)
     }
 
     println(s"""{"scalegen":"$outDir","factor":$factor}""")

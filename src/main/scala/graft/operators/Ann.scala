@@ -251,6 +251,41 @@ object Ann {
     greatest(scored: _*).getField("cid")
   }
 
+  /** Above this K, quantizer assignment switches from the K-literal
+    * expression rendering (greatest/sort_array over K inlined
+    * structs — fastest at small K, but the plan stops codegen-ing
+    * and eventually compiling past a few hundred centroids) to the
+    * FOLDED rendering ([[centFold]] + a per-row HOF over the
+    * broadcast centroid array — the emb_kmeans_train shape, linear
+    * at any K). Package-visible so the equality spec can force both
+    * paths over the same K.
+    */
+  private[graft] var literalKMax = 64
+
+  /** The K-row centroid table folded to ONE row (`cs`: array of
+    * (cid, cvec, h) structs, cid-sorted) — driver constants shipped
+    * as broadcast DATA instead of plan literals. `h` = ‖c‖²/2 summed
+    * on the driver exactly like the literal path's `lit(...)`, so
+    * scores are bit-identical across renderings.
+    */
+  private def centFold(spark: SparkSession, cents: Seq[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(cents.map { case (cid, c) =>
+        (cid, c.toSeq, c.map(x => x * x).sum / 2.0) })
+      .toDF("cid", "cvec", "h")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"), col("h")))).as("cs"))
+
+  /** Per-row scored-centroid array over the folded `cs` column:
+    * struct(s = ⟨x, c⟩ − ‖c‖²/2, cid) per centroid, via the
+    * codegen'd [[graft.plans.VecDot]] kernel (one flat eval per
+    * element inside the HOF — the VecL2Sq precedent). (s, cid)
+    * struct comparisons give the same argmax/top-n tie semantics as
+    * the literal greatest/sort_array rendering.
+    */
+  private def scoredFoldArr: org.apache.spark.sql.Column =
+    transform(col("cs"), cc => struct(
+      (graft.plans.VecDot(col("embedding"), cc.getField("cvec")) - cc.getField("h")).as("s"),
+      cc.getField("cid").as("cid")))
+
   /** Trained IVF coarse quantizer: centroids as a local
     * Seq[(cid, Array[Double])] — K·dim doubles, driver constants —
     * refined with `iters` Lloyd iterations executed as Spark
@@ -262,7 +297,11 @@ object Ann {
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val assigned = e.withColumn("cid", nearestCentroid(cents))
+      val assigned =
+        if (cents.size <= literalKMax) e.withColumn("cid", nearestCentroid(cents))
+        else e.crossJoin(broadcast(centFold(e.sparkSession, cents)))
+          .withColumn("cid", array_max(scoredFoldArr).getField("cid"))
+          .drop("cs")
       // means are ROUNDED to 4 decimals: a distributed avg's partial-
       // sum merge order varies with partitioning (and any external
       // recomputation sums in yet another order), so unrounded
@@ -1031,17 +1070,26 @@ object Ann {
     val cents = ivfCentroids(e, k, iters)
     // top-nprobe cells per vector: the embRouter struct-sort shape,
     // map-only (ties break to the larger cid, matching the oracle's
-    // score DESC, cid DESC assignment order)
-    val scored = cents.map { case (cid, c) =>
-      struct(
-        (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
-          lit(c.map(x => x * x).sum / 2.0)).as("s"),
-        lit(cid).as("cid"))
-    }
-    val assigned = e
-      .select(col("vec_id"),
-        explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)).as("sc"))
-      .select(col("vec_id"), col("sc.cid").as("cid"))
+    // score DESC, cid DESC assignment order). Past literalKMax the
+    // same sort/slice runs over the FOLDED broadcast centroid array
+    // instead of K inlined literal structs (identical scores and tie
+    // semantics — equality spec-pinned), which is what lets auto-K
+    // grow with the corpus without hitting the plan-literal wall.
+    val assigned =
+      if (cents.size <= literalKMax) {
+        val scored = cents.map { case (cid, c) =>
+          struct(
+            (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+              lit(c.map(x => x * x).sum / 2.0)).as("s"),
+            lit(cid).as("cid"))
+        }
+        e.select(col("vec_id"),
+            explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)).as("sc"))
+          .select(col("vec_id"), col("sc.cid").as("cid"))
+      } else e.crossJoin(broadcast(centFold(spark, cents)))
+        .select(col("vec_id"),
+          explode(slice(sort_array(scoredFoldArr, asc = false), 1, nprobe)).as("sc"))
+        .select(col("vec_id"), col("sc.cid").as("cid"))
     val cand = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

@@ -1900,6 +1900,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("folded-centroid assignment equals the literal rendering (quantizer + semantic pairs)") {
+    import graft.operators.Ann
+    // same K through both renderings: the literal path inlines K
+    // struct expressions, the fold path broadcasts the centroid
+    // array and scores via a HOF — scores and (s, cid) tie
+    // semantics must be bit-identical (auto-K relies on the fold
+    // past literalKMax, where the literal plan stops compiling)
+    def pairs() = Ann.embSemanticPairs(spark, sf, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lit = pairs()
+    val prev = Ann.literalKMax
+    try {
+      Ann.literalKMax = 0 // force the fold path (also inside Lloyd)
+      assert(pairs() === lit)
+    } finally Ann.literalKMax = prev
+    assert(lit.nonEmpty)
+  }
+
   test("graph-beam search: universe/rank invariants + monotone rounds lever") {
     import graft.operators.Ann
     // the search's world is the sampled node set (= the graph's own
