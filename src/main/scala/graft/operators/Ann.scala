@@ -1060,51 +1060,80 @@ object Ann {
     * the IVF probe/recall trade [[annRecall]] monitors on the search
     * side.
     */
+  /** The (vec_id, cid) coarse-cell assignment behind
+    * [[embSemanticPairs]] — top-nprobe cells per vector, the
+    * embRouter struct-sort shape, map-only (ties break to the larger
+    * cid, matching the oracle's score DESC, cid DESC order). Past
+    * [[literalKMax]] the same sort/slice runs over the FOLDED
+    * broadcast centroid array instead of K inlined literal structs
+    * (identical scores and tie semantics — equality spec-pinned),
+    * which is what lets auto-K grow with the corpus without hitting
+    * the plan-literal wall. Package-visible for balance diagnostics
+    * (SemDedupProbe).
+    */
+  private[graft] def semanticAssignments(e: DataFrame, k: Int,
+                                         iters: Int, nprobe: Int): DataFrame =
+    semanticAssignmentsFull(e, k, iters, nprobe).select("vec_id", "cid")
+
+  /** [[semanticAssignments]] CARRYING the vector payload
+    * (vec_id, cid, embedding, n2): the assignment is map-only over
+    * the norm frame, so the payload rides for free — and the pair
+    * join verifies IN-JOIN on the cid-shuffled sides, so the shuffle
+    * volume is n·nprobe·(dim payload), linear in the corpus, instead
+    * of Σn_k² candidate rows re-fetching their embeddings through
+    * id-keyed joins (the round-8 sf10 movement net measured that
+    * shape at 2.7 GB where this one moves ~0.1 GB).
+    */
+  private[graft] def semanticAssignmentsFull(e: DataFrame, k: Int,
+                                             iters: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(e, k, iters)
+    if (cents.size <= literalKMax) {
+      val scored = cents.map { case (cid, c) =>
+        struct(
+          (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
+            lit(c.map(x => x * x).sum / 2.0)).as("s"),
+          lit(cid).as("cid"))
+      }
+      e.select(col("vec_id"), col("embedding"), col("n2"),
+          explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)).as("sc"))
+        .select(col("vec_id"), col("sc.cid").as("cid"), col("embedding"), col("n2"))
+    } else e.crossJoin(broadcast(centFold(e.sparkSession, cents)))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        explode(slice(sort_array(scoredFoldArr, asc = false), 1, nprobe)).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid"), col("embedding"), col("n2"))
+  }
+
+  /** The sampled-norm embedding frame the semantic-dedup family
+    * reads (vec_id, embedding, n2). */
+  private[graft] def semanticFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+
   def embSemanticPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.4, clusters: Int = 0,
                        iters: Int = 1, nprobe: Int = 1): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val e = semanticFrame(spark, dir)
     val k = if (clusters > 0) clusters
             else clustersFor(Tables.embeddings(spark, dir).count())
-    val cents = ivfCentroids(e, k, iters)
-    // top-nprobe cells per vector: the embRouter struct-sort shape,
-    // map-only (ties break to the larger cid, matching the oracle's
-    // score DESC, cid DESC assignment order). Past literalKMax the
-    // same sort/slice runs over the FOLDED broadcast centroid array
-    // instead of K inlined literal structs (identical scores and tie
-    // semantics — equality spec-pinned), which is what lets auto-K
-    // grow with the corpus without hitting the plan-literal wall.
-    val assigned =
-      if (cents.size <= literalKMax) {
-        val scored = cents.map { case (cid, c) =>
-          struct(
-            (graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
-              lit(c.map(x => x * x).sum / 2.0)).as("s"),
-            lit(cid).as("cid"))
-        }
-        e.select(col("vec_id"),
-            explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)).as("sc"))
-          .select(col("vec_id"), col("sc.cid").as("cid"))
-      } else e.crossJoin(broadcast(centFold(spark, cents)))
-        .select(col("vec_id"),
-          explode(slice(sort_array(scoredFoldArr, asc = false), 1, nprobe)).as("sc"))
-        .select(col("vec_id"), col("sc.cid").as("cid"))
-    val cand = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
+    // in-join verification: both sides of the cid equi-join carry
+    // their vector payload (map-only assignment), so the candidate
+    // pairs exist only inside the join's output stream and are
+    // reduced by the sim threshold BEFORE anything is shuffled — the
+    // shuffle moves n·nprobe payload rows, never Σn_k² pair rows
+    // re-fetching embeddings (the shape the sf10 movement net caught
+    // at 2.7 GB; this one moves ~0.1 GB at the same scale). A pair
+    // sharing several cells under multi-assign verifies once per
+    // shared cell and dedups in the final (tiny) distinct.
+    val a = semanticAssignmentsFull(e, k, iters, nprobe)
     val sim = V.cosineWithNorms(
-      V.dot(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2"))
-    cand
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("n2").as("a_n2")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("n2").as("b_n2")), "b_id")
-      .select(col("a_id"), col("b_id"), sim.as("sim"))
+      V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
+    a.as("a")
+      .join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .distinct()
   }
 
   /** Per-table LSH bucket-balance monitor: occupied buckets, vector
