@@ -162,6 +162,7 @@ object SparkEntry {
     "docs_sample_stratified" -> ((s, d) => present(Sampling.docsSampleStratified(s, d), "doc_id")),
     "docs_mix_sample" -> ((s, d) => present(Sampling.docsMixSample(s, d), "source")),
     "docs_mix_tokens" -> ((s, d) => present(Sampling.docsMixTokens(s, d), "source")),
+    "docs_mix_temperature" -> ((s, d) => present(Sampling.docsMixTemperature(s, d), "source")),
     "docs_dsir_weights" -> ((s, d) => present(Sampling.docsDsirWeights(s, d), "doc_id")),
     "docs_dsir_sample" -> ((s, d) => present(Sampling.docsDsirSample(s, d), "doc_id")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
@@ -2834,6 +2835,38 @@ object SparkEntry {
         |       CAST(plan.n_toks AS BIGINT) AS n_toks,
         |       CAST(plan.w_num AS BIGINT) AS w_num,
         |       CAST(plan.planned_tokens AS BIGINT) AS planned_tokens,
+        |       CAST(coalesce(kept.n_kept_docs, 0) AS BIGINT) AS n_kept_docs,
+        |       CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM plan LEFT JOIN kept ON plan.source = kept.source
+        |ORDER BY 1""".stripMargin,
+    // temperature mixture replay: floor-sqrt weights, capped budget
+    // split, same HUGEINT cross-multiplied hash keep rule
+    "docs_mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_toks,
+        |             CAST(floor(sqrt(n_toks::DOUBLE)) AS BIGINT) AS w_sqrt FROM c),
+        |tw AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_den,
+        |              CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM w),
+        |plan AS (SELECT source, n_docs, n_toks, w_sqrt,
+        |           least(n_toks, (tw.budget * w_sqrt) // tw.w_den) AS planned_tokens
+        |         FROM w, tw),
+        |h AS (SELECT d.doc_id, d.source, d.n_tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS u
+        |  FROM d),
+        |kept AS (SELECT h.source, count(*) AS n_kept_docs, CAST(sum(h.n_tok) AS BIGINT) AS kept_tokens
+        |         FROM h JOIN plan USING (source)
+        |         WHERE CAST(u AS HUGEINT) * plan.n_toks
+        |               < CAST(plan.planned_tokens AS HUGEINT) * 4294967296
+        |         GROUP BY 1)
+        |SELECT plan.source, CAST(plan.n_docs AS BIGINT) AS n_docs, plan.n_toks,
+        |       plan.w_sqrt, CAST(plan.planned_tokens AS BIGINT) AS planned_tokens,
         |       CAST(coalesce(kept.n_kept_docs, 0) AS BIGINT) AS n_kept_docs,
         |       CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
         |FROM plan LEFT JOIN kept ON plan.source = kept.source

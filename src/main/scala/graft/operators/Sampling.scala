@@ -237,6 +237,50 @@ object Sampling {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  /** TEMPERATURE-flattened mixture plan (τ = 0.5) — the multilingual
+    * training recipe (mBERT/XLM-R style): per-source sampling mass
+    * ∝ tokens^τ instead of the raw token share, so low-resource
+    * sources are up-weighted and the head source stops dominating.
+    * Weights are w_s = ⌊√tokens_s⌋ — floor of a correctly-rounded
+    * IEEE sqrt of an exact (< 2⁵²) integer, engine-identical — and
+    * the token budget B = ⌊T/2⌋ distributes as
+    * planned_s = min(tokens_s, ⌊B·w_s/Σw⌋): the min caps each source
+    * at its own mass (no upsampling; a capped source's unused budget
+    * is NOT redistributed — one-pass plan, documented). The keep
+    * rule is [[docsMixTokens]]'s exact DECIMAL cross-multiplied
+    * hash-threshold, so the kept token mass is unbiased for the
+    * plan. Same shape: per-source aggregates, two scalar broadcasts,
+    * one broadcast plan join, one count.
+    */
+  def docsMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_toks"))
+      .withColumn("w_sqrt", expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+    val tot = counts.agg(sum("w_sqrt").as("w_den"),
+      expr("sum(n_toks) div 2").as("budget"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .withColumn("planned_tokens",
+        least(col("n_toks"), expr("(budget * w_sqrt) div w_den")))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("w_sqrt"),
+        col("planned_tokens"))
+    val kept = docs
+      .withColumn("u", hash32(col("doc_id")))
+      .join(broadcast(plan.select(col("source"), col("n_toks"), col("planned_tokens"))),
+        "source")
+      .filter(col("u").cast("decimal(38,0)") * col("n_toks") <
+        col("planned_tokens").cast("decimal(38,0)") * lit(4294967296L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept_docs"), sum("n_tok").as("kept_tokens"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_toks"), col("w_sqrt"),
+        col("planned_tokens"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   /** EXACTLY-k-per-stratum deterministic sample (eval-set / probe-set
     * construction, where "about k" isn't acceptable): rank each
     * language's docs on (identity hash, doc_id) — a uniform, stable,
