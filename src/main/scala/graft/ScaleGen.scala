@@ -45,6 +45,15 @@ object ScaleGen {
     val inDir  = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the replica isometries are collision-free only up to their
+    // family sizes (312 affine text maps; 64 rotations × 2 signs =
+    // 128 embedding transforms) — past that, replicas would repeat a
+    // transform and plant fake cross-replica exact duplicates,
+    // corrupting every near-dup/semantic soak at that SF. Fail loudly
+    // instead of generating a corrupted corpus.
+    require(factor <= 128,
+      s"factor $factor exceeds the 128 distinct embedding isometries " +
+        "(64 rotations x 2 signs) — extend the transform families before scaling further")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

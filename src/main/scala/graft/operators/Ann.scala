@@ -817,7 +817,13 @@ object Ann {
         if (c != 0) c else java.lang.Long.compare(x._2, y._2)
       }
     }
-    val local = cand.as[(Long, Long, Double)].mapPartitions { it =>
+    // a zero-norm vector has no defined cosine (nullif guard → null
+    // sim): it contributes no edges in either direction. Filtered
+    // BEFORE the typed decode — a null would crash the non-nullable
+    // Double field, and under the old window rendering it could only
+    // surface when a node had fewer than k real candidates anyway.
+    val local = cand.filter(col("sim").isNotNull)
+      .as[(Long, Long, Double)].mapPartitions { it =>
       val best = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
       it.foreach { case (v, n, s) =>

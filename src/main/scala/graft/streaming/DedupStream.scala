@@ -388,7 +388,16 @@ object DedupStream {
       val cur = if (latest.exists()) Some(latest.get()) else None
       val best = (cur.iterator ++ rows.map(e => (e.ts.getTime, e.event_id, e.value)))
         .maxBy(t => (t._1, t._2))
-      if (!cur.contains(best)) latest.update(best)
+      if (!cur.contains(best)) {
+        // drop the superseded timer so each key holds exactly ONE
+        // live timer (the expiry guard would discard it anyway, but
+        // a high-churn key would otherwise accumulate one dead timer
+        // per update in the state store)
+        cur.foreach { c =>
+          if (c._1 != best._1) getHandle.deleteTimer(c._1 + flushMs)
+        }
+        latest.update(best)
+      }
       getHandle.registerTimer(best._1 + flushMs)
       Iterator.empty
     }
