@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   *    shingle/minhash/simhash relations are isomorphic to the
   *    original, cross-replica vocabularies (essentially) disjoint;
   *    lengths and charclass composition are preserved exactly;
-  *  - `embeddings.embedding` is cyclically rotated by 7·r dims, and
-  *    replicas ≥ 64 (where the 64-dim rotation cycle would repeat)
-  *    are additionally NEGATED — both norm-preserving isometries
-  *    (intra-replica cosine geometry identical), while a vector and
-  *    its transform are near-orthogonal for the synthetic
-  *    distribution — replicas do not cross-match in cosine/IVF space;
+  *  - `embeddings.embedding` is cyclically rotated by 7·r dims and,
+  *    past each full 64-dim rotation cycle, composed with a per-cycle
+  *    sign pattern (cycle 1 negates; cycles ≥ 2 use Hadamard rows —
+  *    any two patterns differ in exactly half the dims) — all
+  *    norm-preserving isometries (intra-replica cosine geometry
+  *    identical), while a vector and its transform are
+  *    near-orthogonal for the synthetic distribution — replicas do
+  *    not cross-match in cosine/IVF space;
   *  - `events.ts` stays the raw int64 nanos the driver wrote (read
   *    with the same legacy conf Tables.events uses), so the scaled
   *    directory honors the TIMESTAMP(NANOS) reader contract.
@@ -46,14 +48,14 @@ object ScaleGen {
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     // the replica isometries are collision-free only up to their
-    // family sizes (312 affine text maps; 64 rotations × 2 signs =
-    // 128 embedding transforms) — past that, replicas would repeat a
-    // transform and plant fake cross-replica exact duplicates,
-    // corrupting every near-dup/semantic soak at that SF. Fail loudly
-    // instead of generating a corrupted corpus.
-    require(factor <= 128,
-      s"factor $factor exceeds the 128 distinct embedding isometries " +
-        "(64 rotations x 2 signs) — extend the transform families before scaling further")
+    // family sizes (312 affine text maps; 64 rotations × the sign
+    // patterns below) — past that, replicas would repeat a transform
+    // and plant fake cross-replica exact duplicates, corrupting
+    // every near-dup/semantic soak at that SF. Fail loudly instead
+    // of generating a corrupted corpus.
+    require(factor <= 312,
+      s"factor $factor exceeds the 312 distinct affine text bijections " +
+        "— extend the transform families before scaling further")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -114,9 +116,23 @@ object ScaleGen {
         else concat(
           slice(col("embedding"), shift + 1, 64 - shift),
           slice(col("embedding"), 1, shift))
-      // past one full rotation cycle, negate — a second isometry
-      // keeping replica pairs (r, r+64k) from being exact duplicates
-      val iso = if (r >= 64) transform(rotated, x => -x) else rotated
+      // past one full rotation cycle, compose a per-cycle SIGN
+      // pattern — a norm-preserving isometry keeping replica pairs
+      // (r, r+64k) from being exact duplicates. Cycle 1 negates
+      // (byte-identical to the corpus the round-8 soaks recorded);
+      // cycles ≥ 2 use Hadamard rows signs(i) = (−1)^popcount(q & i):
+      // any two distinct patterns (and the identity/negation) differ
+      // in exactly half the dims, so same-rotation replicas land
+      // near-orthogonal instead of near-duplicate
+      val q = r / 64
+      val iso =
+        if (q == 0) rotated
+        else if (q == 1) transform(rotated, x => -x)
+        else {
+          val signs = (0 until 64).map(i =>
+            if (java.lang.Integer.bitCount(q & i) % 2 == 0) 1.0f else -1.0f)
+          zip_with(rotated, typedlit(signs), (x, s) => x * s)
+        }
       df.withColumn("vec_id", col("vec_id") + lit(Off * r))
         .withColumn("embedding", iso)
     }

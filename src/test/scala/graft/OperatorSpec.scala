@@ -1900,6 +1900,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture flattens shares and honors its caps") {
+    import graft.operators.Sampling
+    val rows = Sampling.docsMixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val totToks = rows.map(_._3).sum
+    val budget = totToks / 2
+    // w = floor(sqrt(tokens)); planned never exceeds the source's own
+    // mass (no upsampling) nor, in total, the budget; kept <= mass
+    rows.foreach { case (_, _, t, w, p, _, k) =>
+      assert(w === math.sqrt(t.toDouble).floor.toLong)
+      assert(p <= t && k <= t)
+    }
+    assert(rows.map(_._5).sum <= budget)
+    // tau < 1 flattens by construction: sqrt-weights give the
+    // smallest source at least its raw share of the budget and the
+    // largest at most (floor slack only)
+    val smallest = rows.minBy(_._3)
+    val largest = rows.maxBy(_._3)
+    assert(smallest._5.toDouble / budget >= smallest._3.toDouble / totToks - 1e-9)
+    assert(largest._5.toDouble / budget <= largest._3.toDouble / totToks + 1e-9)
+    info(f"raw share vs planned-of-budget: smallest ${smallest._3.toDouble / totToks}%.4f -> " +
+      f"${smallest._5.toDouble / budget}%.4f, largest ${largest._3.toDouble / totToks}%.4f -> " +
+      f"${largest._5.toDouble / budget}%.4f")
+  }
+
   test("folded-centroid assignment equals the literal rendering (quantizer + semantic pairs)") {
     import graft.operators.Ann
     // same K through both renderings: the literal path inlines K
