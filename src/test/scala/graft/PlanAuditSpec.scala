@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "sql_cosine", // 10x10 query-vector pair join, pure inequality keys
     "docs_mix_sample", // single-row scalar broadcasts (W, T aggregates)
     "docs_mix_tokens", // same single-row W/T scalar broadcasts on token sums
+    "docs_mix_temperature", // same single-row (w_den, budget) scalar broadcast
     "docs_shard_plan", // single-row total-tokens broadcast onto S rows
     "q_benford", // single-row total broadcast onto 9 digit rows
     "q_transitions", // single-row total broadcast onto <=|types|^2 rows
