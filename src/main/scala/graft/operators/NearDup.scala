@@ -223,11 +223,23 @@ object NearDup {
     def endpoints(pairs: DataFrame, a: String, b: String) =
       pairs.select(col(a).as("doc_id")).union(pairs.select(col(b).as("doc_id")))
         .distinct()
-    val jac = endpoints(jacPairs.getOrElse(jaccardPairs(spark, dir, threshold)),
-        "a_id", "b_id")
+    // The default (standalone-query) path materializes each detector's
+    // pair frame ONCE (the dedupAuditFamily seam's shape): `endpoints`
+    // consumes the frame in BOTH union branches, and Catalyst plans
+    // the branches as separate physical subtrees (self-join expression
+    // ids defeat ReuseExchange), so without the checkpoint the whole
+    // candidate join runs twice — measured at sf10 as 22.4 GB shuffle
+    // for this query vs 12.0 GB for docs_jaccard_pairs alone. The
+    // eager localCheckpoint pins one RDD instance, halving the
+    // dominant jaccard join. Callers passing precomputed frames (the
+    // family seam) have already materialized them.
+    val jacFrame = jacPairs.getOrElse(
+      jaccardPairs(spark, dir, threshold).select("a_id", "b_id").localCheckpoint())
+    val simFrame = simPairs.getOrElse(
+      simhashPairs(spark, dir, maxHamming).select("a_id", "b_id").localCheckpoint())
+    val jac = endpoints(jacFrame, "a_id", "b_id")
       .withColumn("f_jaccard", lit(true))
-    val sim = endpoints(simPairs.getOrElse(simhashPairs(spark, dir, maxHamming)),
-        "a_id", "b_id")
+    val sim = endpoints(simFrame, "a_id", "b_id")
       .withColumn("f_simhash", lit(true))
     docs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
@@ -852,8 +864,15 @@ object NearDup {
   def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   maxIters: Int = 20,
                   precomputedPairs: Option[DataFrame] = None): DataFrame = {
-    val pairs = precomputedPairs
-      .getOrElse(minhashLshPairs(spark, dir, threshold)).select("a_id", "b_id")
+    // Materialize the pair source ONCE before the symmetric union:
+    // both union branches consume `pairs`, and without the checkpoint
+    // the LSH candidate join + verify executes once per branch (the
+    // same double-evaluation docsDetectorVenn documents). Seam callers
+    // pass an already-materialized frame — don't re-copy it.
+    val pairs = precomputedPairs.map(_.select("a_id", "b_id"))
+      .getOrElse(
+        minhashLshPairs(spark, dir, threshold).select("a_id", "b_id")
+          .localCheckpoint())
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
