@@ -939,27 +939,46 @@ object TextAnalysis {
   def docsCoocLift(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, marg, total) = coocParts(spark, dir)
     pairs
-      .join(marg.select(col("tok").as("a"), col("c").as("c_a")), "a")
-      .join(marg.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .join(marg.select(col("ht").as("ha"), col("tok").as("a"), col("c").as("c_a")), "ha")
+      .join(marg.select(col("ht").as("hb"), col("tok").as("b"), col("c").as("c_b")), "hb")
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
   }
 
-  /** (window pairs ≥ 5, token marginals, 1-row total) — shared by
-    * the plain and salted lift variants.
+  /** (window pairs ≥ 5 keyed by token HASHES, token marginals with
+    * their hashes, 1-row total) — shared by the plain and salted lift
+    * variants.
+    *
+    * The positional join and the pair-count aggregate run entirely on
+    * 8-byte xxhash64 token keys, not strings: the distinct skip-gram
+    * pair space grows superlinearly with vocabulary (at the sf10 soak
+    * the two-string (a, b) agg rows overflowed map-side partial-agg
+    * hash tables into sort fallback — 818 MB spill), while fixed
+    * 16-byte (ha, hb) keys keep the hash-agg resident and the join
+    * shuffle narrow. Token strings are recovered through the marginal
+    * joins the lift needs anyway — zero extra joins. Exactness is
+    * GUARDED, not assumed: distinct tokens colliding on xxhash64
+    * would merge counts and duplicate join rows, so the marginal
+    * build asserts hash-injectivity over the vocabulary (one cheap
+    * aggregate on the materialized marginal — vocabularies are tiny
+    * next to pair spaces) and THROWS rather than silently mis-count;
+    * at 2⁶⁴ a real vocabulary never trips it (birthday bound ~10⁻⁷
+    * at 10⁸ types), and a corpus that does needs a wider key, not a
+    * silent merge.
     */
   private def coocParts(spark: SparkSession,
                         dir: String): (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("i", "tok")))
-    val followers = toks
+    val toksH = toks.select(col("doc_id"), col("i"), xxhash64(col("tok")).as("ht"))
+    val followers = toksH
       .withColumn("d", explode(sequence(lit(1), lit(3))))
-      .select(col("doc_id"), (col("i") + col("d")).as("j"), col("tok").as("a"))
+      .select(col("doc_id"), (col("i") + col("d")).as("j"), col("ht").as("ha"))
     val pairs = followers
-      .join(toks.select(col("doc_id"), col("i").as("j"), col("tok").as("b")),
+      .join(toksH.select(col("doc_id"), col("i").as("j"), col("ht").as("hb")),
         Seq("doc_id", "j"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .groupBy("ha", "hb").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
     // marg is consumed twice (both directional joins) and sits under
     // Zipf-hot join keys: the detach materializes it once AND keeps
@@ -967,7 +986,15 @@ object TextAnalysis {
     // which is exactly the regime where the salted variant's ×S
     // replication stops paying (SkewBench: eligible AQE beat salting)
     val marg = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .withColumn("ht", xxhash64(col("tok")))
+      .localCheckpoint()
+    val inj = marg.agg(count(lit(1)).as("n"),
+      count_distinct(col("ht")).as("nh")).head()
+    if (inj.getLong(0) != inj.getLong(1))
+      throw new IllegalStateException(
+        s"xxhash64 collision over the token vocabulary (${inj.getLong(0)} " +
+          s"types, ${inj.getLong(1)} distinct hashes) — hashed cooc keys " +
+          "would merge distinct pairs; widen the key")
     val total = toks.agg(count(lit(1)).as("n_total"))
     (pairs, marg, total)
   }
@@ -995,14 +1022,16 @@ object TextAnalysis {
                          salts: Int = 8): DataFrame = {
     val (pairs, marg, total) = coocParts(spark, dir)
     val saltedPairs = pairs.withColumn("_salt",
-      pmod(xxhash64(col("a"), col("b")), lit(salts.toLong)))
+      pmod(xxhash64(col("ha"), col("hb")), lit(salts.toLong)))
     val margX = marg.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedPairs
-      .join(margX.select(col("tok").as("a"), col("c").as("c_a"), col("_salt")),
-        Seq("a", "_salt"))
-      .join(margX.select(col("tok").as("b"), col("c").as("c_b"), col("_salt")),
-        Seq("b", "_salt"))
+      .join(margX.select(col("ht").as("ha"), col("tok").as("a"),
+          col("c").as("c_a"), col("_salt")),
+        Seq("ha", "_salt"))
+      .join(margX.select(col("ht").as("hb"), col("tok").as("b"),
+          col("c").as("c_b"), col("_salt")),
+        Seq("hb", "_salt"))
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         expr("(c_ab * n_total * 10000) div (c_a * c_b)").as("lift_x1e4"))
