@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   *    replica r < 26 gets a = 1 — exactly the old Caesar rotation,
   *    so sf1 outputs are unchanged — and 312 distinct maps cover a
   *    factor-100 run where bare rotations would collide and create
-  *    fake cross-replica exact duplicates): intra-replica
+  *    fake cross-replica exact duplicates), then every token gets a
+  *    per-replica 2-letter PREFIX TAG (r ≥ 1): intra-replica
   *    shingle/minhash/simhash relations are isomorphic to the
-  *    original, cross-replica vocabularies (essentially) disjoint;
-  *    lengths and charclass composition are preserved exactly;
+  *    original, and cross-replica vocabularies are disjoint BY
+  *    CONSTRUCTION — the length-preserving letter maps alone
+  *    pigeonhole short tokens into colliding images, which inflated
+  *    the factor-100 exact-pair soaks (VERDICT r8); charclass stays
+  *    letters-only, lengths grow by 2 chars/token (n_chars
+  *    recomputed);
   *  - `embeddings.embedding` is cyclically rotated by 7·r dims and,
   *    past each full 64-dim rotation cycle, composed with a per-cycle
   *    sign pattern (cycle 1 negates; cycles ≥ 2 use Hadamard rows —
@@ -102,12 +107,39 @@ object ScaleGen {
       df.withColumn("event_id", col("event_id") + lit(Off * r))
         .withColumn("user_id", col("user_id") + lit(Off * r))
     }
+    // Per-replica TOKEN TAG (r ≥ 1): two lowercase letters prefixed
+    // onto every token after the affine letter map. The affine
+    // bijections keep replica vocabularies distinct as WHOLE maps,
+    // but they are length-preserving permutations of a 26-symbol
+    // alphabet, so SHORT tokens pigeonhole: every replica's 1-char
+    // vocabulary is exactly {a..z}, 2-3-char vocabularies overlap
+    // heavily, and at factor 100 the cross-replica shingle collisions
+    // inflated the exact-pair soak families (docs_jaccard_pairs /
+    // containment / venn measured GBs of candidate join bytes that a
+    // real disjoint-vocabulary corpus would not produce — VERDICT r8).
+    // A 2-letter tag makes replica vocabularies disjoint BY
+    // CONSTRUCTION (different tags → different first two chars) while
+    // token equality within a replica — and hence every shingle/
+    // minhash/simhash/cooc relation — stays isomorphic to the
+    // original. Costs: +2 chars per token (n_chars is recomputed to
+    // stay consistent) and marker-token language ID goes flat — which
+    // the bare rotations already did for every r not ≡ 0 (mod 26),
+    // since "the" rotates off the marker list. Replica 0 remains the
+    // untouched original corpus.
+    def tag(r: Int): String =
+      s"${lower((r / 26) % 26)}${lower(r % 26)}"
+
     replicate("documents", 8 * factParts) { (df, r) =>
+      val mapped = translate(col("text"),
+        lower + lower.toUpperCase,
+        affine(r) + affine(r).toUpperCase)
+      val text =
+        if (r == 0) mapped
+        else concat_ws(" ",
+          transform(split(mapped, " "), t => concat(lit(tag(r)), t)))
       df.withColumn("doc_id", col("doc_id") + lit(Off * r))
-        .withColumn("text",
-          translate(col("text"),
-            lower + lower.toUpperCase,
-            affine(r) + affine(r).toUpperCase))
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings", 8 * factParts) { (df, r) =>
       val shift = (7 * r) % 64

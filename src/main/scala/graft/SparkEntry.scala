@@ -506,7 +506,13 @@ object SparkEntry {
     */
   /** Shared CTE chain replaying the kNN-graph edge set (`r` = ranked
     * neighbor candidates over the hash-sampled nodes). Consumed by
-    * the emb_knn_graph and emb_graph_rank oracles.
+    * the emb_knn_graph and emb_graph_rank oracles. `r` drops NULL
+    * sims (undefined cosine against a zero-norm vector) to mirror the
+    * engine's bounded-heap build, which filters them before top-k —
+    * without the filter DuckDB ranks them NULLS LAST, and a node with
+    * fewer than k real candidates would pad its edge list with
+    * undefined-sim rows the engine never emits (no zero-norm vector
+    * exists in current drops; the filter pins the contract anyway).
     */
   private def knnEdgeCtes: String = {
     val t = graft.operators.Sampling.rateThreshold(0.1)
@@ -526,7 +532,7 @@ object SparkEntry {
        |      FROM n q JOIN n e ON q.vec_id <> e.vec_id),
        |r AS (SELECT vec_id, n_id, sim,
        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
-       |      FROM p)""".stripMargin
+       |      FROM p WHERE sim IS NOT NULL)""".stripMargin
   }
 
   private def embKnnGraphOracleSql: String =
@@ -848,7 +854,7 @@ object SparkEntry {
     */
   private val partsuppCtes: String =
     """ps0 AS (SELECT p_partkey, p_retailprice, i.i AS i,
-      |               (p_partkey * 7 + i.i * (s.cnt // 4 + 1)) % s.cnt AS ps_suppkey
+      |               (p_partkey * 7 + i.i * (s.cnt // 4)) % s.cnt AS ps_suppkey
       |        FROM part, (SELECT unnest(range(0, 4)) AS i) i,
       |             (SELECT count(*) AS cnt FROM supplier) s),
       |ps AS (SELECT p_partkey AS ps_partkey, ps_suppkey,

@@ -257,10 +257,24 @@ object Ann {
     * and eventually compiling past a few hundred centroids) to the
     * FOLDED rendering ([[centFold]] + a per-row HOF over the
     * broadcast centroid array — the emb_kmeans_train shape, linear
-    * at any K). Package-visible so the equality spec can force both
-    * paths over the same K.
+    * at any K). A test seam: the equality spec forces both paths
+    * over the same K through [[withLiteralKMax]]. @volatile so a
+    * mid-test mutation is at least visible across threads; the
+    * try/finally scoping in the helper assumes suites run the seam
+    * single-threaded (ScalaTest's default here) — concurrent queries
+    * during the window would read the overridden value.
     */
-  private[graft] var literalKMax = 64
+  @volatile private[graft] var literalKMax = 64
+
+  /** Scoped override of [[literalKMax]] — restores the previous value
+    * on every exit path so a failing spec body cannot leak the
+    * override into later suites.
+    */
+  private[graft] def withLiteralKMax[A](v: Int)(body: => A): A = {
+    val prev = literalKMax
+    literalKMax = v
+    try body finally literalKMax = prev
+  }
 
   /** The K-row centroid table folded to ONE row (`cs`: array of
     * (cid, cvec, h) structs, cid-sorted) — driver constants shipped

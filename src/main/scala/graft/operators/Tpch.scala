@@ -399,17 +399,21 @@ object Tpch {
     * the four remaining classic TPC-H shapes (Q2/Q11/Q16/Q20) run
     * over a DETERMINISTIC derivation shared verbatim with the DuckDB
     * oracles. Each part gets 4 distinct suppliers by a stride-mod
-    * assignment over the supplier count (the stride S div 4 + 1
-    * keeps the four keys collision-free for the testdata's S ≥ 10),
-    * availqty is a small key hash in [1, 25] (sized so Q20's
-    * half-of-shipped gate actually bites), and supplycost is 50-100%
-    * of the part's retail price in exact cents. All operands are
-    * nonnegative integers, so every value replays bit-exactly
-    * cross-engine; the supplier count enters as a 1-row broadcast
-    * (never a driver-side collect), keeping the derivation one lazy
-    * plan. Scale: |partsupp| = 4·|part| — a dimension-sized frame
-    * that broadcasts in the probe-side joins below exactly as a real
-    * partsupp dimension would.
+    * assignment over the supplier count: stride = S div 4, so the
+    * four offsets {0, q, 2q, 3q} satisfy 3q ≤ 3S/4 < S — distinct
+    * integers below S, hence distinct mod S for EVERY supplier count
+    * ≥ 4, no special-case values (the earlier q+1 stride wrapped at
+    * e.g. S = 12, aliasing i = 0 and i = 3 — caught by review, and
+    * an assert_true guards the S ≥ 4 floor rather than silently
+    * collapsing keys). availqty is a small key hash in [1, 25]
+    * (sized so Q20's half-of-shipped gate actually bites), and
+    * supplycost is 50-100% of the part's retail price in exact
+    * cents. All operands are nonnegative integers, so every value
+    * replays bit-exactly cross-engine; the supplier count enters as
+    * a 1-row broadcast (never a driver-side collect), keeping the
+    * derivation one lazy plan. Scale: |partsupp| = 4·|part| — a
+    * dimension-sized frame that broadcasts in the probe-side joins
+    * below exactly as a real partsupp dimension would.
     */
   def partsupp(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir).agg(count(lit(1)).as("cnt"))
@@ -418,7 +422,14 @@ object Tpch {
       .crossJoin(broadcast(s))
       .select(col("p_partkey"), col("p_retailprice"), col("cnt"),
         explode(sequence(lit(0L), lit(3L))).as("i"))
-      .withColumn("ps_suppkey", expr("(p_partkey * 7 + i * (cnt div 4 + 1)) % cnt"))
+      // assert_true is folded INTO the consumed column (its NULL
+      // result coalesced away) so column pruning cannot drop the
+      // guard; it throws before any aliased suppkey could be emitted
+      .withColumn("cnt", coalesce(
+        expr("assert_true(cnt >= 4, 'derived partsupp needs >= 4 suppliers')")
+          .cast("long"),
+        col("cnt")))
+      .withColumn("ps_suppkey", expr("(p_partkey * 7 + i * (cnt div 4)) % cnt"))
       .select(col("p_partkey").as("ps_partkey"), col("ps_suppkey"),
         expr("1 + (p_partkey * 37 + ps_suppkey * 11) % 25").as("ps_availqty"),
         expr("(CAST(round(p_retailprice * 100) AS BIGINT) * (50 + (p_partkey * 13 + i * 29) % 51)) div 100")
