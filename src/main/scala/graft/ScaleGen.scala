@@ -52,14 +52,18 @@ object ScaleGen {
     val inDir  = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // the replica isometries are collision-free only up to their
-    // family sizes (312 affine text maps; 64 rotations × the sign
-    // patterns below) — past that, replicas would repeat a transform
-    // and plant fake cross-replica exact duplicates, corrupting
-    // every near-dup/semantic soak at that SF. Fail loudly instead
-    // of generating a corrupted corpus.
-    require(factor <= 312,
-      s"factor $factor exceeds the 312 distinct affine text bijections " +
+    // the replica transforms must stay collision-free: documents get
+    // per-replica token tags (2 letters below 676 replicas, 3 letters
+    // to 26³ — disjoint vocabularies by construction even where the
+    // 312 affine maps repeat), and embeddings get (rotation, sign-
+    // pattern) pairs unique for r < 64·64 = 4096 (shift = 7r mod 64
+    // cycles all 64 residues, the Hadamard-row pattern advances every
+    // 64). Past 4096 a repeated isometry would plant fake
+    // cross-replica exact duplicates, corrupting every near-dup/
+    // semantic soak at that SF. Fail loudly instead of generating a
+    // corrupted corpus.
+    require(factor <= 4096,
+      s"factor $factor exceeds the 4096 distinct embedding isometries " +
         "— extend the transform families before scaling further")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -126,8 +130,13 @@ object ScaleGen {
     // the bare rotations already did for every r not ≡ 0 (mod 26),
     // since "the" rotates off the marker list. Replica 0 remains the
     // untouched original corpus.
+    // tag width is UNIFORM per corpus (2 letters cover 676 replicas,
+    // 3 cover 26³) — mixed widths could alias ("ba"+"xtok" ==
+    // "bax"+"tok"), so a factor past 676 widens EVERY replica's tag
+    val tagLen = if (factor <= 676) 2 else 3
     def tag(r: Int): String =
-      s"${lower((r / 26) % 26)}${lower(r % 26)}"
+      (tagLen - 1 to 0 by -1).map(i =>
+        lower((r / math.pow(26, i).toInt) % 26)).mkString
 
     replicate("documents", 8 * factParts) { (df, r) =>
       val mapped = translate(col("text"),

@@ -59,4 +59,50 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans an unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  // Queries whose plan legitimately contains an UNPARTITIONED window
+  // (all rows through one partition — the third scale-killer this net
+  // sweeps for). Each entry names the BOUNDED axis that makes the
+  // single partition safe by construction; a new unpartitioned window
+  // over corpus-sized rows fails the sweep until it earns an entry.
+  private val allowedGlobalWindow: Map[String, String] = Map(
+    "q_running_distinct" ->
+      "calendar-day axis: one row per day after the per-day distinct agg",
+    "q_rolling_dau" ->
+      "calendar-day axis: range frame over per-day rows",
+    "q_pareto" ->
+      "cumulative share over <=|buckets| pre-aggregated rows",
+    "text_zipf" ->
+      "rank over the post-limit top-k token rows",
+    "text_vocab_coverage" ->
+      "row_number over the post-limit top-max(k) vocabulary head",
+    "text_lm_gate" ->
+      ("running sum over the distinct-score histogram: integral " +
+        "score axis bounded to <=1e6 rows regardless of corpus size"),
+    "q_benford" ->
+      "9 leading-digit rows",
+    "docs_shard_plan" ->
+      "running token total over S planned shards",
+    "q_merge_intervals" ->
+      ("global sweep-line is the contract; bounded per-day twin " +
+        "(q_merge_daily) is the scale rendering — documented trade"),
+    "q_sessionize" ->
+      ("lag over per-user ordered events WITHIN user partitions only " +
+        "(partitioned; listed defensively for the derived global rank)"))
+
+  test("no unpartitioned window over an unbounded axis in any contract query") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val globals = q(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.simpleString(120)
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.simpleString(120)
+      }
+      if (globals.nonEmpty && !allowedGlobalWindow.contains(name))
+        Some(s"$name: ${globals.mkString("; ")}")
+      else None
+    }
+    assert(violations.isEmpty,
+      "queries planning an unpartitioned window outside the allowlist " +
+        s"(single-partition scale hazard):\n${violations.mkString("\n")}")
+  }
 }
