@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   *    so sf1 outputs are unchanged — and 312 distinct maps cover a
   *    factor-100 run where bare rotations would collide and create
   *    fake cross-replica exact duplicates), then every token gets a
-  *    per-replica 2-letter PREFIX TAG (r ≥ 1): intra-replica
+  *    per-replica PREFIX TAG (r ≥ 1; 2 letters up to factor 676, 3
+  *    beyond — uniform width per corpus so tags can't alias):
+  *    intra-replica
   *    shingle/minhash/simhash relations are isomorphic to the
   *    original, and cross-replica vocabularies are disjoint BY
   *    CONSTRUCTION — the length-preserving letter maps alone
   *    pigeonhole short tokens into colliding images, which inflated
   *    the factor-100 exact-pair soaks (VERDICT r8); charclass stays
-  *    letters-only, lengths grow by 2 chars/token (n_chars
+  *    letters-only, lengths grow by tagLen chars/token (n_chars
   *    recomputed);
   *  - `embeddings.embedding` is cyclically rotated by 7·r dims and,
   *    past each full 64-dim rotation cycle, composed with a per-cycle
@@ -121,11 +123,11 @@ object ScaleGen {
     // inflated the exact-pair soak families (docs_jaccard_pairs /
     // containment / venn measured GBs of candidate join bytes that a
     // real disjoint-vocabulary corpus would not produce — VERDICT r8).
-    // A 2-letter tag makes replica vocabularies disjoint BY
-    // CONSTRUCTION (different tags → different first two chars) while
+    // A tagLen-letter tag makes replica vocabularies disjoint BY
+    // CONSTRUCTION (different tags → different leading chars) while
     // token equality within a replica — and hence every shingle/
     // minhash/simhash/cooc relation — stays isomorphic to the
-    // original. Costs: +2 chars per token (n_chars is recomputed to
+    // original. Costs: +tagLen chars per token (n_chars is recomputed to
     // stay consistent) and marker-token language ID goes flat — which
     // the bare rotations already did for every r not ≡ 0 (mod 26),
     // since "the" rotates off the marker list. Replica 0 remains the
