@@ -16,9 +16,18 @@ import org.apache.spark.sql.SparkSession
   * Variants: auto-K/iters=1 (the shipped default), auto-K/iters=2
   * (one more Lloyd pass), 2·auto-K/iters=1 (halved target cluster
   * size). Prints one JSON line per variant.
+  *
+  * `routed` mode (arg 1) instead A/Bs the FLAT n·K assignment
+  * against the two-level routed one
+  * ([[graft.operators.Ann.embSemanticPairsRouted]], sample-trained
+  * centroids, gprobe=2) — the past-sf10 lever BASELINE round-9
+  * measures. Flat is skipped unless SPARK_GRAFT_SEM_FLAT=1 (at sf100
+  * the flat assignment is the multi-hour cost the routed path
+  * exists to remove).
   */
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "balance"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
@@ -35,6 +44,23 @@ object SemDedupProbe {
     val autoK = graft.operators.Ann.clustersFor(n)
     val mv = new MovementMeter
     spark.sparkContext.addSparkListener(mv)
+
+    if (mode == "routed") {
+      def run(tag: String, pairs: org.apache.spark.sql.DataFrame): Unit = {
+        val before = mv.settled._2
+        val t0 = System.nanoTime()
+        val cnt = pairs.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val bytes = mv.settled._2 - before
+        println(f"""{"probe":"$tag","n":$n,"k":$autoK,"pairs":$cnt,"secs":$secs%.1f,"shuffle_write_mb":${bytes / 1048576.0}%.1f}""")
+      }
+      run("routed_g2_sampled", graft.operators.Ann.embSemanticPairsRouted(
+        spark, sfDir, gprobe = 2, trainSampleTarget = 131072L))
+      if (sys.env.get("SPARK_GRAFT_SEM_FLAT").contains("1"))
+        run("flat", graft.operators.Ann.embSemanticPairs(spark, sfDir))
+      spark.stop()
+      return
+    }
 
     val variants = Seq(
       ("autoK_iters1", autoK, 1),

@@ -305,12 +305,26 @@ object Ann {
     * refined with `iters` Lloyd iterations executed as Spark
     * aggregates. Shared by [[annIvf]] and [[embIvfAdc]].
     */
-  private def ivfCentroids(e: DataFrame, clusters: Int, iters: Int): Seq[(Int, Array[Double])] = {
-    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < clusters)
+  private def ivfCentroids(e: DataFrame, clusters: Int, iters: Int): Seq[(Int, Array[Double])] =
+    ivfCentroidsOn(e, e, clusters, iters)
+
+  /** [[ivfCentroids]] with the seed frame and the Lloyd-refinement
+    * frame split: seeds always come from `seedFrom` (vec_id <
+    * clusters — the full corpus, so a sampled run still gets all K
+    * seeds), while the per-iteration assignment/means statistics run
+    * over `refineOn`. With `refineOn` a bounded sample this caps the
+    * TRAINING cost at sample·K regardless of corpus size — the
+    * standard web-scale quantizer recipe (train on a sample, assign
+    * the full corpus), used by [[embSemanticPairsRouted]].
+    */
+  private def ivfCentroidsOn(seedFrom: DataFrame, refineOn: DataFrame,
+                             clusters: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    var cents: Seq[(Int, Array[Double])] = seedFrom.filter(col("vec_id") < clusters)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
+      val e = refineOn
       val assigned =
         if (cents.size <= literalKMax) e.withColumn("cid", nearestCentroid(cents))
         else e.crossJoin(broadcast(centFold(e.sparkSession, cents)))
@@ -1151,6 +1165,164 @@ object Ann {
         explode(slice(sort_array(scoredFoldArr, asc = false), 1, nprobe)).as("sc"))
       .select(col("vec_id"), col("sc.cid").as("cid"), col("embedding"), col("n2"))
   }
+
+  /** Driver-side grouping of the K trained centroids into `groups`
+    * routing groups for the two-level assignment: a deterministic
+    * mini-Lloyd over the K centroid VECTORS (seeds = first `groups`
+    * centroids by cid, 3 refinement passes, squared-Euclidean
+    * assignment, ties to the lower gid, empty groups dropped). K is
+    * a bounded model constant (the same K-row scale class as the
+    * [[centFold]] broadcast), so this is driver arithmetic on the
+    * model, not a data-side collect.
+    */
+  private def centroidGroups(cents: Seq[(Int, Array[Double])], groups: Int)
+      : Seq[(Int, Array[Double], Seq[(Int, Array[Double])])] = {
+    val g = math.min(math.max(1, groups), cents.size)
+    var gcents: IndexedSeq[Array[Double]] = cents.take(g).map(_._2).toIndexedSeq
+    def assign(): Map[Int, Seq[(Int, Array[Double])]] =
+      cents.groupBy { case (_, c) =>
+        var best = 0; var bestD = Double.MaxValue
+        var gi = 0
+        while (gi < gcents.length) {
+          val gv = gcents(gi)
+          var s = 0.0; var i = 0
+          while (i < c.length) { val d = c(i) - gv(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = gi }
+          gi += 1
+        }
+        best
+      }
+    for (_ <- 0 until 3) {
+      val byG = assign()
+      gcents = gcents.indices.map { gi =>
+        byG.get(gi) match {
+          case Some(ms) =>
+            val acc = new Array[Double](DIM)
+            ms.foreach { case (_, c) =>
+              var i = 0; while (i < DIM) { acc(i) += c(i); i += 1 } }
+            acc.map(_ / ms.size)
+          case None => gcents(gi)
+        }
+      }
+    }
+    val byG = assign()
+    gcents.indices.map(gi => (gi, gcents(gi), byG.getOrElse(gi, Nil)))
+      .filter(_._3.nonEmpty)
+  }
+
+  /** The grouped centroid model folded to ONE broadcast row (`gs`:
+    * gid-sorted array of (gid, gvec, gh, ms) structs, each `ms` the
+    * group's member cells as (cid, cvec, h) — `h` and `gh` summed on
+    * the driver exactly like [[centFold]], so member scores stay
+    * bit-identical to the flat rendering's).
+    */
+  private def groupFold(spark: SparkSession,
+      gs: Seq[(Int, Array[Double], Seq[(Int, Array[Double])])]): DataFrame =
+    spark.createDataFrame(gs.map { case (gid, gv, ms) =>
+        (gid, gv.toSeq, gv.map(x => x * x).sum / 2.0,
+          ms.map { case (cid, c) => (cid, c.toSeq, c.map(x => x * x).sum / 2.0) })
+      })
+      .toDF("gid", "gvec", "gh", "ms")
+      .select(col("gid"), col("gvec"), col("gh"),
+        transform(col("ms"), m => struct(
+          m.getField("_1").as("cid"), m.getField("_2").as("cvec"),
+          m.getField("_3").as("h"))).as("ms"))
+      .agg(sort_array(collect_list(
+        struct(col("gid"), col("gvec"), col("gh"), col("ms")))).as("gs"))
+
+  /** TWO-LEVEL (routed) rendering of the quantizer assignment — the
+    * decade past [[semanticAssignmentsFull]]'s flat scan. Auto-K
+    * keeps the COMPARE mass linear (K ∝ n pins mean cluster size),
+    * but the flat assignment scores all K cells per vector: n·K =
+    * n²/targetClusterSize multiplies — measured fine through the
+    * sf10 soaks, hours at sf100 (BASELINE round-9). Routing scores
+    * the G ≈ √K group centers first, keeps the top `gprobe` groups,
+    * and scores only their member cells: n·(G + gprobe·K/G) ≈
+    * 2n·√(gprobe·K) multiplies — ~42× fewer at K = 16 000. The same
+    * construction composes recursively (group the groups) for a
+    * further decade — the FAISS IMI / coarse-HNSW shape.
+    *
+    * EXACTNESS: member scores and (s, cid) tie semantics are
+    * bit-identical to the flat rendering, so with `gprobe` ≥ G the
+    * candidate set is ALL cells and the assignment EQUALS the flat
+    * one exactly (spec-pinned). At gprobe < G a vector whose true
+    * argmax cell lives outside its top-gprobe groups mis-routes to
+    * its best probed cell — the probed-set indicator is monotone in
+    * gprobe, so agreement with flat only grows with gprobe
+    * (spec-pinned). Downstream safety: ANY assignment only shapes
+    * candidate generation; verified pairs are exact-cosine checked,
+    * so the semantic-⊆-exact refinement invariant holds regardless.
+    *
+    * Every HOF stage is materialized as its own projected column
+    * (`topg`, `cand`) before the next lambda references it, so no
+    * sort/slice is re-evaluated per array element (the
+    * plans/TextExprs re-evaluation rule).
+    */
+  private[graft] def semanticAssignmentsRoutedFull(e: DataFrame,
+      cents: Seq[(Int, Array[Double])], nprobe: Int, gprobe: Int): DataFrame = {
+    val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    val gs = centroidGroups(cents, g)
+    val folded = groupFold(e.sparkSession, gs)
+    e.crossJoin(broadcast(folded))
+      .withColumn("topg", transform(
+        slice(sort_array(transform(col("gs"), gg => struct(
+          (graft.plans.VecDot(col("embedding"), gg.getField("gvec")) -
+            gg.getField("gh")).as("s"),
+          gg.getField("gid").as("gid"))), asc = false),
+          1, math.min(gprobe, gs.size)),
+        x => x.getField("gid")))
+      .withColumn("cand", flatten(transform(
+        filter(col("gs"), gg => array_contains(col("topg"), gg.getField("gid"))),
+        gg => gg.getField("ms"))))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        explode(slice(sort_array(transform(col("cand"), cc => struct(
+          (graft.plans.VecDot(col("embedding"), cc.getField("cvec")) -
+            cc.getField("h")).as("s"),
+          cc.getField("cid").as("cid"))), asc = false), 1, nprobe)).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid"), col("embedding"), col("n2"))
+  }
+
+  /** [[embSemanticPairs]] with the ROUTED assignment and (optionally)
+    * sample-trained centroids — the past-sf10 rendering of semantic
+    * dedup (lib seam; the contract query keeps the flat shape its
+    * oracles replay). `trainSampleTarget` > 0 caps the Lloyd
+    * refinement frame at ~that many rows via a deterministic
+    * xxhash64(vec_id) stride filter (seeds still come from the full
+    * corpus, so all K seed cells exist); 0 trains on the full corpus
+    * — with gprobe ≥ G that configuration is output-identical to
+    * [[embSemanticPairs]] (the equality spec's configuration).
+    */
+  def embSemanticPairsRouted(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, clusters: Int = 0, iters: Int = 1,
+      nprobe: Int = 1, gprobe: Int = 2,
+      trainSampleTarget: Long = 0L): DataFrame = {
+    val e = semanticFrame(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    val k = if (clusters > 0) clusters else clustersFor(n)
+    val trainE =
+      if (trainSampleTarget <= 0L || n <= trainSampleTarget) e
+      else e.filter(pmod(xxhash64(col("vec_id")),
+        lit(math.max(1L, n / trainSampleTarget))) === 0)
+    val cents = ivfCentroidsOn(e, trainE, k, iters)
+    val a = semanticAssignmentsRoutedFull(e, cents, nprobe, gprobe)
+    val sim = V.cosineWithNorms(
+      V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
+    a.as("a")
+      .join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
+  /** Test seam: the trained flat-Lloyd centroid model over the
+    * corpus's semantic frame — lets the routed-assignment spec score
+    * agreement against [[semanticAssignmentsFull]] on the SAME model.
+    */
+  private[graft] def trainedCentroidsForTest(spark: SparkSession, dir: String,
+                                             k: Int): Seq[(Int, Array[Double])] =
+    ivfCentroids(semanticFrame(spark, dir), k, iters = 1)
 
   /** The sampled-norm embedding frame the semantic-dedup family
     * reads (vec_id, embedding, n2). */

@@ -1954,6 +1954,63 @@ class OperatorSpec extends SparkSpec {
     assert(lit.nonEmpty)
   }
 
+  test("routed two-level assignment: exhaustive gprobe equals flat; agreement monotone in gprobe") {
+    import graft.operators.Ann
+    // K forced well past the routing payoff point and through the
+    // fold path (the auto-K regime routing exists for); G = ceil(√K)
+    val k = 32
+    Ann.withLiteralKMax(0) {
+      def flat = Ann.embSemanticPairs(spark, sf, clusters = k, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def routed(gp: Int) = Ann.embSemanticPairsRouted(
+          spark, sf, clusters = k, nprobe = 2, gprobe = gp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // gprobe ≥ G: every cell is a candidate, member scores and
+      // (s, cid) tie semantics are bit-identical → EXACT equality
+      val f = flat
+      assert(routed(k) === f)
+      assert(f.nonEmpty)
+      // sub-exhaustive probing: agreement with the flat argmax cell
+      // is the probed-set indicator, monotone in gprobe
+      val e = Ann.semanticFrame(spark, sf)
+      val exact = Ann.semanticAssignmentsFull(e, k, iters = 1, nprobe = 1)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      def agree(gp: Int): Int = {
+        val cs = Ann.semanticAssignmentsRoutedFull(
+            e, Ann.trainedCentroidsForTest(spark, sf, k), nprobe = 1, gprobe = gp)
+          .select("vec_id", "cid").collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        cs.count { case (v, c) => exact(v) == c }
+      }
+      val a1 = agree(1); val a2 = agree(2); val aAll = agree(k)
+      info(s"routed/flat cell agreement over ${exact.size}: gprobe1=$a1 gprobe2=$a2 exhaustive=$aAll")
+      assert(a1 <= a2 && a2 <= aAll && aAll == exact.size)
+      // downstream safety at any gprobe: verified pairs are exact-
+      // cosine checked, so routed pairs never leave the exact set
+      val exactPairs = graft.operators.NearDup.embCosineDedup(spark, sf)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(routed(1).map(t => (t._1, t._2)).subsetOf(exactPairs))
+    }
+  }
+
+  test("routed assignment with sample-trained centroids keeps the refinement invariant") {
+    import graft.operators.{Ann, NearDup}
+    // sampled training changes the MODEL (different centroids than
+    // the full-corpus Lloyd pass) but not the safety story: the
+    // exact-cosine verify bounds pairs by the exact edge set
+    val exact = NearDup.embCosineDedup(spark, sf).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Ann.embSemanticPairsRouted(spark, sf, gprobe = 2,
+        trainSampleTarget = 512L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))
+    assert(sem.nonEmpty)
+    info(f"sample-trained routed edge recall vs exact: ${sem.size}/${exact.size}")
+  }
+
   test("graph-beam search: universe/rank invariants + monotone rounds lever") {
     import graft.operators.Ann
     // the search's world is the sampled node set (= the graph's own
