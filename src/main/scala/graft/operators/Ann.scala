@@ -800,39 +800,58 @@ object Ann {
     * any engine); edges are each node's top-k cosine neighbors among
     * the sampled set.
     *
-    * Shape: the sampled set self-joins via the block-pair scheme
-    * (every vector lands in one of `blocks` hash blocks; the bounded
-    * blocks×blocks pair table is broadcast, so both data sides join
-    * on a block-id equi-key — no BroadcastNestedLoopJoin on data,
-    * same posture as embCosineDedup). The FULL ordered matrix is
-    * generated (i ≠ j, both directions) but NEVER sorted whole: a
-    * per-partition bounded-heap top-k (the docs_sample_fixed_2p
-    * two-phase shape — constant task state, layout-invariant)
-    * reduces each partition's candidate stream to ≤ k rows per
-    * source node BEFORE the exact global window ranks the
-    * partitions·k survivors — the round-8 sf10 movement net measured
-    * the window-only rendering spilling 4.9 GB into its sort at a
-    * 20k-node sample; the heap pass spills nothing at any sample
-    * size. Work is (rate·n)²/2 sims per block-pair partition; at
-    * corpus scale rate tunes the graph build to the budget, and the
-    * exact graph over the sample is the standard recall baseline for
-    * an ANN-built graph over the full set.
+    * Shape: the sampled set self-joins via the REPLICATED block
+    * scheme (the BlockMatrix-multiply decomposition): every vector
+    * lands in one of `blocks` hash blocks, side a is replicated once
+    * per PARTNER block as (blk, bj) and side b as (bi, blk), and the
+    * two streams equi-join on the COMPOSITE (bi, bj) key — blocks²
+    * distinct keys, so join parallelism scales with the block grid,
+    * never with a block-id's 16-value cardinality. (The round-9
+    * sf100 soak caught the previous rendering — a broadcast
+    * blocks×blocks pair table with each data side joining on its
+    * single block-id column — collapsing to ≤`blocks` shuffle tasks
+    * the moment the sampled side outgrew the 10 MB auto-broadcast
+    * threshold: ONE straggler task held 35+ CPU-minutes at a 200k
+    * sample. Shuffle cost of the replicated form is 2·n·blocks rows,
+    * linear in n for a fixed per-block row target.) `blocks` = 0
+    * derives ceil(sampled/4000) (floor 16) from a metadata count, so
+    * per-task sim work stays ≤ ~16M regardless of corpus size. The
+    * FULL ordered matrix is generated (i ≠ j, both directions) but
+    * NEVER sorted whole: a per-partition bounded-heap top-k (the
+    * docs_sample_fixed_2p two-phase shape — constant task state,
+    * layout-invariant) reduces each partition's candidate stream to
+    * ≤ k rows per source node BEFORE the exact global window ranks
+    * the partitions·k survivors — the round-8 sf10 movement net
+    * measured the window-only rendering spilling 4.9 GB into its
+    * sort at a 20k-node sample; the heap pass spills nothing at any
+    * sample size. Total work is (rate·n)²/2 sims regardless of the
+    * grid; at corpus scale rate tunes the graph build to the budget,
+    * and the exact graph over the sample is the standard recall
+    * baseline for an ANN-built graph over the full set. The block
+    * grid only partitions that work — output is grid-invariant
+    * (spec-pinned).
     */
   def embKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
-                  rate: Double = 0.1, blocks: Int = 16): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+                  rate: Double = 0.1, blocks: Int = 0): DataFrame = {
+    val sampled = Tables.embeddings(spark, dir)
       .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"),
-        pmod(col("vec_id"), lit(blocks)).as("blk"))
-    val blockPairs = broadcast(spark.createDataFrame(
-      for { i <- 0 until blocks; j <- 0 until blocks } yield (i, j))
-      .toDF("bi", "bj"))
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(16L, (sampled.count() + 3999L) / 4000L).toInt
+    val e = sampled.withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+    val partners = typedlit((0 until nBlocks).toArray)
+    val aRep = e.withColumn("bj", explode(partners))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("blk").as("bi"), col("bj"))
+    val bRep = e.withColumn("bi", explode(partners))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("bi"), col("blk").as("bj"))
     val sim = V.cosineWithNorms(
       V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
     import spark.implicits._
-    val cand = blockPairs
-      .join(e.as("a"), col("a.blk") === col("bi"))
-      .join(e.as("b"), col("b.blk") === col("bj"))
+    val cand = aRep.as("a")
+      .join(bRep.as("b"), Seq("bi", "bj"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"), sim.as("sim"))
     // "worse" = lower sim, then higher n_id — the heap head is the
@@ -897,7 +916,7 @@ object Ann {
     */
   def annGraphSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
-                     rate: Double = 0.1, blocks: Int = 16): DataFrame = {
+                     rate: Double = 0.1, blocks: Int = 0): DataFrame = {
     val edges = embKnnGraph(spark, dir, graphK, rate, blocks)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
       .localCheckpoint(eager = false)
@@ -941,7 +960,7 @@ object Ann {
     */
   def annRecallGraph(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
-                     rate: Double = 0.1, blocks: Int = 16): DataFrame = {
+                     rate: Double = 0.1, blocks: Int = 0): DataFrame = {
     val approx = annGraphSearch(spark, dir, nQueries, k, beam, rounds, graphK, rate, blocks)
       .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
     val nodes = Tables.embeddings(spark, dir)

@@ -1029,6 +1029,18 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_._2).sum === total)
   }
 
+  test("knn graph is block-grid-invariant (the grid only partitions the work)") {
+    import graft.operators.Ann
+    def edges(blocks: Int) = Ann.embKnnGraph(spark, sf, blocks = blocks).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val derived = edges(0)
+    assert(derived.nonEmpty)
+    // replicated composite-key join: any grid covers every ordered
+    // pair exactly once, so output is invariant in the block count
+    assert(edges(5) === derived)
+    assert(edges(37) === derived)
+  }
+
   test("knn graph equals brute-force top-k over the hash sample") {
     import graft.operators.{Ann, Sampling}
     val got = Ann.embKnnGraph(spark, sf).collect()
