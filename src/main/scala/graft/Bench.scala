@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // belt to the per-query System.gc() braces: the cleaner's own
+      // periodic GC defaults to 30 min — longer than an entire batch
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,6 +50,16 @@ object Bench {
     // process exits nonzero — a broken query must not make the bench
     // look faster or the JSON look complete.
     def execute(name: String): Double = {
+      // Shuffle files of FINISHED queries are only deleted when the
+      // ContextCleaner's weak refs get GC'd — with a large soak heap
+      // the JVM can run an entire batch without a single full GC, so
+      // per-query shuffle dirs ACCUMULATE on the scratch disk (the
+      // sf100 soak measured 62 GB of dead blockmgr files before
+      // ENOSPC). A forced GC between queries (outside the timed
+      // region) bounds scratch usage at the per-query footprint —
+      // the local-mode analog of a cluster shuffle service's
+      // retention policy.
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
