@@ -19,6 +19,14 @@ object Bench {
     // for 100 TB, demonstrable here by raising this
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // shuffle/spill codec knob for scale soaks: zstd compresses the
+    // text-heavy pair-family exchanges ~2x tighter than the lz4
+    // default — at sf100 that is the difference between a 62 GB and
+    // a ~30 GB on-disk shuffle for one query (the scratch-disk
+    // analog of a cluster's shuffle-service capacity planning).
+    // Movement bytes are measured post-codec, so artifacts produced
+    // under a non-default codec say so in their filename.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -28,6 +36,7 @@ object Bench {
       // belt to the per-query System.gc() braces: the cleaner's own
       // periodic GC defaults to 30 min — longer than an entire batch
       .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.io.compression.codec", ioCodec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
