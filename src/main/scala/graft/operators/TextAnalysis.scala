@@ -935,6 +935,19 @@ object TextAnalysis {
     * [[NearDup.containmentPairsOn]]'s hot-key treatment). Integer
     * ranges: c·N·10⁴ ≤ 10¹⁸ holds to ~10⁹-token corpora per count
     * cell; past that, widen to decimal128.
+    *
+    * The aggregate's true cost driver is the DISTINCT pair-space
+    * cardinality: the count rows are already hash-keyed 8-byte pairs
+    * (one long per (a,b)), but when per-task distinct pairs outgrow
+    * the partial-agg hash map the map side falls back to
+    * sort-aggregation and spills (the round-9 sf100 soak measured
+    * 11 GB of exactly this on a 1000-disjoint-vocabulary synthetic
+    * corpus — a real shared-vocabulary corpus grows distinct pairs
+    * sublinearly). Past that regime the standard levers compose with
+    * this plan unchanged: shard the aggregate by a pair_hash band
+    * (more, smaller per-task key spaces) or pre-filter pairs by a
+    * document-frequency floor before counting (the c(a,b) ≥ 5 output
+    * bound applied earlier, trading one extra token-marginal pass).
     */
   def docsCoocLift(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, marg, total) = coocParts(spark, dir)
