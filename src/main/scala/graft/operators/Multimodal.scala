@@ -334,12 +334,19 @@ object Multimodal {
     * planted-variant detector Venn drives.
     */
   def phashPairsOf(documents: DataFrame, maxDist: Int): DataFrame = {
+    // deliberately NOT localCheckpointed: the fingerprint pass is a
+    // map-only scan (BlockHash over the text bytes), so each join
+    // side recomputes it for the cost of one more columnar scan —
+    // whereas materializing the n-row fingerprint frame as
+    // deserialized localCheckpoint blocks re-inflates whole
+    // partitions into object arrays on every consumer read (the
+    // sf100 soak OOM'd an 80 g heap in MemoryStore.putIterator doing
+    // exactly that at 5 M rows). Checkpoint sharing is for frames
+    // that are EXPENSIVE to recompute and SMALL to hold (verified
+    // pair sets); cheap-to-recompute bulk frames should stream.
     val p = documents
       .select(col("doc_id"),
         graft.plans.BlockHash(col("text").cast("binary")).as("bs"))
-      // one fingerprint pass shared by both join sides (no exchange
-      // reuse across the self-join's two consumers)
-      .localCheckpoint(eager = false)
     val ex = p.select(col("doc_id"), col("bs"),
       posexplode(col("bs")).as(Seq("band", "v")))
     val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),
