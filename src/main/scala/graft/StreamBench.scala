@@ -1,40 +1,61 @@
 package graft
 
-import graft.streaming.DedupStream
+import graft.streaming.{DedupStream, NearDupStream}
 import graft.streaming.DedupStream.Ev
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-/** Streaming throughput benchmark (VERDICT r8 item #6): the reference
-  * is a streaming dedup service — `Deduplicator.handleMessage` is its
-  * hot path — so the streaming legs need a measured rows/s and
-  * state-size artifact next to their correctness specs, not instead
-  * of one.
+/** Streaming throughput benchmark (VERDICT r8 item #6, widened in
+  * r10 per VERDICT r9 #5): the reference is a streaming dedup
+  * service — `Deduplicator.handleMessage` is its hot path — so the
+  * streaming legs need a measured rows/s and state-size artifact
+  * next to their correctness specs, not instead of one.
   *
-  * Drives the three dedup legs over the SAME generated event stream:
+  * Dedup legs over the SAME generated event stream:
   *
-  *  - `dedupTtlChain`     — flatMapGroupsWithState, default store;
-  *  - `dedupTtlChainTws`  — transformWithState on RocksDB (the API +
-  *                          store the 100 TB deployment runs);
-  *  - `dedupBounded`      — the maximumSize-analog slot cache.
+  *  - `ttl_chain_fmgws`    — flatMapGroupsWithState, default store;
+  *  - `ttl_chain_tws_rocksdb` — transformWithState on RocksDB (the
+  *                          API + store the 100 TB deployment runs);
+  *  - `ttl_chain_tws_rocksdb_changelog` — same, with CHANGELOG
+  *                          checkpointing (per-batch delta upload
+  *                          instead of full snapshot sync — the knob
+  *                          the r9 verdict asked to A/B as a
+  *                          fixed-overhead suspect);
+  *  - `bounded_slots`      — the maximumSize-analog slot cache.
   *
-  * Traffic profile mirrors the hfp-5000 feed shape: K distinct
-  * content keys (~5000 vehicles), duplicate/prime ratio ~1.0 (the
-  * reference alerts ABOVE 1.0 — "more duplicates than primes means
-  * something's wrong", Analytics.java:48-52), duplicates trailing
-  * their prime by seconds, and anchor churn every cacheTTL (4 h
-  * event-time stride per cycle) so timers actually evict. Events are
-  * fed through MemoryStream in `batches` micro-batches in event-time
-  * order; per-batch wall times come from our own clock around
-  * `processAllAvailable` (includes all micro-batch overhead — the
-  * honest per-trigger number), state rows/bytes from the final
-  * StreamingQueryProgress.
+  * Near-dup-on-arrival legs (r10) over generated fingerprint/
+  * signature streams with ~10% planted near-dups:
+  *
+  *  - `simhash_candidates` — banded-Hamming bucket state
+  *    ([[NearDupStream.simhashCandidates]], 20 Manku combos/doc);
+  *  - `minhash_candidates` — LSH band-bucket state
+  *    ([[NearDupStream.minhashCandidates]], 32 bands over 128-long
+  *    signatures — the input stream carries the 1 KB sig payload,
+  *    which is the honest ingest shape).
+  *
+  * Traffic profile of the dedup legs mirrors the hfp-5000 feed
+  * shape: K distinct content keys (~5000 vehicles), duplicate/prime
+  * ratio ~1.0 (the reference alerts ABOVE 1.0 — "more duplicates
+  * than primes means something's wrong", Analytics.java:48-52),
+  * duplicates trailing their prime by seconds, and anchor churn
+  * every cacheTTL (4 h event-time stride per cycle) so timers
+  * actually evict. Events are fed through MemoryStream in `batches`
+  * micro-batches in event-time order; per-batch wall times come from
+  * our own clock around `processAllAvailable` (includes all
+  * micro-batch overhead — the honest per-trigger number), state
+  * rows/bytes from the final StreamingQueryProgress, and the
+  * per-batch DURATION BREAKDOWN (addBatch / stateCommit /
+  * queryPlanning / walCommit / ...) is averaged from recentProgress
+  * over data-carrying batches — the "where do the ~2.2 s/batch go"
+  * instrumentation.
   *
   * Env knobs: SPARK_GRAFT_STREAM_EVENTS (default 1_000_000),
   * SPARK_GRAFT_STREAM_BATCHES (20), SPARK_GRAFT_STREAM_KEYS (5000),
-  * SPARK_GRAFT_CPUS (32). Output: one JSON line (also written to
-  * SPARK_GRAFT_STREAM_OUT, default /tmp/stream_bench.json).
+  * SPARK_GRAFT_STREAM_DOCS (50_000 — the near-dup legs),
+  * SPARK_GRAFT_STREAM_LEGS (comma subset), SPARK_GRAFT_CPUS (32).
+  * Output: one JSON line (also written to SPARK_GRAFT_STREAM_OUT,
+  * default /tmp/stream_bench.json).
   */
 object StreamBench {
   private val TtlMs = 4L * 3600 * 1000 // reference cacheTTL = 4 hours
@@ -43,6 +64,9 @@ object StreamBench {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "1000000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
     val nKeys = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "5000").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "50000").toInt
+    val legFilter = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,29 +103,52 @@ object StreamBench {
       }
       evs.result().sortBy(e => (e.ts.getTime, e.event_id))
     }
-    val all = (0 until cycles).flatMap(cycleEvents)
+    lazy val all = (0 until cycles).flatMap(cycleEvents)
     // +37 keeps micro-batch boundaries MISALIGNED with cycle
     // boundaries, so dup chains regularly straddle batches and the
     // cross-batch state-read path is part of what's measured
-    val batchSize = math.max(1, all.size / nBatches + 37)
-    val batches = all.grouped(batchSize).toSeq
+    def split[T](xs: Seq[T]): Seq[Seq[T]] =
+      xs.grouped(math.max(1, xs.size / nBatches + 37)).toSeq
+    lazy val evBatches = split(all)
+
+    // near-dup ingest traffic: splitmix64 fingerprints; every 10th
+    // doc is a near-dup of its predecessor (simhash: ≤2 bits
+    // flipped; minhash: identical signature) so candidate emission
+    // and the bucket-state read path both run
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    lazy val simDocs: Seq[(Long, Long)] = (0L until nDocs.toLong).map { i =>
+      if (i % 10 == 9) {
+        val basefp = mix(i - 1)
+        (i, basefp ^ (1L << (mix(i) & 63)) ^ (1L << ((mix(i) >>> 8) & 63)))
+      } else (i, mix(i))
+    }
+    lazy val sigDocs: Seq[(Long, Array[Long])] = (0L until nDocs.toLong).map { i =>
+      val src = if (i % 10 == 9) i - 1 else i
+      (i, Array.tabulate(128)(p => mix(src * 131L + p)))
+    }
 
     case class LegResult(rowsIn: Long, rowsOut: Long, totalSec: Double,
-                         batchMs: Seq[Double], stateRows: Long, stateBytes: Long)
+                         batchMs: Seq[Double], stateRows: Long, stateBytes: Long,
+                         durations: Map[String, Double])
 
-    def runLeg(name: String, provider: Option[String])
-              (mk: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[Ev]): LegResult = {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      provider.foreach(spark.conf.set(key, _))
+    def runLeg[T: Encoder, O](name: String, confs: Map[String, String],
+                              data: Seq[Seq[T]])
+                             (mk: Dataset[T] => Dataset[O]): LegResult = {
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        val input = MemoryStream[Ev]
+        val input = MemoryStream[T]
         val ckpt = java.nio.file.Files.createTempDirectory(s"graft_sb_$name").toString
         val q = mk(input.toDS()).writeStream.format("memory")
           .queryName(s"sb_$name").outputMode(OutputMode.Append)
           .option("checkpointLocation", ckpt).start()
         try {
-          val times = batches.map { b =>
+          val times = data.map { b =>
             val t0 = System.nanoTime()
             input.addData(b)
             q.processAllAvailable()
@@ -110,35 +157,66 @@ object StreamBench {
           val rowsOut = spark.table(s"sb_$name").count()
           val so = Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).headOption
-          LegResult(all.size.toLong, rowsOut, times.sum / 1000.0, times,
-            so.map(_.numRowsTotal).getOrElse(-1L),
-            so.map(_.memoryUsedBytes).getOrElse(-1L))
+          // mean per-duration-phase ms over the data-carrying batches
+          // (processAllAvailable can append a no-data trigger whose
+          // near-zero durations would dilute the breakdown)
+          val progs = q.recentProgress.filter(_.numInputRows > 0)
+          val durations =
+            if (progs.isEmpty) Map.empty[String, Double]
+            else {
+              import scala.jdk.CollectionConverters._
+              progs.flatMap(_.durationMs.asScala.toSeq)
+                .groupBy(_._1)
+                .map { case (k, vs) =>
+                  k -> vs.map(_._2.toDouble).sum / progs.length }
+            }
+          LegResult(data.map(_.size.toLong).sum, rowsOut, times.sum / 1000.0,
+            times, so.map(_.numRowsTotal).getOrElse(-1L),
+            so.map(_.memoryUsedBytes).getOrElse(-1L), durations)
         } finally q.stop()
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => if (provider.isDefined) spark.conf.unset(key)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    val legs = Seq(
-      ("ttl_chain_fmgws", runLeg("fmgws", None)(
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val legDefs: Seq[(String, () => LegResult)] = Seq(
+      ("ttl_chain_fmgws", () => runLeg("fmgws", Map.empty, evBatches)(
         ds => DedupStream.dedupTtlChain(ds, TtlMs))),
-      ("ttl_chain_tws_rocksdb", runLeg("tws", Some(rocks))(
+      ("ttl_chain_tws_rocksdb", () => runLeg("tws",
+        Map(providerKey -> rocks), evBatches)(
         ds => DedupStream.dedupTtlChainTws(ds, TtlMs))),
-      ("bounded_slots", runLeg("bounded", None)(
-        ds => DedupStream.dedupBounded(ds, TtlMs, 250000))))
+      ("ttl_chain_tws_rocksdb_changelog", () => runLeg("twscl",
+        Map(providerKey -> rocks, changelogKey -> "true"), evBatches)(
+        ds => DedupStream.dedupTtlChainTws(ds, TtlMs))),
+      ("bounded_slots", () => runLeg("bounded", Map.empty, evBatches)(
+        ds => DedupStream.dedupBounded(ds, TtlMs, 250000))),
+      ("simhash_candidates", () => runLeg("simc", Map.empty, split(simDocs))(
+        ds => NearDupStream.simhashCandidates(
+          ds.toDF("doc_id", "simhash")))),
+      ("minhash_candidates", () => runLeg("minc", Map.empty, split(sigDocs))(
+        ds => NearDupStream.minhashCandidates(
+          ds.toDF("doc_id", "sig")))))
+    val legs = legDefs
+      .filter { case (n, _) => legFilter.forall(_.contains(n)) }
+      .map { case (n, f) => (n, f()) }
 
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     val legJson = legs.map { case (name, r) =>
       val sorted = r.batchMs.sorted
       val p50 = sorted(sorted.size / 2)
-      s""""$name":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"total_sec":${fmt(r.totalSec)},"rows_per_sec":${fmt(r.rowsIn / r.totalSec)},"batch_ms_p50":${fmt(p50)},"batch_ms_max":${fmt(sorted.last)},"state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
+      val durJson = r.durations.toSeq.sortBy(-_._2).map { case (k, v) =>
+        s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+      s""""$name":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"total_sec":${fmt(r.totalSec)},"rows_per_sec":${fmt(r.rowsIn / r.totalSec)},"batch_ms_p50":${fmt(p50)},"batch_ms_max":${fmt(sorted.last)},"state_rows":${r.stateRows},"state_bytes":${r.stateBytes},"duration_ms_mean":$durJson}"""
     }.mkString(",")
     val json =
-      s"""{"stream_bench":{"events":$nEvents,"batches":${batches.size},"keys":$nKeys,"dup_ratio":1.0,"ttl_ms":$TtlMs,$legJson}}"""
+      s"""{"stream_bench":{"events":$nEvents,"docs":$nDocs,"batches":$nBatches,"keys":$nKeys,"dup_ratio":1.0,"ttl_ms":$TtlMs,$legJson}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "/tmp/stream_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

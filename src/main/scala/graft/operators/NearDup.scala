@@ -369,8 +369,9 @@ object NearDup {
     * the symmetric join (cf. containmentPairs, whose B side indexes
     * every occurrence and does get salted).
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    jaccardPairsOn(Tables.documents(spark, dir), threshold)
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   verifyBands: Int = 0): DataFrame =
+    jaccardPairsOn(Tables.documents(spark, dir), threshold, verifyBands)
 
   /** The dedup AUDIT FAMILY (detector Venn, group-size histogram,
     * keep/drop decision) driven through ONE shared pair computation —
@@ -422,8 +423,13 @@ object NearDup {
 
   /** [[jaccardPairs]] over any (doc_id, text) frame — the seam the
     * randomized property tests drive with synthetic corpora.
+    * `verifyBands`: 0 = auto ([[verifyBandsFor]] — unbanded below the
+    * corpus gate, derived from candidate volume ÷ scratch budget
+    * above it), N ≥ 1 = exactly N phase-1 bands.
     */
-  def jaccardPairsOn(documents: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsOn(documents: DataFrame, threshold: Double,
+                     verifyBands: Int = 0): DataFrame = {
+    val vb = verifyBandsFor(documents, verifyBands)
     val docs = shingledDocs(documents)
     val ord = orderedShingles(hashedShingles(docs))
     val n = size(col("arr"))
@@ -451,7 +457,7 @@ object NearDup {
             >= lit(threshold))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifiedJaccard(cand, docs, threshold)
+    verifiedJaccard(cand, docs, threshold, vb)
   }
 
   /** Directional containment near-dup pairs: |A∩B| / |A| ≥ t — flags
@@ -500,14 +506,19 @@ object NearDup {
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8,
-                       hotDf: Int = 1024, salts: Int = 16): DataFrame =
-    containmentPairsOn(Tables.documents(spark, dir), threshold, hotDf, salts)
+                       hotDf: Int = 1024, salts: Int = 16,
+                       verifyBands: Int = 0): DataFrame =
+    containmentPairsOn(Tables.documents(spark, dir), threshold, hotDf, salts,
+      verifyBands)
 
   /** [[containmentPairs]] over any (doc_id, text) frame; hotDf/salts
     * exposed so tests can force EVERY key down the salted path.
+    * `verifyBands` as in [[jaccardPairsOn]].
     */
   def containmentPairsOn(documents: DataFrame, threshold: Double,
-                         hotDf: Int = 1024, salts: Int = 16): DataFrame = {
+                         hotDf: Int = 1024, salts: Int = 16,
+                         verifyBands: Int = 0): DataFrame = {
+    val vb = verifyBandsFor(documents, verifyBands)
     val docs = shingledDocs(documents)
     // probe and index sides BOTH derive from the ordered arrays; the
     // A side feeds a BroadcastExchange, so without materialization
@@ -551,11 +562,14 @@ object NearDup {
     // output-sized survivors
     val hv = hashedVerifySets(docs)
     val o = graft.plans.SortedOverlapCount(col("ha"), col("hb")).cast("double")
-    val phase1 = cand
-      .join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-      .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-      .filter(o / size(col("ha")).cast("double") >= lit(threshold))
-      .select(col("a_id"), col("b_id"))
+    // banded exactly like verifiedJaccard's phase 1; phase 2 runs once
+    // over the unioned, output-sized survivors
+    val phase1 = phase1Banded(cand, hv, vb) { c =>
+      c.join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .filter(o / size(col("ha")).cast("double") >= lit(threshold))
+        .select(col("a_id"), col("b_id"))
+    }
     val withSets = phase1
       .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -563,6 +577,88 @@ object NearDup {
       size(col("sa")).cast("double")
     withSets.filter(cont >= threshold)
       .select(col("a_id"), col("b_id"), round(cont, 4).as("containment"))
+  }
+
+  /** Scratch budget in bytes that ONE phase-1 verify band may push
+    * through its exchange — the knob that turns "how much shuffle
+    * scratch does this box/executor fleet have" into a band count.
+    * Default 12 GB ≈ a fifth of this box's ~62 GB scratch, leaving
+    * headroom for the hv re-exchange and async-cleanup lag;
+    * SPARK_GRAFT_VERIFY_BAND_BYTES overrides for soaks/clusters.
+    */
+  private def verifyBandBudget: Long =
+    sys.env.get("SPARK_GRAFT_VERIFY_BAND_BYTES")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0L).getOrElse(12L << 30)
+
+  /** Explicit band-count override (SPARK_GRAFT_VERIFY_BANDS ≥ 1);
+    * absent → the auto path decides.
+    */
+  private def envVerifyBands: Option[Int] =
+    sys.env.get("SPARK_GRAFT_VERIFY_BANDS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1)
+
+  /** Docs-count gate below which the auto path NEVER bands (the plan
+    * stays byte-identical to the unbanded rendering — no candidate
+    * checkpoint, no count job). 1M docs ≈ the 2×-sf10 point; every
+    * contract SF (5k/50k/500k docs) and the sf10 soak stay unbanded,
+    * matching their round-9 measured-fine footprints.
+    */
+  private val BAND_GATE_DOCS = 1000000L
+
+  /** Band count for a phase-1 verify over `raw` documents:
+    * `requested` ≥ 1 wins, then the env override, then the gate
+    * (small corpus → 1), else −1 = "derive from the candidate count"
+    * (resolved inside [[phase1Banded]] where the candidates are
+    * materialized anyway).
+    */
+  private[operators] def verifyBandsFor(raw: DataFrame, requested: Int): Int =
+    if (requested >= 1) requested
+    else envVerifyBands.getOrElse {
+      if (raw.count() < BAND_GATE_DOCS) 1 else -1
+    }
+
+  /** Phase-1 verify, SCRATCH-BOUNDED: the candidate set is split into
+    * `bands` disjoint pair-hash bands and `phase1` runs once per band
+    * SEQUENTIALLY (each band's survivors are eagerly materialized —
+    * that is what forces one job per band — and a forced GC between
+    * bands lets the ContextCleaner reclaim the finished band's
+    * shuffle files, the Bench per-query-GC rule applied INSIDE one
+    * query). Peak on-disk shuffle is one band's exchange (~total/S)
+    * plus the hv side, instead of the whole family's ~60 GB at sf100
+    * that ENOSPC'd this box (BASELINE round-9 Batch B). The bands
+    * partition the candidate set exactly (pmod of a pair hash), so
+    * the unioned survivors equal the unbanded phase-1 output row-for-
+    * row (equality spec at bands ∈ {1,4}); on a cluster the same
+    * knob caps per-executor scratch per stage.
+    *
+    * bands = −1 derives S: candidates are checkpointed (computed
+    * once), counted, and S = ceil(count·(32 + 4·mean|hs|) /
+    * [[verifyBandBudget]]) clamped to [1, 32] — candidate volume ÷
+    * scratch budget, the round-9 verdict's formula.
+    */
+  private def phase1Banded(cand: DataFrame, hv: DataFrame, bands: Int)
+                          (phase1: DataFrame => DataFrame): DataFrame = {
+    if (bands == 1) return phase1(cand)
+    val c = cand.localCheckpoint() // candidate join runs ONCE
+    val s =
+      if (bands > 1) bands
+      else {
+        val nCand = c.count()
+        val meanSh = hv.agg(avg(size(col("hs")))).head().getDouble(0)
+        val est = nCand * (32L + 4L * math.ceil(meanSh).toLong)
+        math.min(32L, math.max(1L,
+          (est + verifyBandBudget - 1) / verifyBandBudget)).toInt
+      }
+    if (s == 1) return phase1(c)
+    val parts = (0 until s).map { b =>
+      val slice = c.filter(
+        pmod(xxhash64(col("a_id"), col("b_id")), lit(s.toLong)) === b)
+      val out = phase1(slice).localCheckpoint() // eager: band job runs NOW
+      System.gc() // reclaim the finished band's shuffle files
+      out
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** Per-doc sorted 32-bit shingle-hash payloads for phase-1 verify —
@@ -598,16 +694,21 @@ object NearDup {
     * payload joins stay broadcast-sized at any corpus scale.
     */
   private def verifiedJaccard(cand: DataFrame, docs: DataFrame,
-                              threshold: Double): DataFrame = {
+                              threshold: Double, bands: Int = 1): DataFrame = {
     val hv = hashedVerifySets(docs)
     val o = graft.plans.SortedOverlapCount(col("ha"), col("hb")).cast("double")
-    val phase1 = cand
-      .join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-      .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-      // denominator ≥ max(|A|,|B|) ≥ 1: shingledDocs drops empty sets
-      .filter(o / (size(col("ha")) + size(col("hb")) - o).cast("double")
-        >= lit(threshold))
-      .select(col("a_id"), col("b_id"))
+    // phase 1 is banded ([[phase1Banded]]); phase 2 runs ONCE over the
+    // unioned survivors — output-sized, so its string-payload joins
+    // never stress scratch and the corpus is re-shingled only twice
+    // regardless of the band count
+    val phase1 = phase1Banded(cand, hv, bands) { c =>
+      c.join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        // denominator ≥ max(|A|,|B|) ≥ 1: shingledDocs drops empty sets
+        .filter(o / (size(col("ha")) + size(col("hb")) - o).cast("double")
+          >= lit(threshold))
+        .select(col("a_id"), col("b_id"))
+    }
     val withSets = phase1
       .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -752,7 +853,9 @@ object NearDup {
     * missing only pairs all 32 bands miss (P ≈ 0.13 at j=0.5, → 0 as
     * j→1).
     */
-  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                      verifyBands: Int = 0): DataFrame = {
+    val vb = verifyBandsFor(Tables.documents(spark, dir), verifyBands)
     val docs = shingled(spark, dir)
     val bands = minhashBandKeys(minhashSignatures(docs))
     val cand = bands.as("a").join(bands.as("b"),
@@ -760,7 +863,7 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifiedJaccard(cand, docs, threshold)
+    verifiedJaccard(cand, docs, threshold, vb)
   }
 
   /** The corpus's production (wrapping-family) minhash signatures —

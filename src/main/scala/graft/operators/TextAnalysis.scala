@@ -943,14 +943,47 @@ object TextAnalysis {
     * sort-aggregation and spills (the round-9 sf100 soak measured
     * 11 GB of exactly this on a 1000-disjoint-vocabulary synthetic
     * corpus — a real shared-vocabulary corpus grows distinct pairs
-    * sublinearly). Past that regime the standard levers compose with
-    * this plan unchanged: shard the aggregate by a pair_hash band
-    * (more, smaller per-task key spaces) or pre-filter pairs by a
-    * document-frequency floor before counting (the c(a,b) ≥ 5 output
-    * bound applied earlier, trading one extra token-marginal pass).
+    * sublinearly). Past that regime two levers compose with this plan
+    * (both CODE now, round-10):
+    *
+    *  - `minDf`: tokens whose corpus count is below the floor are
+    *    dropped from the PAIR stream (marginals, total and the lift
+    *    formula see the full corpus). The prune is a map-only bloom
+    *    probe — one sketch over the (already-materialized) marginal,
+    *    no extra token-stream shuffle. PROVABLY output-identical for
+    *    minDf ≤ ⌈minC/3⌉ = 2 (a token occurrence pairs with ≤ 3
+    *    followers per direction, so c(a,b) ≤ 3·min(c(a), c(b)): a
+    *    token with c < 2 cannot reach c_ab ≥ 5 — and bloom false
+    *    positives only KEEP extra tokens, never drop); larger floors
+    *    are an explicit subset lever (output ⊆ the unfiltered run,
+    *    spec-pinned both ways). On a Zipf corpus the hapax tail is
+    *    ~half the vocabulary and most of the DISTINCT pair space.
+    *  - `bands`: the pair aggregate is sharded into S sequential
+    *    jobs by pmod(ha, S) — the follower stream is pre-filtered
+    *    per band, so each job's positional join input and distinct
+    *    pair space is ~1/S, keeping the partial-agg hash map
+    *    resident (no sort-fallback spill) and the per-job shuffle
+    *    scratch at ~1/S. Survivors (c_ab ≥ 5) are eagerly
+    *    materialized per band with a GC between bands (the
+    *    [[NearDup]] phase-1 banding discipline); the b-side token
+    *    frame is re-exchanged per band — the wall trade that buys
+    *    the bounded footprint. Bands partition the pair space by
+    *    its ha axis, so the union equals the unbanded aggregate
+    *    row-for-row (equality spec).
+    *
+    * Defaults (−1) read SPARK_GRAFT_COOC_MINDF / SPARK_GRAFT_COOC_
+    * BANDS so a soak can engage the levers without a code change;
+    * unset env means (0, 1) — the contract plan, unchanged.
     */
-  def docsCoocLift(spark: SparkSession, dir: String): DataFrame = {
-    val (pairs, marg, total) = coocParts(spark, dir)
+  def docsCoocLift(spark: SparkSession, dir: String, minDf: Long = -1L,
+                   bands: Int = -1): DataFrame = {
+    val mdf = if (minDf >= 0L) minDf
+      else sys.env.get("SPARK_GRAFT_COOC_MINDF")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
+    val bnd = if (bands >= 1) bands
+      else sys.env.get("SPARK_GRAFT_COOC_BANDS")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1)
+    val (pairs, marg, total) = coocParts(spark, dir, mdf, bnd)
     pairs
       .join(marg.select(col("ht").as("ha"), col("tok").as("a"), col("c").as("c_a")), "ha")
       .join(marg.select(col("ht").as("hb"), col("tok").as("b"), col("c").as("c_b")), "hb")
@@ -980,19 +1013,12 @@ object TextAnalysis {
     * at 10⁸ types), and a corpus that does needs a wider key, not a
     * silent merge.
     */
-  private def coocParts(spark: SparkSession,
-                        dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def coocParts(spark: SparkSession, dir: String,
+                        minDf: Long = 0L, bands: Int = 1)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("i", "tok")))
     val toksH = toks.select(col("doc_id"), col("i"), xxhash64(col("tok")).as("ht"))
-    val followers = toksH
-      .withColumn("d", explode(sequence(lit(1), lit(3))))
-      .select(col("doc_id"), (col("i") + col("d")).as("j"), col("ht").as("ha"))
-    val pairs = followers
-      .join(toksH.select(col("doc_id"), col("i").as("j"), col("ht").as("hb")),
-        Seq("doc_id", "j"))
-      .groupBy("ha", "hb").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= 5)
     // marg is consumed twice (both directional joins) and sits under
     // Zipf-hot join keys: the detach materializes it once AND keeps
     // AQE's skew split eligible (see docsChunkDedup's shape note) —
@@ -1001,13 +1027,45 @@ object TextAnalysis {
     val marg = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .withColumn("ht", xxhash64(col("tok")))
       .localCheckpoint()
+    // injectivity guard + (when the minDf lever is on) the kept-type
+    // count that sizes the bloom — one pass over the k-row marginal
     val inj = marg.agg(count(lit(1)).as("n"),
-      count_distinct(col("ht")).as("nh")).head()
+      count_distinct(col("ht")).as("nh"),
+      sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_kept")).head()
     if (inj.getLong(0) != inj.getLong(1))
       throw new IllegalStateException(
         s"xxhash64 collision over the token vocabulary (${inj.getLong(0)} " +
           s"types, ${inj.getLong(1)} distinct hashes) — hashed cooc keys " +
           "would merge distinct pairs; widen the key")
+    // minDf prune: a bloom sketch over the KEPT types probes the pair
+    // stream map-only (16 bits/key ≈ sub-% fpp; FPs only keep extra
+    // tokens, preserving the ≤⌈minC/3⌉ exactness bound) — no
+    // token-stream shuffle is added
+    val toksP =
+      if (minDf <= 0L) toksH
+      else {
+        val sketch = BloomDedup.buildSketch(marg.filter(col("c") >= minDf),
+          col("ht"), numBits = math.max(1L << 20, 16L * inj.getLong(2)))
+        if (sketch == null) toksH.filter(lit(false))
+        else toksH.filter(BloomDedup.mightContain(sketch, col("ht")))
+      }
+    val followers = toksP
+      .withColumn("d", explode(sequence(lit(1), lit(3))))
+      .select(col("doc_id"), (col("i") + col("d")).as("j"), col("ht").as("ha"))
+    val bSide = toksP.select(col("doc_id"), col("i").as("j"), col("ht").as("hb"))
+    def pairAgg(f: DataFrame): DataFrame = f
+      .join(bSide, Seq("doc_id", "j"))
+      .groupBy("ha", "hb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val pairs =
+      if (bands <= 1) pairAgg(followers)
+      else (0 until bands).map { b =>
+        val out = pairAgg(followers
+          .filter(pmod(col("ha"), lit(bands.toLong)) === b))
+          .localCheckpoint() // eager: the band's job runs NOW
+        System.gc() // reclaim the finished band's shuffle files
+        out
+      }.reduce(_ unionByName _)
     val total = toks.agg(count(lit(1)).as("n_total"))
     (pairs, marg, total)
   }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Ann, NearDup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+
+/** Round-10 invariants: scratch-bounded phase-1 verify banding,
+  * the cooc-lift scale levers, the cell-routed kNN-graph build, and
+  * the analytic-core query renderings.
+  */
+class Round10Spec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("banded phase-1 verify: jaccard pairs identical at bands 1 vs 4") {
+    val docs = Tables.documents(spark, sf)
+    val unbanded = rows(NearDup.jaccardPairsOn(docs, 0.5, verifyBands = 1))
+    val banded = rows(NearDup.jaccardPairsOn(docs, 0.5, verifyBands = 4))
+    assert(unbanded.nonEmpty, "fixture produced no pairs — spec is vacuous")
+    assert(banded === unbanded)
+  }
+
+  test("banded phase-1 verify: containment pairs identical at bands 1 vs 3") {
+    val docs = Tables.documents(spark, sf)
+    val unbanded = rows(NearDup.containmentPairsOn(docs, 0.8, verifyBands = 1))
+    val banded = rows(NearDup.containmentPairsOn(docs, 0.8, verifyBands = 3))
+    assert(unbanded.nonEmpty, "fixture produced no pairs — spec is vacuous")
+    assert(banded === unbanded)
+  }
+
+  test("cooc-lift levers: minDf<=ceil(minC/3) + band-sharded agg are output-identical") {
+    val base = rows(TextAnalysis.docsCoocLift(spark, sf, minDf = 0L, bands = 1))
+    val levered = rows(TextAnalysis.docsCoocLift(spark, sf, minDf = 2L, bands = 3))
+    assert(base.nonEmpty, "fixture produced no collocations — spec is vacuous")
+    assert(levered === base)
+  }
+
+  test("cooc-lift minDf beyond the exactness bound only ever SHRINKS the output") {
+    val base = rows(TextAnalysis.docsCoocLift(spark, sf, minDf = 0L, bands = 1))
+    val pruned = rows(TextAnalysis.docsCoocLift(spark, sf, minDf = 50L, bands = 1))
+    assert(pruned.subsetOf(base),
+      s"minDf must only remove pairs; extra rows: ${pruned -- base}")
+  }
+
+  test("cell-routed kNN graph: exhaustive probes (nprobe=K, gprobe>=G) equal the exact build") {
+    val exact = rows(Ann.embKnnGraph(spark, sf, k = 3, rate = 0.1))
+    val routed = rows(Ann.embKnnGraphCells(spark, sf, k = 3, rate = 0.1,
+      clusters = 4, iters = 1, nprobe = 4, gprobe = 99))
+    assert(exact.nonEmpty, "fixture graph is empty — spec is vacuous")
+    assert(routed === exact)
+  }
+
+  test("cell-routed kNN graph: build recall is monotone in nprobe and positive") {
+    def recall(nprobe: Int): Double =
+      Ann.embKnnGraphRecall(spark, sf, k = 3, rate = 0.1,
+          clusters = 4, iters = 1, nprobe = nprobe, gprobe = 2)
+        .head().getAs[Double]("recall")
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r1 > 0.0, s"nprobe=1 recall $r1 — cells found nothing")
+    assert(r1 <= r2 && r2 <= r4,
+      s"recall not monotone in nprobe: $r1, $r2, $r4")
+    assert(r4 === 1.0, s"nprobe=K must recover the exact graph (got $r4)")
+  }
+
+  test("cell-routed kNN graph edges are a subset of exact-graph node pairs with exact sims") {
+    // every routed edge must reproduce the exact build's sim for the
+    // same (vec_id, n_id): the routing only shapes CANDIDATES, scores
+    // are the same exact cosine
+    val exactAll = Ann.embKnnGraph(spark, sf, k = 200, rate = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val routed = Ann.embKnnGraphCells(spark, sf, k = 3, rate = 0.1,
+      clusters = 4, iters = 1, nprobe = 1, gprobe = 2).collect()
+    assert(routed.nonEmpty)
+    routed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(exactAll.contains(key), s"routed edge $key not in sampled pair set")
+      assert(exactAll(key) === r.getDouble(3), s"sim mismatch at $key")
+    }
+  }
+
+  test("coreQueries produce exactly the contract queries' rows (ordering aside)") {
+    SparkEntry.coreQueries.foreach { case (name, coreFn) =>
+      val contract = rows(SparkEntry.queries(name)(spark, sf))
+      val core = rows(coreFn(spark, sf))
+      assert(core === contract, s"core rendering of $name diverges")
+    }
+  }
+}
