@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** kNN-graph BUILD A/B probe (VERDICT r9 #3): times the exact
+  * (rate·n)² block-matrix build against the cell-routed build
+  * ([[graft.operators.Ann.embKnnGraphCells]]) on the same sample,
+  * optionally with the build-recall monitor (which itself pays the
+  * exact build — run recall at the decade where exact is affordable,
+  * time routed alone at the decade where it is not).
+  *
+  * Usage: runMain graft.GraphBuildProbe <sfDir> <mode>
+  *   mode ∈ exact | routed | recall | both
+  * Env: SPARK_GRAFT_GRAPH_RATE (0.1), _K (3), _NPROBE (2),
+  *      _GPROBE (2), _CLUSTERS (0 = auto-K), _TRAIN (131072),
+  *      SPARK_GRAFT_CPUS / _SHUFFLE_PARTITIONS as in Bench.
+  * Output: one JSON line (edges counted so the build fully executes).
+  */
+object GraphBuildProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.lift(1).getOrElse("both")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Ann
+
+    def env(k: String, d: String): String = sys.env.getOrElse(k, d)
+    val rate = env("SPARK_GRAFT_GRAPH_RATE", "0.1").toDouble
+    val k = env("SPARK_GRAFT_GRAPH_K", "3").toInt
+    val nprobe = env("SPARK_GRAFT_GRAPH_NPROBE", "2").toInt
+    val gprobe = env("SPARK_GRAFT_GRAPH_GPROBE", "2").toInt
+    val clusters = env("SPARK_GRAFT_GRAPH_CLUSTERS", "0").toInt
+    val train = env("SPARK_GRAFT_GRAPH_TRAIN", "131072").toLong
+
+    def timed(f: => Long): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val parts = Seq.newBuilder[String]
+    if (mode == "exact" || mode == "both") {
+      val (t, n) = timed(Ann.embKnnGraph(spark, dir, k, rate).count())
+      parts += f""""exact_sec":$t%.1f,"exact_edges":$n"""
+    }
+    if (mode == "routed" || mode == "both") {
+      val (t, n) = timed(Ann.embKnnGraphCells(spark, dir, k, rate,
+        clusters, iters = 1, nprobe, gprobe, train).count())
+      parts += f""""routed_sec":$t%.1f,"routed_edges":$n"""
+    }
+    if (mode == "recall") {
+      val (t, _) = timed(1L)
+      val row = Ann.embKnnGraphRecall(spark, dir, k, rate,
+        clusters, iters = 1, nprobe, gprobe, train).head()
+      parts += s""""n_exact":${row.getAs[Long]("n_exact")},"n_hit":${row.getAs[Long]("n_hit")},"recall":${row.getAs[Double]("recall")}"""
+      val _ = t
+    }
+    val json = s"""{"graph_probe":{"dir":"$dir","rate":$rate,"k":$k,"nprobe":$nprobe,"gprobe":$gprobe,"clusters":$clusters,"train":$train,${parts.result().mkString(",")}}}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", "/tmp/graph_probe.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[graphprobe] ${e.getMessage}") }
+    spark.stop()
+  }
+}
