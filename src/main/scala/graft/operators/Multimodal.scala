@@ -367,16 +367,66 @@ object Multimodal {
   /** Connected components over the perceptual-hash near-dup graph —
     * the image-dedup grouping pass, completing the detector → groups
     * symmetry (jaccard → dedupGroups, simhash → docsSimhashGroups,
-    * phash → here): edges are [[phashPairs]] (banded, pigeonhole-
-    * complete for d ≤ 3), components via NearDup.starComponents
-    * (log-round stars — image dup clusters chain through resize/
-    * re-encode generations). group_id = min doc_id reachable.
+    * phash → here): edges are [[phashPairs]] semantics (banded,
+    * pigeonhole-complete for d ≤ 3), components via
+    * NearDup.starComponents (log-round stars — image dup clusters
+    * chain through resize/re-encode generations). group_id = min
+    * doc_id reachable.
+    *
+    * COLLAPSED rendering (round 10): docs are first canonicalized by
+    * EXACT fingerprint — docs sharing `bs` are distance-0 duplicates,
+    * and d(a, ·) ≡ d(b, ·) whenever bs_a = bs_b, so connectivity
+    * through any member is connectivity through the class
+    * representative (min doc_id of the fingerprint). The banded join
+    * + star components run over DISTINCT fingerprints only, and every
+    * doc inherits its fingerprint's component label. Result-identical
+    * to components over the per-doc pair set (the DuckDB oracle still
+    * replays that definition; group labels are unchanged because the
+    * min doc_id of a component equals the min over its reps — each
+    * rep IS its class minimum). The per-doc pair set is what this
+    * removes: a dup-heavy corpus (the exact situation a dedup pass
+    * exists for) makes it Σ m_fp² — the round-10 sf100 soak measured
+    * 500k docs → 265k distinct fingerprints with 6.25M distance-0
+    * pairs at sf10 already, and the 80 g heap OOM'd enumerating the
+    * sf100 expansion inside the components checkpoint. Collapse
+    * first, THEN band: candidates and state scale with distinct
+    * fingerprints, never with duplicate multiplicity.
     */
   def phashGroups(spark: SparkSession, dir: String,
-                  maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
-    val pairs = phashPairs(spark, dir, maxDist).select("doc_id_a", "doc_id_b")
-    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
-    graft.operators.NearDup.starComponents(nodes, pairs, maxRounds)._1
+                  maxDist: Int = 3, maxRounds: Int = 30): DataFrame =
+    phashGroupsOf(Tables.documents(spark, dir), maxDist, maxRounds)
+
+  /** [[phashGroups]] over any (doc_id, text) frame — the seam the
+    * collapse-equality spec drives with a planted-duplicate corpus.
+    */
+  def phashGroupsOf(documents: DataFrame,
+                    maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val fp = documents
+      .select(col("doc_id"),
+        graft.plans.BlockHash(col("text").cast("binary")).as("bs"))
+    // one node per distinct fingerprint, labeled by its min doc_id
+    val rep = fp.groupBy("bs").agg(min("doc_id").as("doc_id"))
+      .localCheckpoint(eager = false) // consumed by join sides + expansion
+    val ex = rep.select(col("doc_id"), col("bs"),
+      posexplode(col("bs")).as(Seq("band", "v")))
+    val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),
+      col("band"), col("v"))
+    val b = ex.select(col("doc_id").as("doc_id_b"), col("bs").as("bs_b"),
+      col("band"), col("v"))
+    val hamming = (0 until 4)
+      .map(k => expr(s"bit_count(bs_a[$k] ^ bs_b[$k])"))
+      .reduce(_ + _)
+    val repPairs = a.join(b, Seq("band", "v"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(hamming <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val (repGroups, _) = graft.operators.NearDup.starComponents(
+      rep.select("doc_id"), repPairs, maxRounds)
+    // expand: every doc inherits its fingerprint class's label
+    fp.join(rep.withColumnRenamed("doc_id", "rep_id"), "bs")
+      .join(repGroups.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("group_id"))
   }
 
   /** The ACTIONABLE media dedup decision — [[phashGroups]] reduced

@@ -78,6 +78,40 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("collapsed phash components equal per-doc-pair union-find on a dup-heavy corpus") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // planted structure: exact copies (distance-0 classes with
+    // multiplicity) + light variants (non-zero Hamming edges) +
+    // unrelated docs (singletons) — the clique shape that blew the
+    // per-doc pair enumeration at sf100
+    val base = (0 until 8).map(i =>
+      s"the quick brown fox ${"pattern " * 20} jumps over dog number $i")
+    val docs = (0L until 64L).map { id =>
+      val b = (id % 8).toInt
+      val txt =
+        if (id < 32) base(b) // 4 exact copies of each base
+        else if (id < 48) base(b) + "!" // light variant of each base
+        else s"completely unrelated content nr $id " + ("x" * (id.toInt % 37))
+      (id, txt)
+    }.toDF("doc_id", "text")
+    val collapsed = Multimodal.phashGroupsOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find over the PER-DOC pair set
+    val pairs = Multimodal.phashPairsOf(docs, maxDist = 3)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((0L until 64L).map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0L until 64L).map(d => d -> find(d)).toMap
+    assert(pairs.nonEmpty, "planted corpus produced no phash edges — spec is vacuous")
+    assert(collapsed === expect)
+  }
+
   test("coreQueries produce exactly the contract queries' rows (ordering aside)") {
     SparkEntry.coreQueries.foreach { case (name, coreFn) =>
       val contract = rows(SparkEntry.queries(name)(spark, sf))
