@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * time routed alone at the decade where it is not).
   *
   * Usage: runMain graft.GraphBuildProbe <sfDir> <mode>
-  *   mode ∈ exact | routed | recall | both
+  *   mode ∈ exact | routed | recall | both | rank | rank_exact
+  *   (`rank` = the [[graft.operators.Ann.embGraphRankOn]] loop fed
+  *   by the ROUTED build — the scale rendering of emb_graph_rank;
+  *   `rank_exact` = the contract rendering, for the same-box ratio)
   * Env: SPARK_GRAFT_GRAPH_RATE (0.1), _K (3), _NPROBE (2),
   *      _GPROBE (2), _CLUSTERS (0 = auto-K), _TRAIN (131072),
   *      SPARK_GRAFT_CPUS / _SHUFFLE_PARTITIONS as in Bench.
@@ -54,6 +57,19 @@ object GraphBuildProbe {
       val (t, n) = timed(Ann.embKnnGraphCells(spark, dir, k, rate,
         clusters, iters = 1, nprobe, gprobe, train).count())
       parts += f""""routed_sec":$t%.1f,"routed_edges":$n"""
+    }
+    if (mode == "rank") {
+      import org.apache.spark.sql.functions.col
+      val (t, n) = timed(Ann.embGraphRankOn(
+        Ann.embKnnGraphCells(spark, dir, k, rate,
+          clusters, iters = 1, nprobe, gprobe, train)
+          .select(col("vec_id").as("src"), col("n_id").as("dst")),
+        k).count())
+      parts += f""""rank_routed_sec":$t%.1f,"rank_routed_nodes":$n"""
+    }
+    if (mode == "rank_exact") {
+      val (t, n) = timed(Ann.embGraphRank(spark, dir, k).count())
+      parts += f""""rank_exact_sec":$t%.1f,"rank_exact_nodes":$n"""
     }
     if (mode == "recall") {
       val (t, _) = timed(1L)

@@ -1735,9 +1735,27 @@ object Ann {
     */
   def embGraphRank(spark: SparkSession, dir: String,
                    k: Int = 3, iters: Int = 2,
-                   checkpointDir: Option[String] = None): DataFrame = {
-    val rawEdges = embKnnGraph(spark, dir, k)
-      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+                   checkpointDir: Option[String] = None): DataFrame =
+    embGraphRankOn(
+      embKnnGraph(spark, dir, k)
+        .select(col("vec_id").as("src"), col("n_id").as("dst")),
+      k, iters, checkpointDir)
+
+  /** The rank loop over a CALLER-SUPPLIED (src, dst) edge frame —
+    * the seam that takes the rank family off the quadratic curve:
+    * the contract query feeds it the exact build (above), a scale
+    * run feeds it [[embKnnGraphCells]] (cell-bounded candidates,
+    * Σnₖ² work) and pays the routed build + O(edges) iterations
+    * instead of (rate·n)². Rank on the routed build at exhaustive
+    * probes is IDENTICAL to the contract output (spec), because the
+    * builds are identical there; at working probes the node set is
+    * still identical (every sampled node emits k edges) and rank
+    * ORDER degrades only as far as build recall does. Measured:
+    * GraphBuildProbe `rank` mode (BASELINE round-10).
+    */
+  def embGraphRankOn(rawEdges: DataFrame, k: Int = 3, iters: Int = 2,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val spark = rawEdges.sparkSession
     val edges = checkpointDir match {
       case None => rawEdges.localCheckpoint(eager = false)
       case Some(d) =>

@@ -78,6 +78,30 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("graph rank on the routed build at exhaustive probes equals the contract rank") {
+    import org.apache.spark.sql.functions.col
+    val contract = rows(Ann.embGraphRank(spark, sf, k = 3))
+    val routed = rows(Ann.embGraphRankOn(
+      Ann.embKnnGraphCells(spark, sf, k = 3, rate = 0.1,
+        clusters = 4, iters = 1, nprobe = 4, gprobe = 99)
+        .select(col("vec_id").as("src"), col("n_id").as("dst")), k = 3))
+    assert(contract.nonEmpty, "fixture rank is empty — spec is vacuous")
+    assert(routed === contract)
+  }
+
+  test("graph rank on the routed build covers the same node set at working probes") {
+    import org.apache.spark.sql.functions.col
+    def nodes(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val contract = nodes(Ann.embGraphRank(spark, sf, k = 3))
+    val routed = nodes(Ann.embGraphRankOn(
+      Ann.embKnnGraphCells(spark, sf, k = 3, rate = 0.1,
+        clusters = 4, iters = 1, nprobe = 1, gprobe = 2)
+        .select(col("vec_id").as("src"), col("n_id").as("dst")), k = 3))
+    assert(contract.nonEmpty && routed === contract,
+      "every sampled node emits k edges in ANY build — node sets must match")
+  }
+
   test("collapsed phash components equal per-doc-pair union-find on a dup-heavy corpus") {
     import graft.operators.Multimodal
     import spark.implicits._
