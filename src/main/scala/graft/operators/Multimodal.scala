@@ -525,14 +525,22 @@ object Multimodal {
     */
   def mmDetectorVenn(spark: SparkSession, dir: String,
                      maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
-    val media = plantedMedia(spark, dir).localCheckpoint(eager = false)
+    // NOT localCheckpointed: plantedMedia is a map-only union of
+    // document scans — each consumer re-reads it for the cost of a
+    // columnar scan, whereas checkpointing the 1.3n-row text frame
+    // held whole deserialized partitions resident (~84 GB at sf100)
+    // AND fed the per-doc pair join below. Both legs stream.
+    val media = plantedMedia(spark, dir)
     val d = media.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val exact = d.join(
       d.groupBy("h").agg(count(lit(1)).as("c")), "h")
       .select(col("doc_id"), (col("c") > 1).as("f_exact"))
-    val pairs = phashPairsOf(media, maxDist).select("doc_id_a", "doc_id_b")
-    val pg = graft.operators.NearDup.starComponents(
-      media.select(col("doc_id")), pairs, maxRounds)._1
+    // the COLLAPSED components path (phashGroupsOf): the planted
+    // corpus is dup-heavy by construction, so per-doc pair
+    // enumeration is Σ m_fp² — the sf100 solo wrote ~60 GB of pair
+    // exchange into ENOSPC before this leg switched to
+    // distinct-fingerprint components (result-identical, spec-pinned)
+    val pg = phashGroupsOf(media, maxDist, maxRounds)
     val phash = pg.join(
       pg.groupBy("group_id").agg(count(lit(1)).as("gsz")), "group_id")
       .select(col("doc_id"), (col("gsz") > 1).as("f_phash"))
