@@ -275,6 +275,7 @@ object SparkEntry {
     "emb_kmeans_train" -> ((s, d) => present(Ann.embKmeansTrain(s, d), "cid", "dim")),
     "docs_gopher_rules" -> ((s, d) => present(TextAnalysis.docsGopherRules(s, d), "doc_id")),
     "docs_dup_spans" -> ((s, d) => present(NearDup.docsDupSpans(s, d), "a_id", "b_id")),
+    "docs_substr_dedup" -> ((s, d) => present(NearDup.docsSubstrDedup(s, d), "doc_id")),
     "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
     "emb_graph_rank" -> ((s, d) => present(Ann.embGraphRank(s, d), "vec_id")),
     "mm_audio_segments" -> ((s, d) => present(Multimodal.mmAudioSegments(s, d), "doc_id", "seg_id")),
@@ -3712,6 +3713,40 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(run_len AS BIGINT) AS longest_run,
         |       CAST(run_len + 4 AS BIGINT) AS longest_tokens, a_start, b_start
         |FROM best WHERE rn = 1 AND run_len >= 2 ORDER BY a_id, b_id""".stripMargin,
+    // ExactSubstr replay: corpus-wide positional 8-shingle occurrence
+    // counts mark covered starts; a trailing-8 ROWS window max lifts
+    // the mark to token granularity; kept tokens re-joined in order
+    // are the md5 content witness (docs with zero survivors keep the
+    // empty-string md5 via the LEFT JOIN)
+    "docs_substr_dedup" ->
+      """WITH pt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS i,
+        |              unnest(list_transform(range(0, len(t) - 7),
+        |                p -> array_to_string(t[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' '))) AS s
+        |       FROM pt WHERE len(t) >= 8),
+        |dup AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh GROUP BY 1) WHERE c > 1),
+        |m AS (SELECT doc_id, i FROM sh JOIN dup USING (s)),
+        |tok AS (SELECT doc_id, unnest(range(0, len(t))) AS i, unnest(t) AS token FROM pt),
+        |f AS (SELECT tok.doc_id, tok.i, tok.token,
+        |             CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END AS f
+        |      FROM tok LEFT JOIN m ON m.doc_id = tok.doc_id AND m.i = tok.i),
+        |c AS (SELECT doc_id, i, token,
+        |             max(f) OVER (PARTITION BY doc_id ORDER BY i
+        |                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |      FROM f),
+        |c2 AS (SELECT *, CASE WHEN cov = 1 AND coalesce(lag(cov) OVER
+        |                 (PARTITION BY doc_id ORDER BY i), 0) = 0 THEN 1 ELSE 0 END AS ss
+        |       FROM c),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(sum(cov) AS BIGINT) AS n_removed_tokens,
+        |               CAST(sum(ss) AS BIGINT) AS n_removed_spans
+        |        FROM c2 GROUP BY 1),
+        |kept AS (SELECT doc_id, md5(string_agg(token, ' ' ORDER BY i)) AS clean_md5
+        |         FROM c2 WHERE cov = 0 GROUP BY 1)
+        |SELECT a.doc_id, a.n_tokens, a.n_removed_tokens, a.n_removed_spans,
+        |       coalesce(k.clean_md5, md5('')) AS clean_md5,
+        |       CAST(((a.n_tokens - a.n_removed_tokens) * 10000) // a.n_tokens AS BIGINT) AS kept_frac_e4
+        |FROM agg a LEFT JOIN kept k USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     // coverage-curve replay: same (count desc, word) rank axis, same
     // integer floors; n_vocab < k when the vocabulary is smaller
     "text_vocab_coverage" ->

@@ -1351,4 +1351,83 @@ object NearDup {
         (col("rn") > 1).as("dup_in_batch"),
         (col("in_history").isNull && col("rn") === 1).as("ingest"))
   }
+
+  /** Corpus-wide EXACT-SUBSTRING dedup — the Lee et al. 2022
+    * "ExactSubstr" ACTION: remove every token span of length ≥ `k`
+    * that occurs more than once ANYWHERE in the corpus (including a
+    * second time inside the same document), pair-independent. This is
+    * the canonical published LLM-pretraining dedup action the
+    * pair-gated family ([[docsDupSpans]]) cannot express: a span
+    * shared by 40 documents is removed from all 40 without ever
+    * enumerating the 780 pairs.
+    *
+    * Equivalence to the suffix-array formulation: a token is inside
+    * some duplicated span of length ≥ k  ⇔  it is covered by at least
+    * one duplicated k-shingle (any duplicated span of length L ≥ k
+    * contains L−k+1 duplicated k-shingles tiling it; conversely a
+    * duplicated k-shingle IS a duplicated span of length k). So
+    * corpus-wide shingle occurrence counts + a trailing-k window max
+    * reproduce the paper's removal set exactly, in three linear
+    * passes instead of a suffix array.
+    *
+    * Per doc: token count, removed-token count, maximal removed-run
+    * count (lag-gap segmentation on the covered flag), md5 of the
+    * kept tokens re-joined in order (the oracle-checkable content
+    * witness — byte-identical to the original when nothing matched),
+    * and the ×10⁴ kept fraction. Docs where everything is removed
+    * stay present with the md5 of the empty string — a pipeline needs
+    * the zero-yield rows for its accounting.
+    *
+    * Scale shape: positional k-shingles ≈ one row per corpus token;
+    * the occurrence count is one map-combinable groupBy on the md5'd
+    * shingle (128-bit uniform key — skew-free); the >1 side is
+    * DETACHED (lazy localCheckpoint) so AQE may skew-split the
+    * join-back on Zipf-hot boilerplate shingles (see
+    * [[graft.operators.TextAnalysis.docsLineDedup]]); marked
+    * positions flow back through a LEFT-SEMI (never multiplying
+    * rows); the covered flag is a bounded ROWS window per doc. Every
+    * exchange is O(corpus tokens) — linear by construction.
+    */
+  def docsSubstrDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    docsSubstrDedupOn(Tables.documents(spark, dir), k)
+
+  /** [[docsSubstrDedup]] over any (doc_id, text) frame — duplication
+    * is judged against THAT frame's spans (a pipeline that gates
+    * first dedups against its working set).
+    */
+  def docsSubstrDedupOn(documents: DataFrame, k: Int = 8): DataFrame = {
+    // tokens feed both the shingle index and the reconstruction —
+    // materialize the narrow frame once (the dedupIncremental pattern)
+    val toks = documents
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .localCheckpoint(eager = false)
+    val sh = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
+        .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").as("i"), md5(col("s")).as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1L).select("h")
+      .localCheckpoint(eager = false) // skew-split eligibility
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i"), lit(1).as("f"))
+    val tok = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("i", "token")))
+    val wk = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    val wo = Window.partitionBy("doc_id").orderBy("i")
+    val cov = tok.join(marked, Seq("doc_id", "i"), "left")
+      .withColumn("cov", coalesce(max("f").over(wk), lit(0)))
+      .withColumn("span_start", when(col("cov") === 1 &&
+        coalesce(lag("cov", 1).over(wo), lit(0)) === 0, 1L).otherwise(0L))
+    cov.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cov").cast("long")).as("n_removed_tokens"),
+        sum(col("span_start")).as("n_removed_spans"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("cov") === 0, struct(col("i"), col("token"))))),
+          x => x.getField("token")), " ")).as("clean_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+        col("n_removed_spans"), col("clean_md5"),
+        expr("((n_tokens - n_removed_tokens) * 10000) div n_tokens").as("kept_frac_e4"))
+  }
 }
