@@ -135,6 +135,9 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => present(Ann.annRecall(s, d), "q_id")),
     "ann_recall_lsh" -> ((s, d) => present(Ann.annRecallLsh(s, d), "q_id")),
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
+    "emb_knn_graph_cells" -> ((s, d) => present(Ann.embKnnGraphCells(s, d), "vec_id", "rnk")),
+    "ann_recall_cells" -> ((s, d) => Ann.embKnnGraphRecall(s, d)),
+    "emb_semantic_routed" -> ((s, d) => present(Ann.embSemanticPairsRouted(s, d), "a_id", "b_id")),
     "ann_graph_search" -> ((s, d) => present(Ann.annGraphSearch(s, d), "q_id", "rnk")),
     "ann_recall_graph" -> ((s, d) => present(Ann.annRecallGraph(s, d), "q_id")),
     "emb_pq" -> ((s, d) => present(Ann.embPq(s, d), "vec_id")),
@@ -555,6 +558,69 @@ object SparkEntry {
        |      FROM p WHERE sim IS NOT NULL)""".stripMargin
   }
 
+  /** Sampled-frame + routed-build CTE chain shared by the
+    * cell-routed graph oracle and its recall row: `smp` is the 10%
+    * hash-sampled node frame (the knnEdgeCtes sample), the quantizer
+    * trains with full-corpus seeds and SAMPLED refinement (auto-K
+    * from the sampled count — the `Ann.embKnnGraphCells` recipe),
+    * and `gr` ranks the in-cell exact-cosine candidates per source
+    * node (nprobe=2, gprobe=2 — the contract defaults).
+    */
+  private def knnCellsCtes: String = {
+    val t = graft.operators.Sampling.rateThreshold(0.1)
+    s"""hsh AS (SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+       |    (a, x) -> a * 16 + x) AS u
+       |  FROM embeddings),
+       |smp AS (SELECT e.vec_id, e.embedding,
+       |             list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+       |      FROM embeddings e JOIN hsh USING (vec_id) WHERE hsh.u < $t),
+       |${ivfC1CtesOn("SELECT greatest(16, (count(*) + 124) // 125) FROM smp", "smp")},
+       |${routedAssignCtes("smp", nprobe = 2, gprobe = 2)},
+       |gp AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS n_id,
+       |         list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+       |           / nullif(sqrt(q.n2) * sqrt(x.n2), 0.0) AS sim
+       |       FROM ra a JOIN ra b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |       JOIN smp q ON q.vec_id = a.vec_id JOIN smp x ON x.vec_id = b.vec_id),
+       |gr AS (SELECT vec_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
+       |       FROM gp WHERE sim IS NOT NULL)""".stripMargin
+  }
+
+  private def embKnnGraphCellsOracleSql: String =
+    s"""WITH $knnCellsCtes
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
+       |FROM gr WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  private def annRecallCellsOracleSql: String =
+    s"""WITH $knnCellsCtes,
+       |xp AS (SELECT q.vec_id AS vec_id, x.vec_id AS n_id,
+       |         list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+       |           / nullif(sqrt(q.n2) * sqrt(x.n2), 0.0) AS sim
+       |       FROM smp q JOIN smp x ON q.vec_id <> x.vec_id),
+       |xr AS (SELECT vec_id, n_id FROM (
+       |         SELECT vec_id, n_id,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
+       |         FROM xp WHERE sim IS NOT NULL) WHERE rnk <= 3),
+       |ap AS (SELECT DISTINCT vec_id, n_id, 1 AS hit FROM gr WHERE rnk <= 3)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(ap.hit) AS BIGINT) AS n_hit,
+       |       round(count(ap.hit)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+       |FROM xr LEFT JOIN ap USING (vec_id, n_id)""".stripMargin
+
+  private def embSemanticRoutedOracleSql: String =
+    s"""WITH ${ivfC1CtesK("SELECT greatest(16, (count(*) + 124) // 125) FROM embeddings")},
+       |${routedAssignCtes("n", nprobe = 1, gprobe = 2)},
+       |rp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+       |           / nullif(sqrt(x.n2) * sqrt(y.n2), 0.0) AS sim
+       |       FROM ra a JOIN ra b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id)
+       |SELECT DISTINCT a_id, b_id, round(sim, 6) AS sim
+       |FROM rp WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
   private def embKnnGraphOracleSql: String =
     s"""WITH $knnEdgeCtes
        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(sim, 6) AS sim
@@ -832,18 +898,80 @@ object SparkEntry {
     * like `Ann.clustersFor` (greatest(16, ceil(n/125))).
     */
   private def ivfC1Ctes: String = ivfC1CtesK("16")
-  private def ivfC1CtesK(k: String): String =
+  private def ivfC1CtesK(k: String): String = ivfC1CtesOn(k, "e")
+
+  /** [[ivfC1CtesK]] with the Lloyd-REFINEMENT relation split from the
+    * seed scan (the `Ann.ivfCentroidsOn` seam): seeds always come
+    * from the full corpus (vec_id < k), the assignment/means pass
+    * runs over `refine` — a prior CTE with (vec_id, embedding). The
+    * cell-routed graph oracle trains on the sampled node frame this
+    * way.
+    */
+  private def ivfC1CtesOn(k: String, refine: String): String =
     s"""n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < ($k)),
        |a0 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
-       |         FROM e v CROSS JOIN c0 c) WHERE rn = 1),
+       |         FROM $refine v CROSS JOIN c0 c) WHERE rn = 1),
        |m AS (SELECT a0.cid, i, round(avg(v.embedding[i]::DOUBLE), 4) AS mv
-       |      FROM a0 JOIN e v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |      FROM a0 JOIN $refine v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
        |c1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m GROUP BY cid),
        |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid)""".stripMargin
+
+  /** Routed two-level quantizer replay over the trained `c1` cells —
+    * the `Ann.centroidGroups` + `semanticAssignmentsRoutedFull` CTEs:
+    * ceil(√K) seed groups (lowest cids), three mini-Lloyd rounds
+    * (squared-Euclidean assignment with ties to the LOWER gid, EXACT
+    * ×10⁴-integer truncating means — 4-decimal member inputs put the
+    * true mean on a rounding half constantly, where round(avg) is
+    * plan-order-unstable — empty groups carrying their previous
+    * center), a final member assignment, then per-vector top-`gprobe`
+    * groups (score DESC, gid DESC — the sort_array struct order) and
+    * top-`nprobe` member cells (score DESC, cid DESC) over `rel`, a
+    * prior CTE with (vec_id, embedding). Emits `ra` = (vec_id, cid).
+    */
+  private def routedAssignCtes(rel: String, nprobe: Int, gprobe: Int): String = {
+    def dist(t: String, g: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($t.c[i] - $g.gc[i]) * ($t.c[i] - $g.gc[i])))"
+    def lloydRound(prev: String, cur: String): String =
+      s"""ga_$cur AS (SELECT cid, gid FROM (
+         |  SELECT t.cid, g.gid,
+         |         row_number() OVER (PARTITION BY t.cid ORDER BY ${dist("t", "g")} ASC, g.gid ASC) AS rn
+         |  FROM c1 t CROSS JOIN $prev g) WHERE rn = 1),
+         |gm_$cur AS (SELECT gid, i,
+         |    (CAST(sum(CAST(round(t.c[i] * 10000) AS BIGINT)) AS BIGINT) // count(*)) / 10000.0 AS mv
+         |  FROM ga_$cur a JOIN c1 t USING (cid)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+         |gl_$cur AS (SELECT gid, list(mv ORDER BY i) AS gc FROM gm_$cur GROUP BY gid),
+         |$cur AS (SELECT p.gid, coalesce(l.gc, p.gc) AS gc FROM $prev p LEFT JOIN gl_$cur l USING (gid))"""
+        .stripMargin
+    s"""g0 AS (SELECT gid, gc FROM (
+       |         SELECT row_number() OVER (ORDER BY cid) - 1 AS gid, c AS gc FROM c1)
+       |       WHERE gid < CAST(ceil(sqrt((SELECT count(*) FROM c1))) AS BIGINT)),
+       |${lloydRound("g0", "g1")},
+       |${lloydRound("g1", "g2")},
+       |${lloydRound("g2", "g3")},
+       |gmem AS (SELECT cid, gid FROM (
+       |  SELECT t.cid, g.gid,
+       |         row_number() OVER (PARTITION BY t.cid ORDER BY ${dist("t", "g")} ASC, g.gid ASC) AS rn
+       |  FROM c1 t CROSS JOIN g3 g) WHERE rn = 1),
+       |gsc AS (SELECT v.vec_id, g.gid,
+       |          list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * g.gc[i]))
+       |            - list_sum(list_transform(g.gc, x -> x*x)) / 2 AS s
+       |        FROM $rel v CROSS JOIN g3 g
+       |        WHERE g.gid IN (SELECT gid FROM gmem)),
+       |topg AS (SELECT vec_id, gid FROM (
+       |         SELECT vec_id, gid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, gid DESC) AS rn
+       |         FROM gsc) WHERE rn <= $gprobe),
+       |csc AS (SELECT v.vec_id, c.cid, ${ivfScore("v", "c")} AS s
+       |        FROM $rel v JOIN topg USING (vec_id)
+       |        JOIN gmem ON gmem.gid = topg.gid JOIN c1 c ON c.cid = gmem.cid),
+       |ra AS (SELECT vec_id, cid FROM (
+       |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |       FROM csc) WHERE rn <= $nprobe)""".stripMargin
+  }
 
   private def annIvfOracleSql: String = {
     def score(v: String, c: String) = ivfScore(v, c)
@@ -1922,6 +2050,9 @@ object SparkEntry {
     "docs_minhash_sig" -> minhashSigOracleSql,
     "docs_minhash_est" -> minhashEstOracleSql,
     "emb_knn_graph" -> embKnnGraphOracleSql,
+    "emb_knn_graph_cells" -> embKnnGraphCellsOracleSql,
+    "ann_recall_cells" -> annRecallCellsOracleSql,
+    "emb_semantic_routed" -> embSemanticRoutedOracleSql,
     // graph-ANN serving leg: unrolled fixed-round beam navigation +
     // its recall monitor vs the exact top-k over the sampled universe
     "ann_graph_search" -> annGraphSearchOracleSql(),

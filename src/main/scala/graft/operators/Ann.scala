@@ -46,8 +46,12 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
     val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+    val cand = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+    // bounded-heap pre-pass: the per-q_id window alone would funnel
+    // the full scored corpus scan into nQueries tasks (see
+    // localTopKDouble) — survivors only reach the exact window
+    localTopKDouble(cand, k)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
@@ -220,11 +224,12 @@ object Ann {
         col("sig").bitwiseXOR(col("flip")).as("probe_sig"))
     val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(q).join(e,
+    val cand = broadcast(q).join(e,
         col("qt") === col("t") && col("probe_sig") === col("sig") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
-      .distinct()
+      .distinct() // a pair colliding in several tables scores once
+    localTopKDouble(cand, k) // see localTopKDouble — no full-bucket-scan window
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
@@ -370,9 +375,10 @@ object Ann {
       .select(col("q_id"), col("q_emb"), col("q_n2"), col("cid"))
     val sim2 = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
     val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(qProbes).join(assigned, Seq("cid"))
+    val cand = broadcast(qProbes).join(assigned, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), sim2.as("sim"))
+    localTopKDouble(cand, k) // see localTopKDouble — no full-list-scan window
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
@@ -578,7 +584,8 @@ object Ann {
       .groupBy("q_id", "vec_id")
       .agg(sum("partial").as("adc_score"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    localTopKLong(scored, k) // integer-exact pre-pass, see localTopKLong
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("vec_id").as("n_id"), col("adc_score"))
@@ -727,7 +734,8 @@ object Ann {
       .select(col("q_id"), col("vec_id"),
         (col("p_cid1") + col("p_cid2")).as("rq_score"))
     val w = Window.partitionBy("q_id").orderBy(col("rq_score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    localTopKLong(scored, k) // integer-exact pre-pass, see localTopKLong
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"), col("rq_score"))
   }
@@ -785,7 +793,8 @@ object Ann {
       .groupBy("q_id", "vec_id")
       .agg(sum("partial").as("adc_score"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    localTopKLong(scored, k) // integer-exact pre-pass, see localTopKLong
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"),
         col("vec_id").as("n_id"), col("adc_score"))
@@ -886,40 +895,87 @@ object Ann {
     * 20k-node sample; this spills nothing at any sample size).
     */
   private def topKEdges(spark: SparkSession, cand: DataFrame, k: Int): DataFrame = {
-    import spark.implicits._
-    // "worse" = lower sim, then higher n_id — the heap head is the
-    // worst kept candidate, evicted when a better one arrives; pure
-    // selection over already-computed sims, so floats are untouched
-    // and the survivors' global window equals the full sort exactly
-    val worseOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(x: (Double, Long), y: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(y._1, x._1)
-        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-      }
-    }
     // a zero-norm vector has no defined cosine (nullif guard → null
     // sim): it contributes no edges in either direction. Filtered
     // BEFORE the typed decode — a null would crash the non-nullable
     // Double field, and under the old window rendering it could only
     // surface when a node had fewer than k real candidates anyway.
-    val local = cand.filter(col("sim").isNotNull)
-      .as[(Long, Long, Double)].mapPartitions { it =>
-      val best = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (v, n, s) =>
-        val h = best.getOrElseUpdate(v,
-          scala.collection.mutable.PriorityQueue.empty(worseOrd))
-        if (h.size < k) h.enqueue((s, n))
-        else if (worseOrd.lt((s, n), h.head)) { h.dequeue(); h.enqueue((s, n)) }
-      }
-      best.iterator.flatMap { case (v, h) =>
-        h.iterator.map { case (s, n) => (v, n, s) } }
-    }.toDF("vec_id", "n_id", "sim")
+    val local = localTopKDouble(cand, k)
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
     local
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** "worse" = lower score, then higher candidate id — the heap head
+    * is the worst kept candidate, evicted when a better one arrives;
+    * pure selection over already-computed scores, so values are
+    * untouched and the survivors' global window equals the full sort
+    * exactly.
+    */
+  private def heapFold[S](k: Int, worse: Ordering[(S, Long)])(
+      it: Iterator[(Long, Long, S)]): Iterator[(Long, Long, S)] = {
+    val best = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.PriorityQueue[(S, Long)]]
+    it.foreach { case (g, n, s) =>
+      val h = best.getOrElseUpdate(g,
+        scala.collection.mutable.PriorityQueue.empty(worse))
+      if (h.size < k) h.enqueue((s, n))
+      else if (worse.lt((s, n), h.head)) { h.dequeue(); h.enqueue((s, n)) }
+    }
+    best.iterator.flatMap { case (g, h) =>
+      h.iterator.map { case (s, n) => (g, n, s) } }
+  }
+
+  private val worseD: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  private val worseL: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(x: (Long, Long), y: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  /** Per-partition bounded-heap top-k pre-pass shared by the serving
+    * legs and the graph build: a (group, candidate, DOUBLE score)
+    * stream — columns read positionally — is reduced to ≤ k rows per
+    * group per PARTITION (constant task state, layout-invariant)
+    * before the caller's exact per-group window ranks the
+    * partitions·k survivors. Without it the window funnels the full
+    * scored corpus scan into one task per group: with nQueries ≈ 5-10
+    * that is a 5-10-task sort of n rows each at ANY scale — the
+    * parallelism collapse the graph build hit (4.9 GB spill) before
+    * round 8 moved it to this two-phase shape. Null scores are
+    * dropped (no defined rank — a null can reach a top-k only when a
+    * group has fewer than k real candidates).
+    */
+  private[graft] def localTopKDouble(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val names = cand.columns.toSeq
+    cand.filter(col(names(2)).isNotNull)
+      .as[(Long, Long, Double)]
+      .mapPartitions(heapFold(k, worseD))
+      .toDF(names: _*)
+  }
+
+  /** [[localTopKDouble]] for exact INTEGER scores (the floored ×10⁴
+    * ADC partial sums) — Long comparisons, no float round-trip.
+    */
+  private[graft] def localTopKLong(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val names = cand.columns.toSeq
+    cand.filter(col(names(2)).isNotNull)
+      .as[(Long, Long, Long)]
+      .mapPartitions(heapFold(k, worseL))
+      .toDF(names: _*)
   }
 
   /** CELL-ROUTED k-NN graph build — the subquadratic twin of
@@ -1304,7 +1360,14 @@ object Ann {
     * assignment, ties to the lower gid, empty groups dropped). K is
     * a bounded model constant (the same K-row scale class as the
     * [[centFold]] broadcast), so this is driver arithmetic on the
-    * model, not a data-side collect.
+    * model, not a data-side collect. Group means are EXACT
+    * scaled-integer arithmetic: members are 4-decimal cell centroids,
+    * so each coordinate is recovered as an exact ×10⁴ integer, summed
+    * as Long and divided truncating — float summation order can't
+    * move a mean by an ulp (4-decimal inputs put the true mean ON a
+    * rounding half constantly, where round(avg(..), 4) flips with
+    * plan/partitioning — measured in DuckDB itself), which is what
+    * lets the oracle replay the routed assignment exactly.
     */
   private def centroidGroups(cents: Seq[(Int, Array[Double])], groups: Int)
       : Seq[(Int, Array[Double], Seq[(Int, Array[Double])])] = {
@@ -1331,12 +1394,16 @@ object Ann {
             // c.length throughout (same as the distance loop) so a
             // wrong-length centroid fails loudly instead of silently
             // truncating the mean
-            val acc = new Array[Double](ms.head._2.length)
+            val acc = new Array[Long](ms.head._2.length)
             ms.foreach { case (_, c) =>
               require(c.length == acc.length,
                 s"centroid dim ${c.length} != ${acc.length}")
-              var i = 0; while (i < c.length) { acc(i) += c(i); i += 1 } }
-            acc.map(_ / ms.size)
+              // cells are 4-decimal doubles: ×10⁴ sits within ~1e-9
+              // of an integer, so round() recovers it exactly
+              var i = 0
+              while (i < c.length) { acc(i) += math.round(c(i) * 10000.0); i += 1 } }
+            // truncating Long division == DuckDB's BIGINT `//`
+            acc.map(s => (s / ms.size) / 10000.0)
           case None => gcents(gi)
         }
       }

@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row (total, n_parts) threshold broadcast
     "q2_mincost", "q11_stock_value", "q16_supplier_cnt", "q20_promo_parts",
     // 1-row entry-point broadcast crossed with the bounded query set
-    "ann_graph_search", "ann_recall_graph"
+    "ann_graph_search", "ann_recall_graph",
+    // 1-row folded group-model broadcast (routed two-level assignment)
+    "emb_knn_graph_cells", "ann_recall_cells", "emb_semantic_routed"
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {

@@ -1,12 +1,13 @@
 package graft
 
-import graft.operators.NearDup
+import graft.operators.{Ann, NearDup}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-11 invariants: the corpus-wide ExactSubstr dedup action
-  * (Lee et al. 2022) — planted-span semantics plus structural
-  * invariants on the real corpus.
+  * (Lee et al. 2022), and the bounded-heap top-k pre-pass in the ANN
+  * serving legs (layout invariance + plan pins).
   */
 class Round11Spec extends SparkSpec {
 
@@ -83,5 +84,51 @@ class Round11Spec extends SparkSpec {
       .join(docs.select(col("doc_id"), md5(col("text")).as("orig_md5")), "doc_id")
       .filter(col("clean_md5") =!= col("orig_md5"))
     assert(untouched.isEmpty, "zero-removal docs must reconstruct byte-identical text")
+  }
+
+  test("bounded-heap top-k pre-pass equals the full window on any partition layout") {
+    import spark.implicits._
+    // adversarial candidate stream: duplicate scores (tiebreak path),
+    // groups with fewer than k candidates, and a null score
+    val rnd = new scala.util.Random(11)
+    val cand = (0L until 5000L).map { i =>
+      (i % 7, i * 31 % 997, if (i == 4999L) null
+       else java.lang.Double.valueOf((rnd.nextInt(50) - 25) / 10.0))
+    } :+ ((8L, 1L, java.lang.Double.valueOf(0.5))) // sub-k group
+    val base = cand.toDF("q_id", "n_id", "sim")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    def rank(df: DataFrame): Set[(Long, Int, Long)] =
+      df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
+    val expect = rank(base.filter(col("sim").isNotNull))
+    Seq(1, 3, 7).foreach { parts =>
+      val got = rank(Ann.localTopKDouble(base.repartition(parts), 5))
+      assert(got === expect, s"heap pre-pass diverged at $parts partitions")
+    }
+    // integer variant over the same stream, scores as x10 longs
+    val baseL = base.filter(col("sim").isNotNull)
+      .select(col("q_id"), col("n_id"), (col("sim") * 10).cast("long").as("sim"))
+    val expectL = rank(baseL)
+    Seq(1, 3, 7).foreach { parts =>
+      val got = rank(Ann.localTopKLong(baseL.repartition(parts), 5))
+      assert(got === expectL, s"long heap pre-pass diverged at $parts partitions")
+    }
+  }
+
+  test("ANN serving legs plan the heap pre-pass before the per-query window") {
+    // the per-q_id window alone funnels the full scored scan into
+    // nQueries tasks; the MapPartitions fold must sit in every plan
+    Seq(
+      "ann_bruteforce" -> Ann.annBruteForce(spark, sf),
+      "ann_lsh" -> Ann.annLsh(spark, sf),
+      "ann_ivf" -> Ann.annIvf(spark, sf),
+      "emb_adc" -> Ann.embAdc(spark, sf),
+      "emb_rq_adc" -> Ann.embRqAdc(spark, sf),
+      "emb_ivf_adc" -> Ann.embIvfAdc(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MapPartitions"),
+        s"$name lost its bounded-heap pre-pass (no MapPartitions in plan)")
+    }
   }
 }
