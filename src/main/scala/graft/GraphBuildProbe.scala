@@ -23,6 +23,14 @@ object GraphBuildProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(1).getOrElse("both")
+    val knownModes = Set("exact", "routed", "recall", "both", "rank", "rank_exact")
+    if (!knownModes(mode)) {
+      // fail loudly: a typo'd mode would otherwise write a probe JSON
+      // with no measurement fields and read as a silent success
+      System.err.println(
+        s"[graph-probe] unknown mode '$mode' — expected one of ${knownModes.toSeq.sorted.mkString("|")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",

@@ -813,7 +813,12 @@ object Ann {
   /** blocks = 0 → ceil(|sampled|/4000) (floor 16) from one count job,
     * so per-task sim work stays ≤ ~16M at any corpus size. Callers
     * composing several graph constructions derive this ONCE and pass
-    * the concrete value down.
+    * the concrete value down. KNOWN TRADE (carried nit): the count
+    * runs at plan-BUILD time, so a pure plan inspection (`Explain`)
+    * of a blocks=0 graph query executes one sampled count job — the
+    * same accepted pattern as embSemanticPairs' auto-K count; a
+    * production caller that knows its sample size passes `blocks`
+    * explicitly and builds side-effect-free.
     */
   private def knnBlocksFor(sampled: DataFrame, blocks: Int): Int =
     if (blocks > 0) blocks
@@ -1815,10 +1820,19 @@ object Ann {
     * Σnₖ² work) and pays the routed build + O(edges) iterations
     * instead of (rate·n)². Rank on the routed build at exhaustive
     * probes is IDENTICAL to the contract output (spec), because the
-    * builds are identical there; at working probes the node set is
-    * still identical (every sampled node emits k edges) and rank
-    * ORDER degrades only as far as build recall does. Measured:
-    * GraphBuildProbe `rank` mode (BASELINE round-10).
+    * builds are identical there. At working probes two
+    * approximations stack on top of build recall: (a) the node set
+    * matches the exact build's only while every sampled node finds
+    * ≥ 1 in-cell candidate — a node whose nprobe cells hold no other
+    * sampled node emits no edges and drops out of the rank frame
+    * (auto-K makes empty-neighborhood cells rare at scale, but an
+    * explicit low `clusters` at small n can produce them); (b) the
+    * update emits `mass div k` per edge assuming out-degree exactly
+    * k, so a node with fewer than k in-cell candidates SHEDS the
+    * missing edges' mass share rather than redistributing it. Both
+    * effects shrink as build recall → 1; neither exists in the
+    * contract (exact) feed, where every node has exactly k edges.
+    * Measured: GraphBuildProbe `rank` mode (BASELINE round-10).
     */
   def embGraphRankOn(rawEdges: DataFrame, k: Int = 3, iters: Int = 2,
                      checkpointDir: Option[String] = None): DataFrame = {

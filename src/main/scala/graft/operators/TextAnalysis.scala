@@ -971,18 +971,30 @@ object TextAnalysis {
     *    its ha axis, so the union equals the unbanded aggregate
     *    row-for-row (equality spec).
     *
-    * Defaults (−1) read SPARK_GRAFT_COOC_MINDF / SPARK_GRAFT_COOC_
-    * BANDS so a soak can engage the levers without a code change;
-    * unset env means (0, 1) — the contract plan, unchanged.
+    * Defaults (−1) resolve explicit arg > SPARK_GRAFT_COOC_MINDF /
+    * SPARK_GRAFT_COOC_BANDS env > AUTO-GATE: below [[COOC_GATE_DOCS]]
+    * documents the plan is byte-identical to the historical contract
+    * plan (minDf 0, 1 band); past the gate the provably-exact minDf=2
+    * prune engages and bands derive from the document count (~1 band
+    * per 1.25M docs, clamped to [2, 32] — the round-10 sf100 soak's
+    * 0-spill operating point at 5M docs was 4). One metadata-only
+    * count at plan-build, the [[NearDup.verifyBandsFor]] discipline —
+    * the contract plan stops spilling at sf100 with NO env knobs.
     */
+  private val COOC_GATE_DOCS = 1000000L
+
   def docsCoocLift(spark: SparkSession, dir: String, minDf: Long = -1L,
                    bands: Int = -1): DataFrame = {
+    lazy val nDocs = Tables.documents(spark, dir).count()
     val mdf = if (minDf >= 0L) minDf
       else sys.env.get("SPARK_GRAFT_COOC_MINDF")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .getOrElse(if (nDocs < COOC_GATE_DOCS) 0L else 2L)
     val bnd = if (bands >= 1) bands
       else sys.env.get("SPARK_GRAFT_COOC_BANDS")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1)
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(if (nDocs < COOC_GATE_DOCS) 1
+          else math.min(32L, math.max(2L, (nDocs + 1249999L) / 1250000L)).toInt)
     val (pairs, marg, total) = coocParts(spark, dir, mdf, bnd)
     pairs
       .join(marg.select(col("ht").as("ha"), col("tok").as("a"), col("c").as("c_a")), "ha")

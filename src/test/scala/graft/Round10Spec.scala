@@ -98,8 +98,16 @@ class Round10Spec extends SparkSpec {
       Ann.embKnnGraphCells(spark, sf, k = 3, rate = 0.1,
         clusters = 4, iters = 1, nprobe = 1, gprobe = 2)
         .select(col("vec_id").as("src"), col("n_id").as("dst")), k = 3))
-    assert(contract.nonEmpty && routed === contract,
-      "every sampled node emits k edges in ANY build — node sets must match")
+    // node sets match only while every sampled node finds >=1
+    // in-cell candidate — a node whose probed cells hold no other
+    // sampled node emits no edges and drops from the routed rank
+    // frame (embGraphRankOn scaladoc); at THIS fixture/probe config
+    // no node is isolated, so equality is the expected outcome, and
+    // the subset direction is structural
+    assert(contract.nonEmpty && routed.subsetOf(contract),
+      "routed rank nodes must be drawn from the sampled node set")
+    assert(routed === contract,
+      "this fixture/probe config leaves no node isolated — full node-set match expected")
   }
 
   test("collapsed phash components equal per-doc-pair union-find on a dup-heavy corpus") {

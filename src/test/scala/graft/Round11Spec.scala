@@ -115,6 +115,15 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("cooc-lift auto-gate is byte-identical to the historical plan below the doc gate") {
+    import graft.operators.TextAnalysis
+    val auto = TextAnalysis.docsCoocLift(spark, sf).collect().map(_.toSeq).toSet
+    val plain = TextAnalysis.docsCoocLift(spark, sf, minDf = 0L, bands = 1)
+      .collect().map(_.toSeq).toSet
+    assert(auto.nonEmpty, "fixture produced no collocations — spec is vacuous")
+    assert(auto === plain)
+  }
+
   test("ANN serving legs plan the heap pre-pass before the per-query window") {
     // the per-q_id window alone funnels the full scored scan into
     // nQueries tasks; the MapPartitions fold must sit in every plan
