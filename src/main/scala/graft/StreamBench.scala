@@ -79,6 +79,33 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // Constant-plan box-speed probe — the Bench normalizer block
+    // (VERDICT r10 #6): median of 3 runs of the two stable
+    // scan-shaped batch queries over a FIXED sf dir, so cross-round
+    // streaming throughputs divide out box speed instead of guessing
+    // (BASELINE round-10 could not separate bounded_slots 32.4k vs
+    // 10.4k rows/s from box noise). One warm run precedes the timed
+    // three; probe failures degrade to {} rather than kill the bench.
+    val probeDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROBE_DIR",
+      "/root/testdata/sf0.1")
+    val probeJson = try {
+      def run1(name: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, probeDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq("q1_agg", "q6_filter").map { n =>
+        run1(n) // warm
+        val ts = Seq.fill(3)(run1(n)).sorted
+        "\"" + n + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(ts(1)))
+      }.mkString("{", ",", "}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] probe skipped: ${e.getMessage}")
+      "{}"
+    }
+
     // hfp-like stream: per key per cycle, one prime + one duplicate
     // 1 s later + (every 4th cycle) a long-range duplicate at
     // prime + ttl/2 — suppressed off an anchor written cycles of
@@ -216,7 +243,7 @@ object StreamBench {
       s""""$name":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"total_sec":${fmt(r.totalSec)},"rows_per_sec":${fmt(r.rowsIn / r.totalSec)},"batch_ms_p50":${fmt(p50)},"batch_ms_max":${fmt(sorted.last)},"state_rows":${r.stateRows},"state_bytes":${r.stateBytes},"duration_ms_mean":$durJson}"""
     }.mkString(",")
     val json =
-      s"""{"stream_bench":{"events":$nEvents,"docs":$nDocs,"batches":$nBatches,"keys":$nKeys,"dup_ratio":1.0,"ttl_ms":$TtlMs,$legJson}}"""
+      s"""{"stream_bench":{"events":$nEvents,"docs":$nDocs,"batches":$nBatches,"keys":$nKeys,"dup_ratio":1.0,"ttl_ms":$TtlMs,"probe":$probeJson,"probe_dir":"$probeDir",$legJson}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "/tmp/stream_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

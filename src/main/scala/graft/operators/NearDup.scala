@@ -564,9 +564,9 @@ object NearDup {
     val o = graft.plans.SortedOverlapCount(col("ha"), col("hb")).cast("double")
     // banded exactly like verifiedJaccard's phase 1; phase 2 runs once
     // over the unioned, output-sized survivors
-    val phase1 = phase1Banded(cand, hv, vb) { c =>
-      c.join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-        .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+    val phase1 = phase1Banded(cand, hv, vb) { (c, hvS) =>
+      c.join(hvS.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hvS.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
         .filter(o / size(col("ha")).cast("double") >= lit(threshold))
         .select(col("a_id"), col("b_id"))
     }
@@ -636,10 +636,23 @@ object NearDup {
     * once), counted, and S = ceil(count·(32 + 4·mean|hs|) /
     * [[verifyBandBudget]]) clamped to [1, 32] — candidate volume ÷
     * scratch budget, the round-9 verdict's formula.
+    *
+    * The hv side is paid ONCE, not ∝S (round-11, killing the
+    * round-10 band wall): when banding engages, the hash-payload
+    * frame is written as a doc_id-BUCKETED sorted parquet table
+    * ([[graft.sinks.GraftSink.writeBucketed]] — bucket count = the
+    * session's shuffle partitions, so the scan reports the exact
+    * hash distribution + sort the verify join needs) and every band
+    * joins against that scan: per band only the candidate slice
+    * (~1/S) is exchanged, where round-10 re-exchanged AND re-sorted
+    * the full hv multiset S times (the deliberate trade BASELINE
+    * round-10 recorded — now removed). The table is dropped after
+    * the bands union; below the gate (s == 1) nothing is written and
+    * the plan stays byte-identical to the unbanded rendering.
     */
   private def phase1Banded(cand: DataFrame, hv: DataFrame, bands: Int)
-                          (phase1: DataFrame => DataFrame): DataFrame = {
-    if (bands == 1) return phase1(cand)
+                          (phase1: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    if (bands == 1) return phase1(cand, hv)
     val c = cand.localCheckpoint() // candidate join runs ONCE
     val s =
       if (bands > 1) bands
@@ -650,15 +663,22 @@ object NearDup {
         math.min(32L, math.max(1L,
           (est + verifyBandBudget - 1) / verifyBandBudget)).toInt
       }
-    if (s == 1) return phase1(c)
-    val parts = (0 until s).map { b =>
-      val slice = c.filter(
-        pmod(xxhash64(col("a_id"), col("b_id")), lit(s.toLong)) === b)
-      val out = phase1(slice).localCheckpoint() // eager: band job runs NOW
-      System.gc() // reclaim the finished band's shuffle files
-      out
-    }
-    parts.reduce(_ unionByName _)
+    if (s == 1) return phase1(c, hv)
+    val spark = hv.sparkSession
+    val table = s"graft_hv_band_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    graft.sinks.GraftSink.writeBucketed(hv, table, "doc_id",
+      buckets = spark.sessionState.conf.numShufflePartitions)
+    try {
+      val hvB = spark.table(table)
+      val parts = (0 until s).map { b =>
+        val slice = c.filter(
+          pmod(xxhash64(col("a_id"), col("b_id")), lit(s.toLong)) === b)
+        val out = phase1(slice, hvB).localCheckpoint() // eager: band job runs NOW
+        System.gc() // reclaim the finished band's shuffle files
+        out
+      }
+      parts.reduce(_ unionByName _)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   /** Per-doc sorted 32-bit shingle-hash payloads for phase-1 verify —
@@ -701,9 +721,9 @@ object NearDup {
     // unioned survivors — output-sized, so its string-payload joins
     // never stress scratch and the corpus is re-shingled only twice
     // regardless of the band count
-    val phase1 = phase1Banded(cand, hv, bands) { c =>
-      c.join(hv.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-        .join(hv.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+    val phase1 = phase1Banded(cand, hv, bands) { (c, hvS) =>
+      c.join(hvS.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hvS.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
         // denominator ≥ max(|A|,|B|) ≥ 1: shingledDocs drops empty sets
         .filter(o / (size(col("ha")) + size(col("hb")) - o).cast("double")
           >= lit(threshold))

@@ -115,6 +115,31 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("bucketed hv table joins exchange-free through the a_id/b_id renames") {
+    import graft.sinks.GraftSink
+    import spark.implicits._
+    // the phase1Banded shape: hv written bucketed on doc_id, then
+    // consumed through column renames on both join legs — the scan's
+    // hash distribution must survive the alias so only the candidate
+    // slice is exchanged
+    val hv = (0L until 200L).map(i => (i, Array(i.toInt, i.toInt + 1)))
+      .toDF("doc_id", "hs")
+    val table = "graft_round11_hv_spec"
+    GraftSink.writeBucketed(hv, table, "doc_id", buckets = 4)
+    try {
+      val hvB = spark.table(table)
+      val cand = (0L until 100L).map(i => (i, i + 50L)).toDF("a_id", "b_id")
+      val joined = cand
+        .join(hvB.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hvB.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2,
+        s"hv legs must not re-exchange (cand legs only): $exchanges exchanges\n$plan")
+      assert(joined.count() === 100L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("cooc-lift auto-gate is byte-identical to the historical plan below the doc gate") {
     import graft.operators.TextAnalysis
     val auto = TextAnalysis.docsCoocLift(spark, sf).collect().map(_.toSeq).toSet
