@@ -167,6 +167,8 @@ object SparkEntry {
     "docs_mix_tokens" -> ((s, d) => present(Sampling.docsMixTokens(s, d), "source")),
     "docs_mix_temperature" -> ((s, d) => present(Sampling.docsMixTemperature(s, d), "source")),
     "docs_dsir_weights" -> ((s, d) => present(Sampling.docsDsirWeights(s, d), "doc_id")),
+    "docs_softdedup_weights" -> ((s, d) => present(Sampling.docsSoftDedupWeights(s, d), "doc_id")),
+    "text_nb_sources" -> ((s, d) => present(TextAnalysis.textNbSources(s, d), "source", "predicted")),
     "docs_dsir_sample" -> ((s, d) => present(Sampling.docsDsirSample(s, d), "doc_id")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
@@ -2908,6 +2910,51 @@ object SparkEntry {
     // the same no-division integer arithmetic as the Spark side
     // token-mass mixture: same HUGEINT cross-multiplied keep rule
     // with token sums as the ratio unit
+    // SoftDeDup replay: the docs_dedup_groups recursive closure +
+    // group sizes, then floor(1e6/k) weights and floor token budgets
+    // — exact integer divisions on both engines
+    "docs_softdedup_weights" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |e AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+         |r AS (SELECT doc_id AS s, doc_id AS d FROM documents
+         |      UNION
+         |      SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+         |g AS (SELECT s AS doc_id, min(d) AS group_id FROM r GROUP BY s),
+         |gs AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT g.doc_id, gs.group_size,
+         |       CAST(1000000 // gs.group_size AS BIGINT) AS weight_x1e6,
+         |       nt.n_tokens,
+         |       CAST((nt.n_tokens * 1000000) // gs.group_size AS BIGINT) AS eff_tokens_x1e6
+         |FROM g JOIN gs USING (group_id) JOIN nt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // NB source-classifier replay: token×source Laplace posteriors as
+    // exact x1e6 integer divisions over a dense term×source grid,
+    // floor-mean per (doc, source), argmax with lexicographic
+    // tie-break, resubstitution confusion matrix
+    "text_nb_sources" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cts AS (SELECT term, source, count(*) AS c_ts FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(c_ts) AS c_t FROM cts GROUP BY 1),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |ns AS (SELECT count(*) AS n_sources FROM s),
+        |grid AS (SELECT ct.term, s.source, coalesce(cts.c_ts, 0) AS c_ts, ct.c_t
+        |         FROM ct CROSS JOIN s
+        |         LEFT JOIN cts ON cts.term = ct.term AND cts.source = s.source),
+        |p AS (SELECT term, source,
+        |             ((c_ts + 1) * 1000000) // (c_t + (SELECT n_sources FROM ns)) AS p
+        |      FROM grid),
+        |sc AS (SELECT t.doc_id, p.source,
+        |              CAST(sum(p.p) // count(*) AS BIGINT) AS score_x1e6
+        |       FROM tok t JOIN p ON t.term = p.term GROUP BY 1, 2),
+        |pr AS (SELECT doc_id, source AS predicted, score_x1e6,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY score_x1e6 DESC, source) AS rn
+        |       FROM sc)
+        |SELECT d.source, pr.predicted, count(*) AS n_docs,
+        |       CAST(sum(pr.score_x1e6) // count(*) AS BIGINT) AS mean_score_x1e6
+        |FROM documents d JOIN pr ON d.doc_id = pr.doc_id AND pr.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DSIR replay: hashed word-bigram buckets (hash32 fold, mod 4096),
     // one joint raw/target count per bucket, add-1-smoothed x1e6
     // integer affinities, floor-mean per doc

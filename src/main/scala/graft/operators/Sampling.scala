@@ -432,4 +432,39 @@ object Sampling {
         col("dsir_score_x1e6").cast("decimal(38,0)") * lit(4294967296L) * nTarget)
       .select(col("doc_id"), col("lang"), col("dsir_score_x1e6"))
   }
+
+  /** SoftDeDup reweighting ("SoftDedup: an Efficient Data Reweighting
+    * Method for Speeding Up Language Model Pre-training", ACL 2024):
+    * instead of DROPPING near-duplicates (the [[NearDup.dedupKeep]]
+    * action), keep every document and DOWN-WEIGHT it by its duplicate
+    * multiplicity, so a cluster of k near-identical documents
+    * contributes one document's worth of gradient mass in expectation.
+    * Weight = floor(10⁶/k) where k is the document's
+    * [[NearDup.dedupGroups]] cluster size (singletons keep exactly
+    * 10⁶ = weight 1.0); the effective token budget per doc is the
+    * same floor division applied to its whitespace token count — the
+    * number a sampler or loss-scaler actually consumes. Exact integer
+    * arithmetic end-to-end, so the weights replay bit-identically.
+    *
+    * Shape at 100 TB: the pair seam + O(log n)-round closure is the
+    * measured [[NearDup.dedupGroups]] path (banded LSH candidates,
+    * never all-pairs); on top of it this adds one group-keyed
+    * map-combinable size aggregate and two doc-keyed equi-joins
+    * (sizes are group-count-sized, token counts map-side) — linear.
+    */
+  def docsSoftDedupWeights(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val groups = NearDup.dedupGroups(spark, dir, threshold)
+      .localCheckpoint(eager = false) // two consumers: sizes + join-back
+    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    groups.join(sizes, "group_id")
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), col("group_size"),
+        expr("1000000 div group_size").as("weight_x1e6"),
+        col("n_tokens"),
+        expr("(n_tokens * 1000000) div group_size").as("eff_tokens_x1e6"))
+  }
 }

@@ -1324,4 +1324,71 @@ object TextAnalysis {
       .withColumn("pass", col("flag_words") && col("flag_mwl") &&
         col("flag_symbol") && col("flag_alpha") && col("flag_stop"))
   }
+
+  /** Naive-Bayes-style SOURCE classifier + resubstitution confusion
+    * matrix — the lightweight bag-of-words classifier a pipeline
+    * trains on its own metadata to audit provenance labels (and the
+    * same shape as the CCNet/GPT-3 quality classifiers, with `source`
+    * standing in for the curated-vs-crawl label). Kept in the exact
+    * integer arithmetic the oracle gate demands: instead of summed
+    * float log-likelihoods (cross-engine `ln` is not bit-stable), the
+    * per-token signal is the Laplace-smoothed CLASS POSTERIOR
+    * floor(10⁶·(c_ts+1)/(c_t+S)) — an exact integer division — and
+    * the per-(doc, source) score is the floor MEAN over the doc's
+    * token occurrences (the [[textBigramLm]] /
+    * [[Sampling.docsDsirWeights]] integer-mean precedent; a mean of
+    * per-token posteriors ranks classes like summed log-odds does for
+    * the bounded vocabularies here, and replays bit-identically).
+    * Prediction = argmax score, ties to the lexicographically
+    * smallest source; trained and scored on the SAME corpus by
+    * design (a resubstitution audit, not a held-out benchmark).
+    *
+    * Shape at 100 TB: the token×source count is ONE map-combinable
+    * aggregate; its re-aggregate (c_t) and the dense term×source
+    * posterior grid stay DISTINCT-VOCABULARY-sized (×S, the bounded
+    * source taxonomy). The grid is detached (lazy localCheckpoint) so
+    * the corpus-sized token stream joins a bare shuffle stage — AQE's
+    * skew split stays armed for Zipf-hot terms (the [[textBigramLm]]
+    * rule). The ×S row amplification on the scoring join is inherent
+    * to S-class scoring and bounded by the taxonomy, not the corpus.
+    * Long arithmetic headroom: (c_ts+1)·10⁶ overflows int64 only past
+    * ~9·10¹² occurrences of one term in one source.
+    */
+  def textNbSources(spark: SparkSession, dir: String): DataFrame =
+    textNbSourcesOn(Tables.documents(spark, dir))
+
+  /** [[textNbSources]] over any (doc_id, source, text) frame — the
+    * synthetic-fixture seam.
+    */
+  def textNbSourcesOn(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("source"), col("text"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(T.tokens(col("text"))).as("term"))
+    // one pass for both count tables; two consumers -> detach
+    val cts = tok.groupBy("term", "source").agg(count(lit(1)).as("c_ts"))
+      .localCheckpoint(eager = false)
+    val ct = cts.groupBy("term").agg(sum("c_ts").as("c_t"))
+    val srcs = docs.select("source").distinct()
+    val nS = srcs.agg(count(lit(1)).as("n_sources"))
+    val grid = ct.crossJoin(broadcast(srcs))
+      .join(cts, Seq("term", "source"), "left")
+      .na.fill(0L, Seq("c_ts"))
+      .crossJoin(broadcast(nS))
+      .select(col("term"), col("source"),
+        expr("((c_ts + 1) * 1000000) div (c_t + n_sources)").as("p"))
+      .localCheckpoint(eager = false)
+    val scores = tok.select("doc_id", "term")
+      .join(grid, Seq("term"))
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(p) div count(1)").as("score_x1e6"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_x1e6").desc, col("source"))
+    val pred = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("predicted"), col("score_x1e6"))
+    docs.select("doc_id", "source").join(pred, "doc_id")
+      .groupBy("source", "predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_x1e6) div count(1)").as("mean_score_x1e6"))
+  }
 }

@@ -149,6 +149,65 @@ class Round11Spec extends SparkSpec {
     assert(auto === plain)
   }
 
+  test("NB source classifier separates a cleanly-separable synthetic corpus") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // two sources with disjoint vocabularies -> resubstitution must
+    // classify every doc correctly (the posteriors are one-sided)
+    val docs = Seq(
+      (1L, "wiki", "alpha beta gamma delta"),
+      (2L, "wiki", "beta gamma alpha alpha"),
+      (3L, "wiki", "delta delta gamma beta"),
+      (4L, "web", "spam click buy now"),
+      (5L, "web", "click spam spam buy"),
+      (6L, "web", "now buy click spam")).toDF("doc_id", "source", "text")
+    val cm = TextAnalysis.textNbSourcesOn(docs)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("predicted")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(cm === Map(("wiki", "wiki") -> 3L, ("web", "web") -> 3L),
+      s"off-diagonal confusion on a separable corpus: $cm")
+  }
+
+  test("NB source classifier structural invariants on the real corpus") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val cm = TextAnalysis.textNbSources(spark, sf)
+    val nDocs = docs.count()
+    val total = cm.agg(sum("n_docs")).head().getLong(0)
+    assert(total === nDocs, "every doc classified exactly once")
+    val sources = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    val bad = cm.filter(!col("predicted").isin(sources.toSeq: _*) ||
+      col("mean_score_x1e6") < 0 || col("mean_score_x1e6") > 1000000)
+    assert(bad.isEmpty, "predictions outside the source taxonomy or score range")
+  }
+
+  test("SoftDeDup weights: floor(1e6/k) arithmetic and group-size consistency") {
+    import graft.operators.{NearDup, Sampling}
+    val w = Sampling.docsSoftDedupWeights(spark, sf)
+      .localCheckpoint() // consumed by four assertions below
+    val docs = Tables.documents(spark, sf)
+    assert(w.count() === docs.count(), "row-preserving: one weight per doc")
+    val badArith = w.filter(
+      col("weight_x1e6") =!= expr("1000000 div group_size") ||
+      col("eff_tokens_x1e6") =!= expr("(n_tokens * 1000000) div group_size") ||
+      (col("group_size") === 1 && col("weight_x1e6") =!= 1000000L))
+    assert(badArith.isEmpty, "weight arithmetic must be the exact floor division")
+    // cluster mass: k * floor(1e6/k) lands within one doc of 1e6
+    val badMass = w.filter(
+      col("group_size") * col("weight_x1e6") > 1000000L ||
+      col("group_size") * (col("weight_x1e6") + 1) < 1000000L)
+    assert(badMass.isEmpty, "per-cluster weight mass must bracket 1.0")
+    // sizes agree with the dedupGroups closure this is built on
+    val sizes = NearDup.dedupGroups(spark, sf)
+      .groupBy("group_id").agg(count(lit(1)).as("gs"))
+      .groupBy("gs").agg(count(lit(1)).as("n"))
+    val wSizes = w.groupBy("group_size")
+      .agg((count(lit(1)) / col("group_size")).cast("long").as("n"))
+      .withColumnRenamed("group_size", "gs")
+    assert(sizes.exceptAll(wSizes).isEmpty && wSizes.exceptAll(sizes).isEmpty,
+      "group-size histogram must match the closure's")
+  }
+
   test("ANN serving legs plan the heap pre-pass before the per-query window") {
     // the per-q_id window alone funnels the full scored scan into
     // nQueries tasks; the MapPartitions fold must sit in every plan
