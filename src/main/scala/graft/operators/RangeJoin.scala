@@ -3,42 +3,94 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Time-range join via bucketing — count right-side events whose ts
-  * falls in [left.ts − window, left.ts] per left row.
+/** Time-range join — count right-side events whose ts falls in
+  * [left.ts − window, left.ts] per left row.
   *
   * A naive theta-join on the time predicate compiles to a
   * BroadcastNestedLoopJoin (O(n·m), full-side broadcast — the same
   * trap the cosine pair join had). Bucketing the time axis at window
-  * granularity turns it into an EQUI-join: a right row at t_r can
-  * only serve left rows in buckets {⌊t_r/w⌋, ⌊t_r/w⌋+1}, so the
-  * right side explodes to those two buckets and joins on bucket id,
-  * with the exact range re-checked on the (bounded) matches. This is
-  * the standard interval-join rendering (Flink interval join / the
-  * shape Spark's range-join hints produce): join fan-out per row is
-  * bounded by rows-per-window, never all-pairs, and the shuffle key
-  * (bucket) is dense and skew-resistant for event-time data.
+  * granularity turns it into an EQUI-join (the standard interval-join
+  * rendering: Flink interval join / Spark's range-join hints), but
+  * its join fan-out per left row is ROWS-PER-WINDOW — fine for sparse
+  * streams, DENSITY-QUADRATIC for heavy ones: total work is
+  * Σ_b |L_b|·|R_b|, so a stream that doubles its events-per-hour
+  * quadruples the join (measured: the round-11 sf100 soak replicates
+  * the time axis 1000× denser and the bucket join goes from 48 s to
+  * hours). This rendering removes both density factors exactly:
+  *
+  *  1. **Weighted distinct-ts collapse.** COUNT over a time range is
+  *     a weighted count over DISTINCT timestamps, so the right side
+  *     pre-aggregates to (ts, multiplicity) before any fan-out join —
+  *     one map-combinable aggregate, after which join width is
+  *     bounded by distinct-ts-per-window, not rows (real event
+  *     streams at ms resolution collide heavily; Spark cannot push
+  *     this partial aggregate below a join on a RANGE predicate
+  *     itself).
+  *  2. **Fine-bucket prefix counting.** The window is split into
+  *     `subBuckets` fine buckets of g = w/subBuckets ms. Fine buckets
+  *     FULLY inside [t−w, t] contribute a precomputed per-bucket SUM
+  *     (a time-axis-sized table — rows ∝ span/g, independent of
+  *     corpus volume, broadcast onto the exploded left probes); only
+  *     the ≤2 BOUNDARY buckets fall back to distinct-ts probing with
+  *     the exact range re-check. Per-left work is (subBuckets−1)
+  *     broadcast lookups + 2·(distinct ts per fine bucket) probes —
+  *     1/subBuckets of the one-bucket rendering's boundary work.
+  *
+  * Both contributions union into ONE per-left reduce, so the plan
+  * adds no shuffle beyond the original (the broadcast full-bucket leg
+  * replaces a shuffle). Exact integer arithmetic throughout; output
+  * is bit-identical to the naive join (PropertySpec pins it against
+  * brute force on random data, OperatorSpec on edge fixtures).
   */
 object RangeJoin {
 
-  /** @param left     rows to enrich; must have `ts` and the id column
-    * @param right    rows to count; must have `ts`
-    * @param leftId   unique left id column name
-    * @param windowMs lookback window in milliseconds (inclusive both
-    *                 ends: [t − w, t])
+  /** @param left       rows to enrich; must have `ts` and the id column
+    * @param right      rows to count; must have `ts`
+    * @param leftId     unique left id column name
+    * @param windowMs   lookback window in milliseconds (inclusive both
+    *                   ends: [t − w, t])
+    * @param subBuckets fine buckets per window (g = windowMs/subBuckets;
+    *                   boundary probe work shrinks ∝ 1/subBuckets, the
+    *                   broadcast full-bucket table grows ∝ subBuckets)
     * @return (leftId, n_in_window) — 0 for lefts with no matches
     */
   def countInWindow(left: DataFrame, right: DataFrame,
-                    leftId: String, windowMs: Long): DataFrame = {
-    val lb = left.select(col(leftId), unix_millis(col("ts")).as("_lts"))
-      .withColumn("_b", floor(col("_lts") / windowMs))
+                    leftId: String, windowMs: Long,
+                    subBuckets: Int = 16): DataFrame = {
+    val g = math.max(1L, windowMs / subBuckets)
+    // (1) weighted distinct-ts collapse; two consumers -> detach so
+    // the fine-bucket re-aggregate shares it and the boundary join's
+    // right child stays a bare shuffle stage (AQE skew split armed)
     val rts = right.select(unix_millis(col("ts")).as("_rts"))
-      .withColumn("_rb", floor(col("_rts") / windowMs))
-    val rb = rts.select(col("_rts"),
-      explode(array(col("_rb"), col("_rb") + 1)).as("_b"))
-    val counted = lb.join(rb, "_b")
+      .groupBy("_rts").agg(count(lit(1)).as("_rc"))
+      .localCheckpoint(eager = false)
+    // (2) fine-bucket totals: time-axis-sized regardless of volume
+    val fineCnt = rts.groupBy(floor(col("_rts") / g).as("_fb"))
+      .agg(sum("_rc").as("_fc"))
+    val lb = left.select(col(leftId), unix_millis(col("ts")).as("_lts"))
+      .withColumn("_blo", floor((col("_lts") - windowMs) / g))
+      .withColumn("_bhi", floor(col("_lts") / g))
+    // full buckets: ids strictly between _blo and _bhi ([_blo+1, _bhi-1]
+    // covers [t-w, t] entirely by the floor definitions); sequence()
+    // runs DESCENDING when start > end, so guard the empty case
+    val fullLeg = lb
+      .select(col(leftId), explode(
+        when(col("_blo") + 1 <= col("_bhi") - 1,
+          sequence(col("_blo") + 1, col("_bhi") - 1))
+          .otherwise(array())).as("_fb"))
+      .join(broadcast(fineCnt), "_fb")
+      .select(col(leftId), col("_fc").as("_n"))
+    // boundary buckets (deduped when the window sits inside one fine
+    // bucket): distinct-ts probe + the exact inclusive range re-check
+    val edgeLeg = lb
+      .select(col(leftId), col("_lts"), explode(
+        array_distinct(array(col("_blo"), col("_bhi")))).as("_fb"))
+      .join(rts.withColumn("_fb", floor(col("_rts") / g)), "_fb")
       .filter(col("_rts") >= col("_lts") - windowMs && col("_rts") <= col("_lts"))
+      .select(col(leftId), col("_rc").as("_n"))
+    val counted = fullLeg.union(edgeLeg)
       .groupBy(col(leftId))
-      .agg(count(lit(1)).as("n_in_window"))
+      .agg(sum("_n").as("n_in_window"))
     left.select(col(leftId))
       .join(counted, Seq(leftId), "left")
       .select(col(leftId), coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))

@@ -208,6 +208,30 @@ class Round11Spec extends SparkSpec {
       "group-size histogram must match the closure's")
   }
 
+  test("two-phase range join: exact under heavy ts duplication and any subBuckets") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // dense stream: 40 distinct timestamps, each duplicated 25x — the
+    // distinct-collapse path; plus boundary-exact probes (w aligned
+    // and misaligned to the fine-bucket grid)
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000L
+    val rightTs = (0 until 40).flatMap { _ =>
+      val t = base + rnd.nextInt(10000); Seq.fill(25)(t)
+    }
+    val leftTs = (0 until 30).map(i => i.toLong -> (base + rnd.nextInt(10000)))
+    val lDf = leftTs.map { case (id, t) => (id, new java.sql.Timestamp(t)) }.toDF("id", "ts")
+    val rDf = rightTs.map(t => Tuple1(new java.sql.Timestamp(t))).toDF("ts")
+    for (w <- Seq(5L, 160L, 1000L, 4096L); sb <- Seq(1, 3, 16, 64)) {
+      val got = RangeJoin.countInWindow(lDf, rDf, "id", w, subBuckets = sb)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = leftTs.map { case (id, t) =>
+        id -> rightTs.count(rt => rt >= t - w && rt <= t).toLong
+      }.toMap
+      assert(got === expect, s"window=$w subBuckets=$sb")
+    }
+  }
+
   test("ANN serving legs plan the heap pre-pass before the per-query window") {
     // the per-q_id window alone funnels the full scored scan into
     // nQueries tasks; the MapPartitions fold must sit in every plan
