@@ -217,6 +217,9 @@ object SparkEntry {
       Multimodal.phashPairs(s, d), "doc_id_a", "doc_id_b")),
     "mm_phash_groups" -> ((s, d) => present(Multimodal.phashGroups(s, d), "doc_id")),
     "mm_phash_keep" -> ((s, d) => present(Multimodal.phashKeep(s, d), "doc_id")),
+    "mm_audio_fp" -> ((s, d) => present(Multimodal.mmAudioFp(s, d), "doc_id")),
+    "mm_audio_dup_groups" -> ((s, d) => present(Multimodal.mmAudioDupGroups(s, d), "doc_id")),
+    "mm_audio_dup_keep" -> ((s, d) => present(Multimodal.mmAudioDupKeep(s, d), "doc_id")),
     "emb_gram" -> ((s, d) => present(Ann.embGram(s, d), "i", "j")),
     "docs_dedup_bloom" -> ((s, d) => present(BloomDedup.dedupBloom(s, d), "doc_id")),
     "q_transitions" -> ((s, d) => present(Relational.qTransitions(s, d), "from_type", "to_type")),
@@ -1110,6 +1113,48 @@ object SparkEntry {
       |ORDER BY 1, 2""".stripMargin
 
   private val mmPhashPairsSql: String = mmPhashPairsSqlFrom("documents")
+
+  /** Shared audio-fingerprint CTE chain (mm_audio_fp / mm_audio_dup_*
+    * replay): 65 proportional block energies at ⌊f·n/65⌋ boundaries,
+    * 64 cross-multiplied mean-energy delta bits, 4×16-bit bands —
+    * the [[graft.operators.Multimodal.audioFpBands]] kernel in SQL.
+    */
+  private val mmAudioBitsSql: String =
+    """b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |             octet_length(encode(text)) AS n
+      |      FROM documents),
+      |fr AS (SELECT doc_id, hx, n, unnest(range(0, 65)) AS f FROM b),
+      |e AS (SELECT doc_id, f,
+      |        ((f + 1) * n) // 65 - (f * n) // 65 AS flen,
+      |        CAST(coalesce(list_sum(list_transform(
+      |          list_transform(range(CAST((f * n) // 65 AS INT), CAST(((f + 1) * n) // 65 AS INT)),
+      |            i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+      |                   + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT) - 128),
+      |          x -> x * x)), 0) AS BIGINT) AS en
+      |      FROM fr),
+      |bits AS (SELECT a.doc_id, a.f AS blk,
+      |           CASE WHEN c.en * a.flen > a.en * c.flen THEN 1 ELSE 0 END AS bit
+      |         FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.f = a.f + 1
+      |         WHERE a.f < 64),
+      |bands AS (SELECT doc_id, blk // 16 AS band,
+      |            CAST(sum(bit * (1 << CAST(blk % 16 AS INT))) AS INT) AS v
+      |          FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** mm_audio_dup_* pair replay: banded candidates + exact Hamming
+    * over the audio fingerprint bits, complete for d ≤ 3 by the
+    * 4-band pigeonhole (the mm_phash_pairs contract).
+    */
+  private val mmAudioPairsSql: String =
+    s"""WITH $mmAudioBitsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+       |         FROM bands a JOIN bands c
+       |           ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+       |SELECT cand.doc_id_a, cand.doc_id_b,
+       |       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+       |FROM cand
+       |JOIN bits x ON x.doc_id = cand.doc_id_a
+       |JOIN bits y ON y.doc_id = cand.doc_id_b AND y.blk = x.blk
+       |GROUP BY 1, 2 HAVING sum(abs(x.bit - y.bit)) <= 3""".stripMargin
 
   /** Shared CTE chain replaying the fixed-point Lloyd trajectory
     * (k = 8, 2 iterations): quantized vectors `x`, seed centroids
@@ -2542,6 +2587,43 @@ object SparkEntry {
     // payload bytes on this corpus), doc_id tiebreak
     "mm_phash_keep" ->
       s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmPhashPairsSql)),
+         |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
+         |       UNION SELECT doc_id_b, doc_id_a FROM pp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
+         |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src),
+         |j AS (SELECT g.doc_id, g.group_id, CAST(d.n_chars AS BIGINT) AS n_bytes
+         |      FROM g JOIN documents d ON g.doc_id = d.doc_id)
+         |SELECT doc_id, group_id, n_bytes,
+         |       first_value(doc_id) OVER (PARTITION BY group_id
+         |         ORDER BY n_bytes DESC, doc_id) AS keep_id,
+         |       doc_id = first_value(doc_id) OVER (PARTITION BY group_id
+         |         ORDER BY n_bytes DESC, doc_id) AS is_keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+    // audio-fingerprint replay: proportional block energies +
+    // cross-multiplied delta bits (mmAudioBitsSql) pivoted to bands
+    "mm_audio_fp" ->
+      s"""WITH $mmAudioBitsSql
+         |SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+         |       max(CASE WHEN band = 0 THEN v END) AS b0,
+         |       max(CASE WHEN band = 1 THEN v END) AS b1,
+         |       max(CASE WHEN band = 2 THEN v END) AS b2,
+         |       max(CASE WHEN band = 3 THEN v END) AS b3
+         |FROM b JOIN bands USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // components over the audio-fp edge set: same recursive closure
+    // as mm_phash_groups, edges from the audio pairs replay
+    "mm_audio_dup_groups" ->
+      s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmAudioPairsSql)),
+         |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
+         |       UNION SELECT doc_id_b, doc_id_a FROM pp),
+         |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |      UNION
+         |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
+         |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
+    // groups closure + keep-largest-payload argmax, doc_id tiebreak
+    "mm_audio_dup_keep" ->
+      s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmAudioPairsSql)),
          |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
          |       UNION SELECT doc_id_b, doc_id_a FROM pp),
          |r AS (SELECT doc_id AS src, doc_id AS dst FROM documents

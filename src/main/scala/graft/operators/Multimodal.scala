@@ -400,34 +400,11 @@ object Multimodal {
     * collapse-equality spec drives with a planted-duplicate corpus.
     */
   def phashGroupsOf(documents: DataFrame,
-                    maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
-    val fp = documents
-      .select(col("doc_id"),
-        graft.plans.BlockHash(col("text").cast("binary")).as("bs"))
-    // one node per distinct fingerprint, labeled by its min doc_id
-    val rep = fp.groupBy("bs").agg(min("doc_id").as("doc_id"))
-      .localCheckpoint(eager = false) // consumed by join sides + expansion
-    val ex = rep.select(col("doc_id"), col("bs"),
-      posexplode(col("bs")).as(Seq("band", "v")))
-    val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),
-      col("band"), col("v"))
-    val b = ex.select(col("doc_id").as("doc_id_b"), col("bs").as("bs_b"),
-      col("band"), col("v"))
-    val hamming = (0 until 4)
-      .map(k => expr(s"bit_count(bs_a[$k] ^ bs_b[$k])"))
-      .reduce(_ + _)
-    val repPairs = a.join(b, Seq("band", "v"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .filter(hamming <= maxDist)
-      .select(col("doc_id_a"), col("doc_id_b"))
-      .distinct()
-    val (repGroups, _) = graft.operators.NearDup.starComponents(
-      rep.select("doc_id"), repPairs, maxRounds)
-    // expand: every doc inherits its fingerprint class's label
-    fp.join(rep.withColumnRenamed("doc_id", "rep_id"), "bs")
-      .join(repGroups.withColumnRenamed("doc_id", "rep_id"), "rep_id")
-      .select(col("doc_id"), col("group_id"))
-  }
+                    maxDist: Int = 3, maxRounds: Int = 30): DataFrame =
+    bandedFpGroups(
+      documents.select(col("doc_id"),
+        graft.plans.BlockHash(col("text").cast("binary")).as("bs")),
+      maxDist, maxRounds)
 
   /** The ACTIONABLE media dedup decision — [[phashGroups]] reduced
     * to keep/drop, completing the detector→groups→keep symmetry
@@ -547,5 +524,140 @@ object Multimodal {
     exact.join(phash, "doc_id")
       .groupBy("f_exact", "f_phash")
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Chromaprint-shaped AUDIO fingerprint kernel: 64 sign-of-delta
+    * bits over 65 proportional block energies. The payload splits at
+    * boundaries ⌊b·n/65⌋ (the [[blockhash]] scheme — PROPORTIONAL
+    * blocks, so every byte contributes and short clips never leave a
+    * zero-energy tail that would funnel the whole corpus into one
+    * hot all-zero band bucket), block energy = Σ(centered sample)²,
+    * and bit b = 1 iff block b+1's MEAN energy exceeds block b's —
+    * compared cross-multiplied (e₊·len > e·len₊) so the decision is
+    * exact integer arithmetic, replayable bit-for-bit. Real audio
+    * pipelines compute the same rising-energy feature over
+    * spectrogram bands (Chromaprint/AcoustID); the byte stand-in
+    * keeps the Spark-side shape real per [[stubDecode]]. Carried as
+    * 4×16-bit bands — the LSH join keys, pigeonhole-complete for
+    * Hamming ≤ 3. Overflow bound: e·len ≤ 128²·n² needs n ≲ 2³²·65;
+    * chunk larger media (same caveat as [[blockhash]]).
+    */
+  private[graft] def audioFpBands(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length
+    val e = new Array[Long](65)
+    val len = new Array[Int](65)
+    var b = 0
+    while (b < 65) {
+      val from = (b.toLong * n / 65).toInt
+      val until = ((b + 1).toLong * n / 65).toInt
+      var s = 0L
+      var i = from
+      while (i < until) {
+        val v = (payload(i) & 0xFF) - 128
+        s += v.toLong * v
+        i += 1
+      }
+      e(b) = s
+      len(b) = until - from
+      b += 1
+    }
+    val bands = new Array[Int](4)
+    var bit = 0
+    while (bit < 64) {
+      if (e(bit + 1) * len(bit) > e(bit) * len(bit + 1))
+        bands(bit / 16) |= 1 << (bit % 16)
+      bit += 1
+    }
+    bands
+  }
+
+  /** Driver-contract wrapper: audio fingerprints over the documents-
+    * as-media corpus via the codegen'd `audio_fp` expression
+    * ([[graft.plans.AudioFpExpr]]) — map-only, the audio analog of
+    * [[mmPhash]].
+    */
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        graft.plans.AudioFpExpr(col("payload")).as("bs"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
+        col("bs").getItem(2).as("b2"), col("bs").getItem(3).as("b3"))
+
+  /** Connected components over a banded 64-bit fingerprint frame
+    * `(doc_id, bs: array<int>[4])` — the COLLAPSED rendering shared
+    * by the image ([[phashGroupsOf]]) and audio
+    * ([[audioDupGroupsOf]]) dedup paths: docs are canonicalized by
+    * exact fingerprint first (d(a,·) ≡ d(b,·) whenever bs_a = bs_b,
+    * so connectivity through any member is connectivity through the
+    * class min-doc_id representative), the banded Hamming join +
+    * star components run over DISTINCT fingerprints only, and every
+    * doc inherits its class label. Result-identical to components
+    * over the per-doc pair set; candidates and state scale with
+    * distinct fingerprints, never duplicate multiplicity (the
+    * round-10 sf100 lesson — see [[phashGroups]]).
+    */
+  private[graft] def bandedFpGroups(fp: DataFrame, maxDist: Int,
+                                    maxRounds: Int): DataFrame = {
+    // one node per distinct fingerprint, labeled by its min doc_id
+    val rep = fp.groupBy("bs").agg(min("doc_id").as("doc_id"))
+      .localCheckpoint(eager = false) // consumed by join sides + expansion
+    val ex = rep.select(col("doc_id"), col("bs"),
+      posexplode(col("bs")).as(Seq("band", "v")))
+    val a = ex.select(col("doc_id").as("doc_id_a"), col("bs").as("bs_a"),
+      col("band"), col("v"))
+    val b = ex.select(col("doc_id").as("doc_id_b"), col("bs").as("bs_b"),
+      col("band"), col("v"))
+    val hamming = (0 until 4)
+      .map(k => expr(s"bit_count(bs_a[$k] ^ bs_b[$k])"))
+      .reduce(_ + _)
+    val repPairs = a.join(b, Seq("band", "v"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(hamming <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val (repGroups, _) = graft.operators.NearDup.starComponents(
+      rep.select("doc_id"), repPairs, maxRounds)
+    // expand: every doc inherits its fingerprint class's label
+    fp.join(rep.withColumnRenamed("doc_id", "rep_id"), "bs")
+      .join(repGroups.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("group_id"))
+  }
+
+  /** Audio near-dup grouping — [[phashGroups]] for the audio
+    * fingerprint: edges are banded-Hamming ≤ `maxDist` over
+    * [[audioFpBands]], components via the shared collapsed path
+    * ([[bandedFpGroups]]). group_id = min doc_id reachable.
+    */
+  def audioDupGroupsOf(documents: DataFrame,
+                       maxDist: Int = 3, maxRounds: Int = 30): DataFrame =
+    bandedFpGroups(
+      documents.select(col("doc_id"),
+        graft.plans.AudioFpExpr(col("text").cast("binary")).as("bs")),
+      maxDist, maxRounds)
+
+  /** Driver-contract wrapper over the documents-as-media corpus. */
+  def mmAudioDupGroups(spark: SparkSession, dir: String,
+                       maxDist: Int = 3, maxRounds: Int = 30): DataFrame =
+    audioDupGroupsOf(Tables.documents(spark, dir), maxDist, maxRounds)
+
+  /** The ACTIONABLE audio dedup decision — [[mmAudioDupGroups]]
+    * reduced to keep/drop exactly like [[phashKeep]]: per group keep
+    * the LARGEST payload (highest-fidelity proxy), ties to the
+    * smallest doc_id. One join + one window over group_id.
+    */
+  def mmAudioDupKeep(spark: SparkSession, dir: String,
+                     maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val groups = mmAudioDupGroups(spark, dir, maxDist, maxRounds)
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("n_bytes").desc, col("doc_id"))
+    groups.join(sizes, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("group_id"), col("n_bytes"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_keep"))
   }
 }

@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.DoubleType
   *    content hash (seed defaults to 42, Deduplicator.java:27-28)
   *  - `block_hash(bin)` — 4×16-bit blockhash perceptual-fingerprint
   *    bands (the mm_phash kernel, SQL-driven)
+  *  - `audio_fp(bin)` — 4×16-bit chromaprint-shaped audio
+  *    fingerprint bands (the mm_audio_fp kernel, SQL-driven)
   *
   * Two entry points: [[GraftFunctions.register]] installs into an
   * already-running session (temp functions); [[GraftExtensions]] is a
@@ -62,6 +64,7 @@ object GraftFunctions {
       Murmur3_128(args(0), seed)
     },
     "block_hash" -> { args => BlockHash(args(0)) },
+    "audio_fp" -> { args => AudioFpExpr(args(0)) },
     // z_value(a, b[, bits]): keys are masked to [0, 2^bits) — see
     // zValueExpr's domain contract (out-of-range/negative keys alias
     // deterministically; pruning quality, not correctness, degrades)

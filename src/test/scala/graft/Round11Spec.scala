@@ -232,6 +232,97 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint kernel: proportional blocks, exact delta bits") {
+    import graft.operators.Multimodal
+    // empty payload: every block empty -> 0 > 0 never holds
+    assert(Multimodal.audioFpBands(Array.emptyByteArray).toSeq === Seq(0, 0, 0, 0))
+    // constant payload: equal mean energies everywhere -> no bit set
+    assert(Multimodal.audioFpBands(Array.fill(650)(100.toByte)).toSeq === Seq(0, 0, 0, 0))
+    // strictly rising |sample| across blocks -> every bit set (all
+    // 65 blocks non-empty at n = 650, mean energy strictly rises)
+    val rising = Array.tabulate(650)(i => (128 + 1 + i / 10).toByte)
+    assert(Multimodal.audioFpBands(rising).toSeq === Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF))
+    // reference recompute: independent big-decimal mean comparison
+    val rnd = new scala.util.Random(11)
+    val payload = Array.fill(333)(rnd.nextInt(256).toByte)
+    val n = payload.length
+    val ref = new Array[Int](4)
+    val stats = (0 until 65).map { b =>
+      val from = b * n / 65; val until = (b + 1) * n / 65
+      val e = payload.slice(from, until).map { x =>
+        val s = (x & 0xFF) - 128; s.toLong * s }.sum
+      (e, until - from)
+    }
+    (0 until 64).foreach { bit =>
+      val (e0, l0) = stats(bit); val (e1, l1) = stats(bit + 1)
+      if (BigInt(e1) * l0 > BigInt(e0) * l1) ref(bit / 16) |= 1 << (bit % 16)
+    }
+    assert(Multimodal.audioFpBands(payload).toSeq === ref.toSeq)
+  }
+
+  test("audio dup groups equal brute-force all-pairs union-find (pigeonhole + collapse)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // same planted clique shape as the phash collapse spec: exact
+    // copies + light variants + unrelated singletons
+    val base = (0 until 8).map(i =>
+      s"the quick brown fox ${"pattern " * 20} jumps over dog number $i")
+    val rows = (0L until 64L).map { id =>
+      val b = (id % 8).toInt
+      val txt =
+        if (id < 32) base(b)
+        else if (id < 48) base(b) + "!"
+        else s"completely unrelated content nr $id " + ("x" * (id.toInt % 37))
+      (id, txt)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val collapsed = Multimodal.audioDupGroupsOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find over BRUTE-FORCE all-pairs Hamming <= 3
+    // (stronger than the banded set: pins pigeonhole completeness
+    // AND the distinct-fingerprint collapse at once)
+    val fps = rows.map { case (id, txt) =>
+      id -> Multimodal.audioFpBands(txt.getBytes("UTF-8")) }
+    val parent = scala.collection.mutable.Map((0L until 64L).map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for ((a, fa) <- fps; (b, fb) <- fps if a < b) {
+      val d = (0 until 4).map(k => Integer.bitCount(fa(k) ^ fb(k))).sum
+      if (d <= 3) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val ref = (0L until 64L).map(d => d -> find(d)).toMap
+    assert(collapsed === ref)
+    // sanity on the planted structure: exact copies co-group, and at
+    // least one variant joined its base's group through a near edge
+    assert(collapsed(0L) === collapsed(8L))
+    assert(collapsed.values.toSet.size < 64)
+  }
+
+  test("audio_fp expression matches the kernel and the SQL surface") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val docs = Seq((1L, "some audio-ish payload content here"),
+      (2L, "another distinct payload with different energies"))
+      .toDF("doc_id", "text")
+    val viaExpr = docs.select(col("doc_id"),
+      graft.plans.AudioFpExpr(col("text").cast("binary")).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val expect = Seq(1L, 2L).map { id =>
+      val txt = if (id == 1L) "some audio-ish payload content here"
+                else "another distinct payload with different energies"
+      id -> Multimodal.audioFpBands(txt.getBytes("UTF-8")).toSeq
+    }.toMap
+    assert(viaExpr === expect)
+    graft.plans.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("audio_fp_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, audio_fp(cast(text AS binary)) AS bs FROM audio_fp_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaSql === expect)
+  }
+
   test("ANN serving legs plan the heap pre-pass before the per-query window") {
     // the per-q_id window alone funnels the full scored scan into
     // nQueries tasks; the MapPartitions fold must sit in every plan
