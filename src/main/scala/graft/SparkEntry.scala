@@ -169,6 +169,7 @@ object SparkEntry {
     "docs_dsir_weights" -> ((s, d) => present(Sampling.docsDsirWeights(s, d), "doc_id")),
     "docs_softdedup_weights" -> ((s, d) => present(Sampling.docsSoftDedupWeights(s, d), "doc_id")),
     "text_nb_sources" -> ((s, d) => present(TextAnalysis.textNbSources(s, d), "source", "predicted")),
+    "text_unigram_drift" -> ((s, d) => present(TextAnalysis.textUnigramDrift(s, d), "source")),
     "docs_dsir_sample" -> ((s, d) => present(Sampling.docsDsirSample(s, d), "doc_id")),
     "docs_shard_plan" -> ((s, d) => present(Sampling.docsShardPlan(s, d), "shard")),
     "docs_pack" -> ((s, d) => present(Sampling.docsPack(s, d), "doc_id")),
@@ -309,6 +310,11 @@ object SparkEntry {
     "dedup_passthrough" -> ((s, d) => withTsMs(Dedup.dedupPassthrough(s, d))),
     "docs_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "text_charclass" -> ((s, d) => TextAnalysis.textCharClass(s, d)),
+    // round-11 widen found the per-tile exploded output spilling
+    // 1.3 GB through the presentation sort at sf100 (x23/decade);
+    // the engine pass itself is a map-only explode
+    "mm_tile" -> ((s, d) => Multimodal.tilePlan(
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF()),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -3037,6 +3043,24 @@ object SparkEntry {
         |       CAST(sum(pr.score_x1e6) // count(*) AS BIGINT) AS mean_score_x1e6
         |FROM documents d JOIN pr ON d.doc_id = pr.doc_id AND pr.rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // unigram-drift replay: 1e-9-quantized probability masses, exact
+    // integer L1; absent terms enter via m_total - covered mass
+    "text_unigram_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cts AS (SELECT term, source, count(*) AS c_ts FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(c_ts) AS c_t FROM cts GROUP BY 1),
+        |ns AS (SELECT source, sum(c_ts) AS n_s, count(*) AS vocab_s FROM cts GROUP BY 1),
+        |tot AS (SELECT sum(c_t) AS n_total, count(*) AS vocab_total FROM ct),
+        |mt AS (SELECT term, (c_t * 1000000000) // (SELECT n_total FROM tot) AS m_t FROM ct),
+        |mtot AS (SELECT sum(m_t) AS m_total FROM mt),
+        |grid AS (SELECT cts.source, ns.n_s, ns.vocab_s,
+        |                (cts.c_ts * 1000000000) // ns.n_s AS m_ts, mt.m_t
+        |         FROM cts JOIN mt USING (term) JOIN ns USING (source))
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(max(vocab_s) AS BIGINT) AS vocab_size,
+        |       CAST((max(vocab_s) * 10000) // (SELECT vocab_total FROM tot) AS BIGINT) AS vocab_frac_e4,
+        |       CAST(sum(abs(m_ts - m_t)) + ((SELECT m_total FROM mtot) - sum(m_t)) AS BIGINT) AS l1_x1e9
+        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
     // DSIR replay: hashed word-bigram buckets (hash32 fold, mod 4096),
     // one joint raw/target count per bucket, add-1-smoothed x1e6
     // integer affinities, floor-mean per doc

@@ -1391,4 +1391,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(score_x1e6) div count(1)").as("mean_score_x1e6"))
   }
+
+  /** Per-source unigram-distribution DRIFT vs the whole corpus — the
+    * mix monitor a pipeline runs between snapshots/sources to catch
+    * composition shift before it reaches training: for each source,
+    * the L1 distance Σ_t |p_ts − p_t| between the source's unigram
+    * distribution and the corpus distribution (total variation =
+    * L1/2), plus token mass and vocabulary coverage.
+    *
+    * Exact-integer rendering for the oracle gate: probabilities are
+    * QUANTIZED to 10⁻⁹ as m_ts = ⌊10⁹·c_ts/N_s⌋ and
+    * m_t = ⌊10⁹·c_t/N⌋ (exact int64 divisions — c_ts·10⁹ fits while
+    * N ≲ 9·10⁹ tokens; a 100 TB corpus drops to 10⁶ quantization or
+    * DECIMAL, same plan), and `l1_x1e9 = Σ|m_ts − m_t|` is then an
+    * exact integer any engine replays bit-for-bit. Terms ABSENT from
+    * a source contribute m_t each without being enumerated:
+    * Σ_absent m_t = M_total − Σ_present m_t, so the sum needs only
+    * the present (term, source) grid. Quantization error is bounded
+    * by vocab·10⁻⁹ per side — noise for a drift monitor.
+    *
+    * Shape at 100 TB: one map-combinable (term, source) count (the
+    * [[textNbSourcesOn]] grid), its term re-aggregate, two broadcast
+    * summaries (S rows, 1 row), one vocab×S-bounded equi-join on
+    * term. The count frame is detached (lazy localCheckpoint) so the
+    * Zipf-hot term join sees a bare shuffle stage — AQE skew split
+    * stays armed (the [[textBigramLm]] rule).
+    */
+  def textUnigramDrift(spark: SparkSession, dir: String): DataFrame =
+    textUnigramDriftOn(Tables.documents(spark, dir))
+
+  /** [[textUnigramDrift]] over any (source, text) frame — the
+    * synthetic-fixture seam.
+    */
+  def textUnigramDriftOn(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    // one pass for all count tables; three consumers -> detach
+    val cts = tok.groupBy("term", "source").agg(count(lit(1)).as("c_ts"))
+      .localCheckpoint(eager = false)
+    val ct = cts.groupBy("term").agg(sum("c_ts").as("c_t"))
+      .localCheckpoint(eager = false) // feeds tot, mTotal and the grid join
+    val ns = cts.groupBy("source")
+      .agg(sum("c_ts").as("n_s"), count(lit(1)).as("vocab_s"))
+    val tot = ct.agg(sum("c_t").as("n_total"),
+      count(lit(1)).as("vocab_total"))
+    val mTotal = ct.crossJoin(broadcast(tot))
+      .select(expr("(c_t * 1000000000) div n_total").as("m_t"))
+      .agg(sum("m_t").as("m_total"))
+    val grid = cts.join(ct, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("vocab_s"), col("vocab_total"),
+        expr("(c_ts * 1000000000) div n_s").as("m_ts"),
+        expr("(c_t * 1000000000) div n_total").as("m_t"))
+    grid.groupBy("source")
+      .agg(first("n_s").as("n_tokens"),
+        first("vocab_s").as("vocab_size"),
+        expr("(first(vocab_s) * 10000) div first(vocab_total)").as("vocab_frac_e4"),
+        sum(expr("abs(m_ts - m_t)")).as("_l1_present"),
+        sum("m_t").as("_cov_m"))
+      .crossJoin(broadcast(mTotal))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("vocab_frac_e4"),
+        (col("_l1_present") + (col("m_total") - col("_cov_m"))).as("l1_x1e9"))
+  }
 }

@@ -232,6 +232,37 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("unigram drift: exact quantized L1 on a hand-computed fixture; zero for a lone source") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // single source: p_ts == p_t for every term -> identical
+    // quantized masses -> l1 exactly 0
+    val lone = Seq(("a", "x y x z"), ("a", "y x")).toDF("source", "text")
+    val loneRow = TextAnalysis.textUnigramDriftOn(lone).collect()
+    assert(loneRow.length === 1)
+    assert(loneRow.head.getAs[Long]("l1_x1e9") === 0L)
+    assert(loneRow.head.getAs[Long]("vocab_frac_e4") === 10000L)
+    // two sources, hand-checkable: a = {x:2, y:1}, b = {y:1, z:2};
+    // corpus = {x:2, y:2, z:2}, N=6, N_a=N_b=3
+    val docs = Seq(("a", "x x y"), ("b", "y z z")).toDF("source", "text")
+    val out = TextAnalysis.textUnigramDriftOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val B = 1000000000L
+    def q(c: Long, n: Long) = c * B / n
+    val mt = Map("x" -> q(2, 6), "y" -> q(2, 6), "z" -> q(2, 6))
+    val mTotal = mt.values.sum
+    // a: present {x: q(2,3), y: q(1,3)}; absent z contributes m_t(z)
+    val l1a = (q(2, 3) - mt("x")).abs + (q(1, 3) - mt("y")).abs +
+      (mTotal - mt("x") - mt("y"))
+    val l1b = (q(1, 3) - mt("y")).abs + (q(2, 3) - mt("z")).abs +
+      (mTotal - mt("y") - mt("z"))
+    assert(out("a").getAs[Long]("n_tokens") === 3L)
+    assert(out("a").getAs[Long]("vocab_size") === 2L)
+    assert(out("a").getAs[Long]("vocab_frac_e4") === 6666L)
+    assert(out("a").getAs[Long]("l1_x1e9") === l1a)
+    assert(out("b").getAs[Long]("l1_x1e9") === l1b)
+  }
+
   test("audio fingerprint kernel: proportional blocks, exact delta bits") {
     import graft.operators.Multimodal
     // empty payload: every block empty -> 0 > 0 never holds
