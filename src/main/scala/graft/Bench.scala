@@ -37,6 +37,16 @@ object Bench {
       // periodic GC defaults to 30 min — longer than an entire batch
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.io.compression.codec", ioCodec)
+      // ObjectHashAggregate (typed Aggregators / udaf on the SQL
+      // surface) falls back to SORT-based aggregation after 128
+      // distinct keys per task BY DEFAULT — at sf100 that turned
+      // sql_simhash's per-doc fold into a full sort of 250 M exploded
+      // token rows (x61/decade, round-11 widen). Per-task key counts
+      // are bounded by keys/partitions (~10k docs/task at sf100
+      // p512), so a 4M-key hash map threshold keeps the partial
+      // aggregate map-combinable; state is per-key bounded (64-int
+      // simhash vector). Execution knob only — results unchanged.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

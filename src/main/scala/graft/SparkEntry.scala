@@ -312,9 +312,17 @@ object SparkEntry {
     "text_charclass" -> ((s, d) => TextAnalysis.textCharClass(s, d)),
     // round-11 widen found the per-tile exploded output spilling
     // 1.3 GB through the presentation sort at sf100 (x23/decade);
-    // the engine pass itself is a map-only explode
+    // the engine pass itself is a map-only explode (3.4 s core wall)
     "mm_tile" -> ((s, d) => Multimodal.tilePlan(
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF()),
+    // the round-11 widen's other >x14/decade walls: all row-preserving
+    // outputs (100 M rows at sf100) whose growth lives in the
+    // presentation sort, not the engine pass — same q_anomaly class
+    "q_range_frame" -> ((s, d) => Relational.qRangeFrame(s, d)),
+    "q_rank_family" -> ((s, d) => Relational.qRankFamily(s, d)),
+    "q_scd2" -> ((s, d) => Relational.qScd2(s, d)),
+    "q_scalar_subq" -> ((s, d) => Relational.qScalarSubquery(s, d)),
+    "q_corr_subq" -> ((s, d) => Relational.qCorrSubquery(s, d)),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -1346,13 +1346,18 @@ object TextAnalysis {
     * Shape at 100 TB: the token×source count is ONE map-combinable
     * aggregate; its re-aggregate (c_t) and the dense term×source
     * posterior grid stay DISTINCT-VOCABULARY-sized (×S, the bounded
-    * source taxonomy). The grid is detached (lazy localCheckpoint) so
-    * the corpus-sized token stream joins a bare shuffle stage — AQE's
-    * skew split stays armed for Zipf-hot terms (the [[textBigramLm]]
-    * rule). The ×S row amplification on the scoring join is inherent
-    * to S-class scoring and bounded by the taxonomy, not the corpus.
-    * Long arithmetic headroom: (c_ts+1)·10⁶ overflows int64 only past
-    * ~9·10¹² occurrences of one term in one source.
+    * source taxonomy). Scoring folds the grid to ONE source-ordered
+    * posterior ARRAY per term (the round-11 fix: the exploded ×S
+    * scoring join put 5·10⁹ rows and 17.2 GB of sort spill through
+    * the (doc, source) aggregate at sf100), joins the deduplicated
+    * (doc, term, tf) frame once, and reduces per doc with S
+    * codegen'd sum columns — S-wide rows exist only AFTER the
+    * aggregate. The folded grid is detached (lazy localCheckpoint)
+    * so the corpus-sized term frame joins a bare shuffle stage —
+    * AQE's skew split stays armed for Zipf-hot terms (the
+    * [[textBigramLm]] rule). Long arithmetic headroom: (c_ts+1)·10⁶
+    * overflows int64 only past ~9·10¹² occurrences of one term in
+    * one source.
     */
   def textNbSources(spark: SparkSession, dir: String): DataFrame =
     textNbSourcesOn(Tables.documents(spark, dir))
@@ -1376,11 +1381,38 @@ object TextAnalysis {
       .crossJoin(broadcast(nS))
       .select(col("term"), col("source"),
         expr("((c_ts + 1) * 1000000) div (c_t + n_sources)").as("p"))
-      .localCheckpoint(eager = false)
-    val scores = tok.select("doc_id", "term")
-      .join(grid, Seq("term"))
-      .groupBy("doc_id", "source")
-      .agg(expr("sum(p) div count(1)").as("score_x1e6"))
+    // Scoring WITHOUT the ×S row amplification (the round-11 sf100
+    // widen measured the exploded rendering — token stream × S grid
+    // rows → 5·10⁹ rows into the (doc, source) aggregate — at
+    // 17.2 GB of sort spill): fold the S posteriors into ONE
+    // source-ordered array row per term, join the (doc, term, tf)
+    // frame once, and reduce per doc with S codegen'd sum columns —
+    // S-wide rows only ever exist AFTER the aggregate (the stack to
+    // (doc, source) rows is n_docs×S). Score arithmetic is
+    // bit-identical: ⌊Σ_t tf·p_ts / Σ_t tf⌋ = ⌊Σ_occurrences p /
+    // n_occurrences⌋. The source taxonomy is collected driver-side
+    // to name the sum columns — the bounded K-row model-constant
+    // pattern (Ann centroid collects), NOT a corpus collect.
+    val srcList = srcs.orderBy("source")
+      .collect().map(_.getString(0))
+    val gridArr = grid.groupBy("term")
+      .agg(expr("transform(array_sort(collect_list(struct(source, p))), x -> x.p)").as("ps"))
+      .localCheckpoint(eager = false) // bare shuffle side for the hot term join
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val sumCols = srcList.indices.map(i =>
+      sum(expr(s"ps[$i] * tf")).as(s"_s$i")) :+ sum("tf").as("_n")
+    val perDoc = tf.join(gridArr, "term")
+      .groupBy("doc_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+    val stackArgs = srcList.zipWithIndex
+      .map { case (s, i) => s"'${s.replace("'", "''")}', _s$i" }
+      .mkString(", ")
+    val scores = perDoc
+      .select(col("doc_id"),
+        expr(s"stack(${srcList.length}, $stackArgs)").as(Seq("source", "_sum")),
+        col("_n"))
+      .select(col("doc_id"), col("source"),
+        expr("_sum div _n").as("score_x1e6"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_x1e6").desc, col("source"))
     val pred = scores.withColumn("rn", row_number().over(w))

@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row entry-point broadcast crossed with the bounded query set
     "ann_graph_search", "ann_recall_graph",
     // 1-row folded group-model broadcast (routed two-level assignment)
-    "emb_knn_graph_cells", "ann_recall_cells", "emb_semantic_routed"
+    "emb_knn_graph_cells", "ann_recall_cells", "emb_semantic_routed",
+    // 1-row (n_total, vocab_total) and 1-row m_total scalar broadcasts
+    "text_unigram_drift"
   )
 
   test("no cartesian product or unexpected nested-loop join in any contract query") {
