@@ -385,6 +385,15 @@ object SparkEntry {
     * Aggregators go through spark.udf.register). Fingerprints are
     * identical to NearDup.simhashFingerprints, so the oracle is the
     * shared simhash replay.
+    *
+    * Scale note: udaf aggregation runs through ObjectHashAggregate,
+    * whose SORT-based fallback triggers past 128 distinct keys/task
+    * by Spark default — at 5 M docs that full-sorts the exploded
+    * token stream (×61/decade, round-11 widen). Sessions running
+    * this at scale should raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (Bench sets 4 M; 188.7 → 50.4 s at sf100) — per-task key counts
+    * are bounded by partitioning and the state is a 64-int vector.
     */
   private def sqlSimhash(spark: SparkSession, dir: String): DataFrame = {
     spark.udf.register("simhash_agg",
