@@ -2606,8 +2606,8 @@ object SparkEntry {
          |      UNION
          |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
          |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
-    // groups closure + keep-largest-payload argmax (n_chars = text
-    // payload bytes on this corpus), doc_id tiebreak
+    // groups closure + keep-largest-payload argmax (n_bytes = true
+    // UTF-8 octet length, the mm_audio_fp definition), doc_id tiebreak
     "mm_phash_keep" ->
       s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmPhashPairsSql)),
          |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
@@ -2616,7 +2616,7 @@ object SparkEntry {
          |      UNION
          |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
          |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src),
-         |j AS (SELECT g.doc_id, g.group_id, CAST(d.n_chars AS BIGINT) AS n_bytes
+         |j AS (SELECT g.doc_id, g.group_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
          |      FROM g JOIN documents d ON g.doc_id = d.doc_id)
          |SELECT doc_id, group_id, n_bytes,
          |       first_value(doc_id) OVER (PARTITION BY group_id
@@ -2644,7 +2644,8 @@ object SparkEntry {
          |      UNION
          |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src)
          |SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src ORDER BY doc_id""".stripMargin,
-    // groups closure + keep-largest-payload argmax, doc_id tiebreak
+    // groups closure + keep-largest-payload argmax (n_bytes = true
+    // UTF-8 octet length, the mm_audio_fp definition), doc_id tiebreak
     "mm_audio_dup_keep" ->
       s"""WITH RECURSIVE pp AS (SELECT doc_id_a, doc_id_b FROM ($mmAudioPairsSql)),
          |ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pp
@@ -2653,7 +2654,7 @@ object SparkEntry {
          |      UNION
          |      SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src),
          |g AS (SELECT src AS doc_id, min(dst) AS group_id FROM r GROUP BY src),
-         |j AS (SELECT g.doc_id, g.group_id, CAST(d.n_chars AS BIGINT) AS n_bytes
+         |j AS (SELECT g.doc_id, g.group_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
          |      FROM g JOIN documents d ON g.doc_id = d.doc_id)
          |SELECT doc_id, group_id, n_bytes,
          |       first_value(doc_id) OVER (PARTITION BY group_id

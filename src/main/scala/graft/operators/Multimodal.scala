@@ -412,13 +412,16 @@ object Multimodal {
     * group, keep the LARGEST payload (the keep-highest-resolution
     * heuristic media dedup uses — text docs rank by quality score,
     * media by fidelity proxy), ties to the smallest doc_id. One join
-    * (groups ⋈ sizes) + one window over group_id.
+    * (groups ⋈ sizes) + one window over group_id. n_bytes is the
+    * TRUE UTF-8 octet length of the payload — the same definition
+    * [[mmAudioFp]] exposes, so one doc never reports two different
+    * n_bytes within the fingerprint family (round-11 ADVICE).
     */
   def phashKeep(spark: SparkSession, dir: String,
                 maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
     val groups = phashGroups(spark, dir, maxDist, maxRounds)
     val sizes = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_bytes"))
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group_id").orderBy(col("n_bytes").desc, col("doc_id"))
     groups.join(sizes, "doc_id")
@@ -646,13 +649,15 @@ object Multimodal {
   /** The ACTIONABLE audio dedup decision — [[mmAudioDupGroups]]
     * reduced to keep/drop exactly like [[phashKeep]]: per group keep
     * the LARGEST payload (highest-fidelity proxy), ties to the
-    * smallest doc_id. One join + one window over group_id.
+    * smallest doc_id. One join + one window over group_id. n_bytes
+    * is the true UTF-8 octet length — consistent with [[mmAudioFp]]
+    * (round-11 ADVICE).
     */
   def mmAudioDupKeep(spark: SparkSession, dir: String,
                      maxDist: Int = 3, maxRounds: Int = 30): DataFrame = {
     val groups = mmAudioDupGroups(spark, dir, maxDist, maxRounds)
     val sizes = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_bytes"))
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group_id").orderBy(col("n_bytes").desc, col("doc_id"))
     groups.join(sizes, "doc_id")

@@ -1366,7 +1366,11 @@ object TextAnalysis {
     * synthetic-fixture seam.
     */
   def textNbSourcesOn(documents: DataFrame): DataFrame = {
+    // source is external input (ANSI-guard rule): a null source would
+    // NPE the driver-side taxonomy collect below — excluded up front,
+    // so the classifier is defined over the labeled subset only
     val docs = documents.select(col("doc_id"), col("source"), col("text"))
+      .filter(col("source").isNotNull)
     val tok = docs.select(col("doc_id"), col("source"),
       explode(T.tokens(col("text"))).as("term"))
     // one pass for both count tables; two consumers -> detach
@@ -1404,8 +1408,12 @@ object TextAnalysis {
     val perDoc = tf.join(gridArr, "term")
       .groupBy("doc_id")
       .agg(sumCols.head, sumCols.tail: _*)
+    // Spark SQL string literals escape with BACKSLASH (the lexer does
+    // not un-double ''): escape \ first, then ' — a source name
+    // containing either now round-trips instead of mislabeling rows
     val stackArgs = srcList.zipWithIndex
-      .map { case (s, i) => s"'${s.replace("'", "''")}', _s$i" }
+      .map { case (s, i) =>
+        s"'${s.replace("\\", "\\\\").replace("'", "\\'")}', _s$i" }
       .mkString(", ")
     val scores = perDoc
       .select(col("doc_id"),

@@ -35,7 +35,11 @@ def main():
         print(f'\nflagged (>x{flag_ratio:.0f}/decade wall or any spill):')
         print(f"{'query':26}{'sf10':>8}{'sf100':>9}{'ratio':>7}{'shufMB':>9}{'spillMB':>9}")
         for q, a, b_, s, p in sorted(flagged, key=lambda x: -(x[2] / x[1] if x[1] else 0)):
-            print(f'{q:26}{a:8.1f}{b_:9.1f}{b_ / a:7.1f}{s:9.1f}{p:9.1f}')
+            # a (sf10 wall) can be None for a spill-only flag measured
+            # at sf100 alone — print '-' instead of crashing the table
+            ar = f'{a:8.1f}' if a else f'{"-":>8}'
+            rr = f'{b_ / a:7.1f}' if a else f'{"-":>7}'
+            print(f'{q:26}{ar}{b_:9.1f}{rr}{s:9.1f}{p:9.1f}')
     else:
         print('no flags')
 
