@@ -1820,19 +1820,20 @@ object Ann {
     * Σnₖ² work) and pays the routed build + O(edges) iterations
     * instead of (rate·n)². Rank on the routed build at exhaustive
     * probes is IDENTICAL to the contract output (spec), because the
-    * builds are identical there. At working probes two
-    * approximations stack on top of build recall: (a) the node set
-    * matches the exact build's only while every sampled node finds
-    * ≥ 1 in-cell candidate — a node whose nprobe cells hold no other
-    * sampled node emits no edges and drops out of the rank frame
-    * (auto-K makes empty-neighborhood cells rare at scale, but an
-    * explicit low `clusters` at small n can produce them); (b) the
-    * update emits `mass div k` per edge assuming out-degree exactly
-    * k, so a node with fewer than k in-cell candidates SHEDS the
-    * missing edges' mass share rather than redistributing it. Both
-    * effects shrink as build recall → 1; neither exists in the
-    * contract (exact) feed, where every node has exactly k edges.
-    * Measured: GraphBuildProbe `rank` mode (BASELINE round-10).
+    * builds are identical there. At working probes one approximation
+    * remains on top of build recall: the node set matches the exact
+    * build's only while every sampled node finds ≥ 1 in-cell
+    * candidate — a node whose nprobe cells hold no other sampled
+    * node emits no edges and drops out of the rank frame (auto-K
+    * makes empty-neighborhood cells rare at scale, but an explicit
+    * low `clusters` at small n can produce them). The round-10
+    * mass-shedding distortion is GONE (round-12): each node divides
+    * by its ACTUAL out-degree (one map-combinable aggregate over the
+    * already-materialized edge frame), so a sub-k routed node
+    * redistributes its full floored mass instead of shedding the
+    * missing edges' share. On the exact feed out-degree ≡ k by the
+    * kNN construction, so the contract output is provably unchanged.
+    * Measured: GraphBuildProbe `rank` mode (BASELINE round-12).
     */
   def embGraphRankOn(rawEdges: DataFrame, k: Int = 3, iters: Int = 2,
                      checkpointDir: Option[String] = None): DataFrame = {
@@ -1844,11 +1845,19 @@ object Ann {
         rawEdges.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
     }
-    val nodes = edges.select(col("src").as("v")).distinct()
+    // exact out-degree per node: nodes = distinct src, so od >= 1 by
+    // construction (no dangling division); node-sized, consumed every
+    // iteration -> detached once
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("od"))
+      .localCheckpoint(eager = false)
+    val nodes = deg.select("v")
     var mass = nodes.withColumn("mass", lit(1000000L))
     for (_ <- 0 until iters) {
-      val in = edges.join(mass, col("src") === col("v"))
-        .select(col("dst"), expr(s"mass div $k").as("c"))
+      val share = mass.join(deg, "v")
+        .select(col("v").as("sv"), expr("mass div od").as("c"))
+      val in = edges.join(share, col("src") === col("sv"))
+        .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
       mass = nodes.join(in, col("v") === col("dst"), "left_outer")
         .select(col("v"),

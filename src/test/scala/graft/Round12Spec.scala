@@ -48,4 +48,37 @@ class Round12Spec extends SparkSpec {
     val bad = fp.join(keep, "doc_id").filter(col("nb_fp") =!= col("nb_keep"))
     assert(bad.isEmpty, "the same doc reported two different n_bytes in one family")
   }
+
+  test("graph rank divides by ACTUAL out-degree — sub-k nodes conserve mass") {
+    import graft.operators.Ann
+    import spark.implicits._
+    // 1 -> {2,3}, 2 -> {1}, 3 -> {1}: every out-degree < k=3, so the
+    // old constant-k division would shed mass; hand-computed exact
+    // out-degree propagation over 2 damped iterations:
+    //   iter1 in: 1 <- 2e6, 2 <- 5e5, 3 <- 5e5
+    //   mass1: 1 = 1850000, 2 = 3 = 575000
+    //   iter2 in: 1 <- 1150000, 2 = 3 <- 925000
+    //   mass2: 1 = 1127500, 2 = 3 = 936250
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Ann.embGraphRankOn(edges, k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("mass"), r.getAs[Long]("in_deg"))).toMap
+    assert(out === Map(
+      1L -> (1127500L, 2L), 2L -> (936250L, 1L), 3L -> (936250L, 1L)))
+  }
+
+  test("graph rank on the exact feed is unchanged by the out-degree rewrite") {
+    import graft.operators.Ann
+    // on the exact kNN build out-degree == k for every node, so
+    // dividing by actual degree must reproduce the constant-k contract
+    // output bit-for-bit (the emb_graph_rank oracle replays div k)
+    val edges = Ann.embKnnGraph(spark, sf, k = 3)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .filter(col("od") =!= 3)
+    assert(deg.isEmpty, "exact build must have out-degree == k everywhere")
+    val got = Ann.embGraphRankOn(edges, k = 3, iters = 2)
+    assert(got.count() > 0)
+  }
 }
