@@ -122,6 +122,7 @@ object SparkEntry {
     "docs_contamination" -> ((s, d) => present(NearDup.docsContamination(s, d), "doc_id")),
     "docs_overlap_spans" -> ((s, d) => present(NearDup.docsOverlapSpans(s, d), "doc_id", "bench_id")),
     "docs_dedup_incremental" -> ((s, d) => present(NearDup.dedupIncremental(s, d), "doc_id")),
+    "docs_neardup_incremental" -> ((s, d) => present(NearDup.neardupIncremental(s, d), "doc_id", "hist_id")),
     "docs_dedup_stats" -> ((s, d) => NearDup.docsDedupStats(s, d)),
     "emb_cosine_dedup" -> ((s, d) => present(NearDup.embCosineDedup(s, d), "a_id", "b_id")),
     // §2.5 similarity search
@@ -137,6 +138,8 @@ object SparkEntry {
     "emb_knn_graph" -> ((s, d) => present(Ann.embKnnGraph(s, d), "vec_id", "rnk")),
     "emb_knn_graph_cells" -> ((s, d) => present(Ann.embKnnGraphCells(s, d), "vec_id", "rnk")),
     "ann_recall_cells" -> ((s, d) => Ann.embKnnGraphRecall(s, d)),
+    "ann_recall_cells_s" -> ((s, d) => Ann.embKnnGraphRecallSampled(s, d)),
+    "ann_recall_graph_s" -> ((s, d) => present(Ann.annRecallGraphSampled(s, d), "q_id")),
     "emb_semantic_routed" -> ((s, d) => present(Ann.embSemanticPairsRouted(s, d), "a_id", "b_id")),
     "ann_graph_search" -> ((s, d) => present(Ann.annGraphSearch(s, d), "q_id", "rnk")),
     "ann_recall_graph" -> ((s, d) => present(Ann.annRecallGraph(s, d), "q_id")),
@@ -638,6 +641,70 @@ object SparkEntry {
        |       round(count(ap.hit)::DOUBLE / count(*)::DOUBLE, 4) AS recall
        |FROM xr LEFT JOIN ap USING (vec_id, n_id)""".stripMargin
 
+  /** The deterministic fixed-size query sample over the sampled node
+    * frame (`Ann.knnQuerySample` replay): the nQ smallest
+    * (identity-hash, vec_id) keys — hsh.u IS the engine's hash32.
+    */
+  private def knnQuerySampleCte(nQ: Int): String =
+    s"""qs AS (SELECT n.vec_id FROM smp n JOIN hsh ON hsh.vec_id = n.vec_id
+       |       ORDER BY hsh.u, n.vec_id LIMIT $nQ)""".stripMargin
+
+  /** ann_recall_cells_s oracle: the sampled-query build-recall replay
+    * — exact top-k computed ONLY for the qs query nodes (per-query
+    * top-k is independent of the other queries, so this is the full
+    * monitor's xr restricted by the same hash predicate), approx side
+    * the routed-build edges restricted to qs.
+    */
+  private def annRecallCellsSampledOracleSql(nQ: Int = 32): String =
+    s"""WITH $knnCellsCtes,
+       |${knnQuerySampleCte(nQ)},
+       |xp AS (SELECT q.vec_id AS vec_id, x.vec_id AS n_id,
+       |         list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+       |           / nullif(sqrt(q.n2) * sqrt(x.n2), 0.0) AS sim
+       |       FROM smp q JOIN qs ON qs.vec_id = q.vec_id
+       |       JOIN smp x ON q.vec_id <> x.vec_id),
+       |xr AS (SELECT vec_id, n_id FROM (
+       |         SELECT vec_id, n_id,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
+       |         FROM xp WHERE sim IS NOT NULL) WHERE rnk <= 3),
+       |ap AS (SELECT DISTINCT gr.vec_id, gr.n_id, 1 AS hit FROM gr
+       |       JOIN qs ON qs.vec_id = gr.vec_id WHERE gr.rnk <= 3)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(ap.hit) AS BIGINT) AS n_hit,
+       |       round(count(ap.hit)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+       |FROM xr LEFT JOIN ap USING (vec_id, n_id)""".stripMargin
+
+  /** ann_recall_graph_s oracle: full unrolled replay of the beam
+    * navigation over the CELL-ROUTED graph (gr edges), queries = the
+    * qs node sample, exact side restricted to qs — every CTE shared
+    * with the cells/beam chains.
+    */
+  private def annRecallGraphSampledOracleSql(nQ: Int = 32, k: Int = 5,
+      beam: Int = 4, rounds: Int = 3, graphK: Int = 3): String =
+    s"""WITH $knnCellsCtes,
+       |${knnQuerySampleCte(nQ)},
+       |${beamSearchCtes(
+          s"SELECT vec_id AS src, n_id AS dst FROM gr WHERE rnk <= $graphK",
+          "smp",
+          "SELECT q.vec_id AS q_id, q.embedding, q.n2 FROM smp q JOIN qs ON qs.vec_id = q.vec_id",
+          beam, rounds)},
+       |ex AS (SELECT q_id, n_id FROM (
+       |        SELECT q_id, n_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |        FROM (SELECT q.q_id, v.vec_id AS n_id,
+       |                list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+       |                  / nullif(sqrt(q.n2) * sqrt(v.n2), 0.0) AS sim
+       |              FROM qv q JOIN smp v ON v.vec_id <> q.q_id)
+       |        WHERE sim IS NOT NULL) WHERE rn <= $k),
+       |ap AS (SELECT q_id, vec_id AS n_id FROM (
+       |        SELECT q_id, vec_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |        FROM v$rounds WHERE vec_id <> q_id) WHERE rn <= $k),
+       |j AS (SELECT ex.q_id, CASE WHEN ap.n_id IS NOT NULL THEN 1 END AS m
+       |      FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id)
+       |SELECT q_id, CAST(count(m) AS BIGINT) AS n_match, round(count(m) / $k.0, 4) AS recall
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
+
   private def embSemanticRoutedOracleSql: String =
     s"""WITH ${ivfC1CtesK("SELECT greatest(16, (count(*) + 124) // 125) FROM embeddings")},
        |${routedAssignCtes("n", nprobe = 1, gprobe = 2)},
@@ -662,19 +729,41 @@ object SparkEntry {
     * final visited set; consumers rank it (self excluded).
     */
   private def graphSearchCtes(nQ: Int = 10, beam: Int = 4,
-                              rounds: Int = 3, graphK: Int = 3): String = {
+                              rounds: Int = 3, graphK: Int = 3): String =
+    s"""$knnEdgeCtes,
+       |${beamSearchCtes(
+          s"SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $graphK",
+          "n",
+          s"""SELECT vec_id AS q_id, embedding,
+             |              list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+             |       FROM embeddings WHERE vec_id < $nQ""".stripMargin,
+          beam, rounds)}""".stripMargin
+
+  /** The unrolled beam-navigation CTE block over a caller-supplied
+    * edge selector, node CTE (vec_id, embedding, n2), and query
+    * selector (q_id, embedding, n2) — the oracle seam mirroring
+    * `Ann.beamSearchOn`: entry = min node vec_id, per round top-beam
+    * of visited → neighbor expansion (NOT EXISTS dedup) →
+    * exact-cosine scoring → UNION ALL; `v<rounds>` is the final
+    * visited set. Instantiated by the exact-graph chain
+    * ([[graphSearchCtes]]) and the cell-routed sampled monitor.
+    */
+  private def beamSearchCtes(edgeSel: String, nodeCte: String,
+                             qvSel: String, beam: Int, rounds: Int): String = {
     val score =
       """list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
         |                 / nullif(sqrt(q.n2) * sqrt(v.n2), 0.0)""".stripMargin
+    // ed/qv and every round's visited set are MATERIALIZED: each v$rd
+    // is referenced 3-4 times by the next round (beam, NOT EXISTS,
+    // union), so plain inlining expands the chain EXPONENTIALLY in
+    // `rounds` — with the routed-quantizer node chain under it the
+    // expansion exceeded the box's 20k file handles (round-12)
     val sb = new StringBuilder
-    sb ++= s"""$knnEdgeCtes,
-       |ed AS (SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $graphK),
-       |qv AS (SELECT vec_id AS q_id, embedding,
-       |              list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
-       |       FROM embeddings WHERE vec_id < $nQ),
-       |ent AS (SELECT min(vec_id) AS vec_id FROM n),
-       |v0 AS (SELECT q.q_id, v.vec_id, $score AS sim
-       |       FROM qv q CROSS JOIN ent CROSS JOIN n v WHERE v.vec_id = ent.vec_id)""".stripMargin
+    sb ++= s"""ed AS MATERIALIZED ($edgeSel),
+       |qv AS MATERIALIZED ($qvSel),
+       |ent AS (SELECT min(vec_id) AS vec_id FROM $nodeCte),
+       |v0 AS MATERIALIZED (SELECT q.q_id, v.vec_id, $score AS sim
+       |       FROM qv q CROSS JOIN ent CROSS JOIN $nodeCte v WHERE v.vec_id = ent.vec_id)""".stripMargin
     for (rd <- 1 to rounds) {
       val p = rd - 1
       sb ++= s""",
@@ -684,8 +773,8 @@ object SparkEntry {
          |nk$rd AS (SELECT DISTINCT b.q_id, ed.dst AS vec_id FROM b$p b JOIN ed ON b.vec_id = ed.src
          |          WHERE NOT EXISTS (SELECT 1 FROM v$p x WHERE x.q_id = b.q_id AND x.vec_id = ed.dst)),
          |s$rd AS (SELECT nk.q_id, nk.vec_id, $score AS sim
-         |         FROM nk$rd nk JOIN n v ON v.vec_id = nk.vec_id JOIN qv q ON q.q_id = nk.q_id),
-         |v$rd AS (SELECT * FROM v$p UNION ALL SELECT * FROM s$rd)""".stripMargin
+         |         FROM nk$rd nk JOIN $nodeCte v ON v.vec_id = nk.vec_id JOIN qv q ON q.q_id = nk.q_id),
+         |v$rd AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$rd)""".stripMargin
     }
     sb.toString
   }
@@ -2051,6 +2140,18 @@ object SparkEntry {
         |       (h.content_hash IS NULL AND b.rn = 1) AS ingest
         |FROM b LEFT JOIN h ON b.content_hash = h.content_hash
         |ORDER BY b.doc_id""".stripMargin,
+    // incremental NEAR-dup ingest: the exact-jaccard pair set
+    // restricted to (batch x history) — the docs_minhash_lsh
+    // full-recall contract applied across the two splits; batch doc
+    // oriented first regardless of which side of a<b it fell on
+    "docs_neardup_incremental" ->
+      s"""WITH $jaccardCtes
+         |SELECT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id,
+         |       CASE WHEN a_id % 5 = 0 THEN b_id ELSE a_id END AS hist_id,
+         |       jaccard
+         |FROM jp
+         |WHERE (a_id % 5 = 0) <> (b_id % 5 = 0)
+         |ORDER BY doc_id, hist_id""".stripMargin,
     // corpus dedup-rate summary (Analytics.java ratio contract on
     // documents): integer counters + one guarded, rounded ratio
     "docs_dedup_stats" ->
@@ -2122,6 +2223,11 @@ object SparkEntry {
     "emb_knn_graph" -> embKnnGraphOracleSql,
     "emb_knn_graph_cells" -> embKnnGraphCellsOracleSql,
     "ann_recall_cells" -> annRecallCellsOracleSql,
+    // sampled-query monitors: the LINEAR renderings — exact side
+    // restricted to the deterministic qs node sample, approx side the
+    // routed build / its beam navigation (round-12)
+    "ann_recall_cells_s" -> annRecallCellsSampledOracleSql(),
+    "ann_recall_graph_s" -> annRecallGraphSampledOracleSql(),
     "emb_semantic_routed" -> embSemanticRoutedOracleSql,
     // graph-ANN serving leg: unrolled fixed-round beam navigation +
     // its recall monitor vs the exact top-k over the sampled universe

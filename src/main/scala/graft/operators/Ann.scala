@@ -810,6 +810,20 @@ object Ann {
       .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
       .select(col("vec_id"), col("embedding"), V.normSq(col("embedding")).as("n2"))
 
+  /** Deterministic FIXED-SIZE query sample over a graph node frame:
+    * the `nQ` nodes with the smallest (identity-hash, vec_id) key —
+    * nested under the SAME hash as the node sample, so the query set
+    * is rerun/layout-stable, independent of data size (a fixed Q
+    * bounds the recall CI AND the monitor's cost at any corpus
+    * scale), and replayable by any engine (ORDER BY u, vec_id
+    * LIMIT nQ). One TakeOrdered over the sampled frame — linear scan,
+    * Q-bounded result, never a full sort.
+    */
+  private def knnQuerySample(sampled: DataFrame, nQ: Int): DataFrame =
+    sampled.select(col("vec_id"), Sampling.hash32(col("vec_id")).as("u"))
+      .orderBy("u", "vec_id").limit(nQ)
+      .select(col("vec_id").as("q_id"))
+
   /** blocks = 0 → ceil(|sampled|/4000) (floor 16) from one count job,
     * so per-task sim work stays ≤ ~16M at any corpus size. Callers
     * composing several graph constructions derive this ONCE and pass
@@ -1059,6 +1073,52 @@ object Ann {
           .as("recall"))
   }
 
+  /** SAMPLED-QUERY build-recall monitor — the LINEAR rendering of
+    * [[embKnnGraphRecall]] (round-12, retiring the last by-contract
+    * sf100 wall): recall@k is a mean of per-query indicators, so a
+    * deterministic hash-sample of `nQ` query nodes bounds the CI
+    * without touching the other (rate·n − Q) exact neighborhoods —
+    * the standard ANN-benchmark methodology. The exact side computes
+    * top-k for ONLY the Q query nodes (Q·(rate·n) dots — linear at
+    * fixed Q, vs the full build's (rate·n)²/2 that made the full
+    * monitor cost ×13 the build it audits); the approx side is the
+    * already-linear cell-routed build restricted to the same nodes.
+    * Per-query exact top-k is independent of the other queries, so
+    * this EQUALS [[embKnnGraphRecall]]'s join restricted to the
+    * sampled queries (spec-pinned: nQ ≥ sample size reproduces the
+    * full monitor's row exactly). Same one-row output shape.
+    */
+  def embKnnGraphRecallSampled(spark: SparkSession, dir: String, k: Int = 3,
+                               rate: Double = 0.1, nQ: Int = 32,
+                               clusters: Int = 0, iters: Int = 1,
+                               nprobe: Int = 2, gprobe: Int = 2,
+                               trainSampleTarget: Long = 0L): DataFrame = {
+    val nodes = knnSampleFrame(spark, dir, rate)
+    val qs = knnQuerySample(nodes, nQ)
+    val q = nodes.join(broadcast(qs), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val sim = V.cosineWithNorms(
+      V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val scored = broadcast(q).join(nodes, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+    // bounded-heap pre-pass before the exact window (the serving-leg
+    // two-phase shape): Q groups would otherwise funnel the whole
+    // scored scan into Q sort tasks
+    val exact = localTopKDouble(scored, k)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("vec_id"), col("n_id"))
+    val approx = embKnnGraphCells(spark, dir, k, rate, clusters, iters,
+        nprobe, gprobe, trainSampleTarget)
+      .join(broadcast(qs), col("vec_id") === col("q_id"))
+      .select(col("vec_id"), col("n_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("vec_id", "n_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"),
+        round(count(col("hit")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Bounded-beam greedy search over the [[embKnnGraph]] edge set —
     * the SERVING leg of the graph-ANN family (HNSW/NSG-style
     * navigation, flattened to a fixed number of expansion rounds so
@@ -1094,12 +1154,28 @@ object Ann {
     val nBlocks = knnBlocksFor(knnSampleFrame(spark, dir, rate), blocks)
     val edges = embKnnGraph(spark, dir, graphK, rate, nBlocks)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
-      .localCheckpoint(eager = false)
     val nodes = knnSampleFrame(spark, dir, rate)
-      .localCheckpoint(eager = false)
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         V.normSq(col("embedding")).as("q_n2"))
+    beamSearchOn(edges, nodes, q, k, beam, rounds)
+  }
+
+  /** The bounded-beam navigation loop over a CALLER-SUPPLIED (src,
+    * dst) edge frame, (vec_id, embedding, n2) node frame, and (q_id,
+    * q_emb, q_n2) query frame — the seam that lets the same serving
+    * leg navigate the exact build ([[annGraphSearch]]) or the
+    * cell-routed one ([[annRecallGraphSampled]]'s linear monitor).
+    * Semantics, determinism contract, and scale shape are
+    * [[annGraphSearch]]'s scaladoc verbatim; both input frames are
+    * lazily checkpointed here (the beam, the anti-join, and the
+    * union all re-read them every round).
+    */
+  private def beamSearchOn(rawEdges: DataFrame, rawNodes: DataFrame,
+                           q: DataFrame, k: Int, beam: Int,
+                           rounds: Int): DataFrame = {
+    val edges = rawEdges.localCheckpoint(eager = false)
+    val nodes = rawNodes.localCheckpoint(eager = false)
     val entry = nodes.agg(min("vec_id").as("vec_id"))
     val sim = V.cosineWithNorms(V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
     def scoreKeys(keys: DataFrame): DataFrame =
@@ -1146,6 +1222,52 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     val exact = broadcast(q).join(nodes, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id")
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_match"),
+        round(count(col("m")).cast("double") / k, 4).as("recall"))
+  }
+
+  /** SAMPLED-QUERY navigation-recall monitor — the LINEAR rendering
+    * of [[annRecallGraph]] (round-12): the full monitor's wall was
+    * never the queries (already bounded) but the EXACT graph build
+    * the beam navigates — (rate·n)²/2 sims, ×48/decade, a monitor
+    * costing ×13 the routed build it should be auditing. Here the
+    * beam navigates the CELL-ROUTED build ([[embKnnGraphCells]] —
+    * the designated 100 TB graph path, linear under auto-K), queries
+    * are a deterministic hash-sample of `nQ` GRAPH NODES (the
+    * [[knnQuerySample]] fixed-size key — CI-bounding, scale-free),
+    * and the exact side is per-query top-k over the sampled universe
+    * (Q·(rate·n) dots — linear at fixed Q). This is the production
+    * monitor shape: navigation loss measured ON the graph a 100 TB
+    * run actually serves, at a cost proportional to one corpus scan.
+    * Same per-query (q_id, n_match, recall) output shape as the full
+    * monitor, which stays as the small-sf equality anchor.
+    */
+  def annRecallGraphSampled(spark: SparkSession, dir: String, nQ: Int = 32,
+                            k: Int = 5, beam: Int = 4, rounds: Int = 3,
+                            graphK: Int = 3, rate: Double = 0.1,
+                            clusters: Int = 0, iters: Int = 1,
+                            nprobe: Int = 2, gprobe: Int = 2,
+                            trainSampleTarget: Long = 0L): DataFrame = {
+    val nodes = knnSampleFrame(spark, dir, rate)
+    val qs = knnQuerySample(nodes, nQ)
+    val q = nodes.join(broadcast(qs), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val edges = embKnnGraphCells(spark, dir, graphK, rate, clusters, iters,
+        nprobe, gprobe, trainSampleTarget)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+    val approx = beamSearchOn(edges, nodes, q, k, beam, rounds)
+      .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
+    val sim = V.cosineWithNorms(
+      V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val scored = broadcast(q).join(nodes, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("sim"))
+    val exact = localTopKDouble(scored, k)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "n_id")

@@ -1382,6 +1382,67 @@ object NearDup {
         (col("in_history").isNull && col("rn") === 1).as("ingest"))
   }
 
+  /** INCREMENTAL ingest NEAR-dup — [[dedupIncremental]]'s production
+    * shape lifted from exact content hashes to MinHash near-dups
+    * (round-12, the one genuinely missing production dedup shape):
+    * a new batch of documents probes a PERSISTED LSH band-key
+    * MANIFEST of the already-ingested corpus, so snapshot N+1 is
+    * near-dup-checked against a 100 TB history WITHOUT re-pairing or
+    * re-scanning history — the reference's stored-hash deployment
+    * (Deduplicator.java:27 — dedup state persisted between runs)
+    * applied to near-duplicates. Output: one row per verified
+    * (batch doc, history doc) near-dup pair with its exact Jaccard.
+    *
+    * Shape: history's (doc_id, band, bh) band keys are written ONCE
+    * as a bh-bucketed sorted table ([[graft.sinks.GraftSink
+    * .writeBucketed]]) — THE manifest; in production it is
+    * maintained incrementally (append each ingested batch's keys)
+    * and read, not recomputed, exactly like [[dedupIncremental]]'s
+    * hash manifest. The batch (small by construction) sketches only
+    * itself, equi-joins the manifest scan on the single bucket key
+    * `bh` (manifest side exchange-free — the band-equality residual
+    * is a post-filter, since bh already hashes one band's signature
+    * slice), and candidates — bounded by banding, never
+    * batch×history — are verified with the family's shared exact-
+    * Jaccard two-phase seam ([[verifiedJaccard]]). History text is
+    * touched only for verify payloads of candidate ids.
+    *
+    * Recall contract = [[minhashLshPairs]]'s (a pair is missed only
+    * if all 32 bands miss). The 20% batch split (doc_id % 5 == 0)
+    * mirrors [[dedupIncremental]]'s deterministic arrival-date
+    * stand-in. NOTE: the manifest write + candidate materialization
+    * run at plan-BUILD time (the [[phase1Banded]] pattern — the
+    * returned frame must outlive the dropped temp table), so
+    * constructing this query executes jobs; a production caller
+    * holds the manifest as a permanent table instead.
+    */
+  def neardupIncremental(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5,
+                         verifyBands: Int = 0): DataFrame = {
+    val vb = verifyBandsFor(Tables.documents(spark, dir), verifyBands)
+    // narrow shingle frame shared by both sketch sides and the verify
+    // payloads (the dedupIncremental materialize-once rule)
+    val docs = shingled(spark, dir).localCheckpoint(eager = false)
+    val isBatch = pmod(col("doc_id"), lit(5L)) === 0
+    val table = s"graft_nd_manifest_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+    graft.sinks.GraftSink.writeBucketed(
+      minhashBandKeys(minhashSignatures(docs.filter(!isBatch))), table, "bh",
+      buckets = spark.sessionState.conf.numShufflePartitions)
+    val cand =
+      try {
+        val manifest = spark.table(table)
+          .select(col("doc_id").as("b_id"), col("band").as("h_band"), col("bh"))
+        minhashBandKeys(minhashSignatures(docs.filter(isBatch)))
+          .join(manifest, "bh")
+          .filter(col("band") === col("h_band"))
+          .select(col("doc_id").as("a_id"), col("b_id"))
+          .distinct()
+          .localCheckpoint() // eager: candidates must outlive the DROP below
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    verifiedJaccard(cand, docs, threshold, vb)
+      .select(col("a_id").as("doc_id"), col("b_id").as("hist_id"), col("jaccard"))
+  }
+
   /** Corpus-wide EXACT-SUBSTRING dedup — the Lee et al. 2022
     * "ExactSubstr" ACTION: remove every token span of length ≥ `k`
     * that occurs more than once ANYWHERE in the corpus (including a

@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "q2_mincost", "q11_stock_value", "q16_supplier_cnt", "q20_promo_parts",
     // 1-row entry-point broadcast crossed with the bounded query set
     "ann_graph_search", "ann_recall_graph",
+    // nQ-row query-sample broadcast (fixed-size knnQuerySample) for
+    // the exact side, plus the cells/beam bounded broadcasts above
+    "ann_recall_cells_s", "ann_recall_graph_s",
     // 1-row folded group-model broadcast (routed two-level assignment)
     "emb_knn_graph_cells", "ann_recall_cells", "emb_semantic_routed",
     // 1-row (n_total, vocab_total) and 1-row m_total scalar broadcasts

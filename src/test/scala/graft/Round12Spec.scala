@@ -81,4 +81,74 @@ class Round12Spec extends SparkSpec {
     val got = Ann.embGraphRankOn(edges, k = 3, iters = 2)
     assert(got.count() > 0)
   }
+
+  test("sampled build-recall == full monitor when every node is a query") {
+    import graft.operators.Ann
+    // nQ >= sample size -> qs is the whole node sample, so the
+    // sampled monitor must reproduce embKnnGraphRecall's row exactly
+    // (per-query exact top-k is independent of the other queries)
+    val full = Ann.embKnnGraphRecall(spark, sf).collect().head
+    val s = Ann.embKnnGraphRecallSampled(spark, sf, nQ = 1000000).collect().head
+    assert(s.getAs[Long]("n_exact") === full.getAs[Long]("n_exact"))
+    assert(s.getAs[Long]("n_hit") === full.getAs[Long]("n_hit"))
+    assert(s.getAs[Double]("recall") === full.getAs[Double]("recall"))
+  }
+
+  test("sampled build-recall restricts, never distorts: monotone in nQ structure") {
+    import graft.operators.Ann
+    // a strict-subset query sample audits k exact edges per query
+    // (every sampled node has >= k candidates at this sf), and the
+    // hit count can only be bounded by it
+    val s = Ann.embKnnGraphRecallSampled(spark, sf, nQ = 8).collect().head
+    assert(s.getAs[Long]("n_exact") === 8L * 3L,
+      "8 queries x k=3 exact edges")
+    assert(s.getAs[Long]("n_hit") <= s.getAs[Long]("n_exact"))
+    val r = s.getAs[Double]("recall")
+    assert(r >= 0.0 && r <= 1.0)
+  }
+
+  test("sampled navigation-recall: exhaustive probes reproduce the exact-graph beam") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    // at nprobe/gprobe covering every cell the routed build EQUALS the
+    // exact kNN graph, so the beam navigates identical edges and the
+    // per-query recall of the sampled monitor must match a beam run
+    // over the exact build restricted to the same query nodes. Checked
+    // structurally: n_match in [0, k], one row per query node.
+    val out = Ann.annRecallGraphSampled(spark, sf, nQ = 16,
+        nprobe = 1000, gprobe = 1000)
+      .localCheckpoint()
+    assert(out.count() === 16L)
+    assert(out.filter(col("n_match") < 0 || col("n_match") > 5).isEmpty)
+    // exhaustive-probe cells build == exact build (the Round10/11
+    // equality contract) -> same edges as embKnnGraph; beam over them
+    // from the same entry must give the same visited sets as the
+    // exact-graph beam on those queries
+    val cellsEdges = Ann.embKnnGraphCells(spark, sf, nprobe = 1000, gprobe = 1000)
+      .select("vec_id", "rnk", "n_id")
+    val exactEdges = Ann.embKnnGraph(spark, sf)
+      .select("vec_id", "rnk", "n_id")
+    assert(cellsEdges.exceptAll(exactEdges).isEmpty &&
+      exactEdges.exceptAll(cellsEdges).isEmpty,
+      "exhaustive-probe routed build must equal the exact graph")
+  }
+
+  test("incremental near-dup == full-corpus pair set restricted to batch x history") {
+    import graft.operators.NearDup
+    import org.apache.spark.sql.functions._
+    val inc = NearDup.neardupIncremental(spark, sf)
+      .select("doc_id", "hist_id", "jaccard")
+    // the full-corpus LSH pair set, restricted to pairs with exactly
+    // one batch-side end and oriented batch-first
+    val isB = (c: org.apache.spark.sql.Column) => pmod(c, lit(5L)) === 0
+    val full = NearDup.minhashLshPairs(spark, sf)
+      .filter(isB(col("a_id")) =!= isB(col("b_id")))
+      .select(
+        when(isB(col("a_id")), col("a_id")).otherwise(col("b_id")).as("doc_id"),
+        when(isB(col("a_id")), col("b_id")).otherwise(col("a_id")).as("hist_id"),
+        col("jaccard"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "manifest-probed incremental pairs must equal the restricted full pair set")
+    assert(inc.count() > 0, "fixture produced no cross-split near-dups — spec is vacuous")
+  }
 }
