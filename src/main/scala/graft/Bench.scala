@@ -50,6 +50,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // presentation sorts detach (lazy localCheckpoint): the range
+    // sampling pass reads materialized blocks instead of re-executing
+    // the query DAG — execution knob only (SparkEntry.presentBy)
+    spark.conf.set("graft.present.detach", "true")
 
     // Data-movement accounting: task-level shuffle/spill/input bytes
     // accumulated via a SparkListener, snapshotted per query — wall

@@ -23,7 +23,7 @@ object GraphBuildProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(1).getOrElse("both")
-    val knownModes = Set("exact", "routed", "recall", "both", "rank", "rank_exact")
+    val knownModes = Set("exact", "routed", "recall", "recall_s", "both", "rank", "rank_exact")
     if (!knownModes(mode)) {
       // fail loudly: a typo'd mode would otherwise write a probe JSON
       // with no measurement fields and read as a silent success
@@ -85,6 +85,18 @@ object GraphBuildProbe {
         clusters, iters = 1, nprobe, gprobe, train).head()
       parts += s""""n_exact":${row.getAs[Long]("n_exact")},"n_hit":${row.getAs[Long]("n_hit")},"recall":${row.getAs[Double]("recall")}"""
       val _ = t
+    }
+    if (mode == "recall_s") {
+      // the round-12 SAMPLED monitor: linear wall at any decade
+      // (exact side = nQ query nodes only); timed, since cheap enough
+      // to run where the full monitor is not
+      val nQ = env("SPARK_GRAFT_GRAPH_NQ", "32").toInt
+      System.gc()
+      val t0 = System.nanoTime()
+      val row = Ann.embKnnGraphRecallSampled(spark, dir, k, rate, nQ,
+        clusters, iters = 1, nprobe, gprobe, train).head()
+      val t = (System.nanoTime() - t0) / 1e9
+      parts += f""""recall_s_sec":$t%.1f,"nq":$nQ,"n_exact":${row.getAs[Long]("n_exact")},"n_hit":${row.getAs[Long]("n_hit")},"recall":${row.getAs[Double]("recall")}"""
     }
     val json = s"""{"graph_probe":{"dir":"$dir","rate":$rate,"k":$k,"nprobe":$nprobe,"gprobe":$gprobe,"clusters":$clusters,"train":$train,${parts.result().mkString(",")}}}"""
     println(json)

@@ -336,11 +336,33 @@ object SparkEntry {
     RangeJoin.countInWindow(purchases, clicks, "p_id", windowMs = 3600000L)
   }
 
-  /** Presentation order: shuffle the (small) final result to one
-    * partition and sort there — no range-sampling re-execution.
+  /** Presentation order: a PARALLEL range sort (round-12). The
+    * previous `repartition(1).sortWithinPartitions` funneled every
+    * row through ONE task — the round-11 sf100 widen measured that
+    * single-partition sort as THE wall on every row-preserving query
+    * (mm_tile 444.8 s contract vs 3.4 s core, q_rank_family 191.3 vs
+    * 26.3). A range sort runs on all cores; its one cost is the
+    * RangePartitioner's sampling pass, which RE-EXECUTES the child
+    * DAG — free for a scan-shaped child, ruinous for an
+    * expensive-small aggregate (it would re-run a 900 s venn pass to
+    * sample 8 rows). So the EXECUTION contexts (Verify/Bench set
+    * `graft.present.detach=true`) interpose a lazy localCheckpoint:
+    * the sampling job materializes the result once and the sort
+    * reads the checkpointed blocks — ContextCleaner reclaims them
+    * under the per-query GC rule. The default stays the undetached
+    * sort because the checkpoint TRUNCATES the visible plan to a
+    * `Scan ExistingRDD` — the plan-hygiene suites (PushdownSpec /
+    * PlanAuditSpec) and `graft.Explain` audit the full lineage. The
+    * knob is execution-only: logical output (global order by `cols`)
+    * and oracle hashes are identical either way, and the operator
+    * plan under the sort is byte-identical — only the detach at the
+    * presentation edge differs.
     */
-  private def presentBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  private def presentBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val detach = df.sparkSession.conf
+      .getOption("graft.present.detach").contains("true")
+    (if (detach) df.localCheckpoint(eager = false) else df).orderBy(cols: _*)
+  }
 
   private def present(df: DataFrame, cols: String*): DataFrame =
     presentBy(df, cols.map(col): _*)

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // presentation sorts detach (lazy localCheckpoint) so the range
+    // sampling pass reads materialized blocks instead of re-executing
+    // each query's DAG — execution knob only, hashes identical
+    spark.conf.set("graft.present.detach", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

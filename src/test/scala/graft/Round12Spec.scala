@@ -151,4 +151,24 @@ class Round12Spec extends SparkSpec {
       "manifest-probed incremental pairs must equal the restricted full pair set")
     assert(inc.count() > 0, "fixture produced no cross-split near-dups — spec is vacuous")
   }
+
+  test("present detach knob is execution-only: identical rows either way") {
+    // the detached (Verify/Bench) and plain (spec/Explain) renderings
+    // of the presentation sort must produce identical row sets — the
+    // knob moves only WHERE the range sampling reads from
+    val name = "q_rank_family"
+    def run(): Array[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
+    val plain = run()
+    spark.conf.set("graft.present.detach", "true")
+    val detached = try run() finally spark.conf.unset("graft.present.detach")
+    assert(plain.sameElements(detached))
+    // and the plain rendering keeps the lineage visible (the plan-
+    // hygiene suites depend on it): a detached plan would collapse to
+    // Scan ExistingRDD
+    val plan = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      "undetached present must keep the source scan visible in the plan")
+  }
 }
