@@ -52,8 +52,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // presentation sorts detach (lazy localCheckpoint): the range
     // sampling pass reads materialized blocks instead of re-executing
-    // the query DAG — execution knob only (SparkEntry.presentBy)
-    spark.conf.set("graft.present.detach", "true")
+    // the query DAG — execution knob only (SparkEntry.presentBy).
+    // SPARK_GRAFT_PRESENT_DETACH=0 disables for A/B soaks: for a
+    // cheap-map row-preserving child, re-executing the scan twice
+    // can beat storing the full result.
+    if (!sys.env.get("SPARK_GRAFT_PRESENT_DETACH").contains("0"))
+      spark.conf.set("graft.present.detach", "true")
 
     // Data-movement accounting: task-level shuffle/spill/input bytes
     // accumulated via a SparkListener, snapshotted per query — wall

@@ -32,7 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 dedup core
     "dedup_first" -> ((s, d) => present(withTsMs(Dedup.dedupFirst(s, d)), "event_id")),
-    "dedup_passthrough" -> ((s, d) => present(withTsMs(Dedup.dedupPassthrough(s, d)), "event_id")),
+    "dedup_passthrough" -> ((s, d) => presentScan(withTsMs(Dedup.dedupPassthrough(s, d)), "event_id")),
     "dedup_stats" -> ((s, d) => present(Dedup.dedupStats(s, d)
       .withColumn("window_start", unix_millis(col("window_start"))), "window_start")),
     "dedup_ttl_bucket" -> ((s, d) => present(Dedup.dedupTtlBucket(s, d), "event_id")),
@@ -69,14 +69,14 @@ object SparkEntry {
     "q_funnel_steps" -> ((s, d) => present(Relational.qFunnelSteps(s, d), "user_id")),
     "q_distinct" -> ((s, d) => present(Relational.qDistinct(s, d), "event_type")),
     "q_stats_agg" -> ((s, d) => present(Relational.qStatsAgg(s, d), "event_type")),
-    "q_scalar_subq" -> ((s, d) => present(Relational.qScalarSubquery(s, d), "o_orderkey")),
+    "q_scalar_subq" -> ((s, d) => presentScan(Relational.qScalarSubquery(s, d), "o_orderkey")),
     "q_salted_agg" -> ((s, d) => present(Relational.qSaltedAgg(s, d), "event_type")),
     "q_salted_join" -> ((s, d) => present(Relational.qSaltedJoin(s, d), "event_type")),
     "q_pivot" -> ((s, d) => present(Relational.qPivot(s, d), "o_orderpriority")),
     "q_grouping_sets" -> ((s, d) => presentBy(Relational.qGroupingSets(s, d),
       asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     "q_semi_join" -> ((s, d) => present(Relational.qSemiJoin(s, d), "c_custkey")),
-    "q_range_frame" -> ((s, d) => present(Relational.qRangeFrame(s, d), "event_id")),
+    "q_range_frame" -> ((s, d) => presentScan(Relational.qRangeFrame(s, d), "event_id")),
     "q_range_join" -> ((s, d) => present(qRangeJoin(s, d), "p_id")),
     "q_histogram" -> ((s, d) => present(Relational.qHistogram(s, d), "event_type", "bucket")),
     "q_lag_delta" -> ((s, d) => present(Relational.qLagDelta(s, d), "event_id")),
@@ -90,14 +90,14 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => present(Relational.qOuterJoin(s, d), "user_id")),
     "q_compact_latest" -> ((s, d) => present(Relational.qCompactLatest(s, d), "user_id", "event_type")),
     "q_mode" -> ((s, d) => present(Relational.qMode(s, d), "user_id")),
-    "q_scd2" -> ((s, d) => present(Relational.qScd2(s, d), "user_id", "run_id")),
+    "q_scd2" -> ((s, d) => presentScan(Relational.qScd2(s, d), "user_id", "run_id")),
     "q_time_bucket" -> ((s, d) => present(Relational.qTimeBucket(s, d), "event_type", "bucket_ms")),
-    "q_rank_family" -> ((s, d) => present(Relational.qRankFamily(s, d), "o_orderkey")),
+    "q_rank_family" -> ((s, d) => presentScan(Relational.qRankFamily(s, d), "o_orderkey")),
     "q_interval_overlap" -> ((s, d) => present(Relational.qIntervalOverlap(s, d), "event_type")),
     "q_overlap_daily" -> ((s, d) => present(Relational.qIntervalOverlapDaily(s, d), "event_type")),
     "q_benford" -> ((s, d) => present(Relational.qBenford(s, d), "digit")),
     "q_time_profile" -> ((s, d) => present(Relational.qTimeProfile(s, d), "dow", "hour")),
-    "q_corr_subq" -> ((s, d) => present(Relational.qCorrSubquery(s, d), "o_orderkey")),
+    "q_corr_subq" -> ((s, d) => presentScan(Relational.qCorrSubquery(s, d), "o_orderkey")),
     "text_rarity" -> ((s, d) => present(TextAnalysis.textRarity(s, d), "doc_id")),
     "ann_ivf" -> ((s, d) => present(Ann.annIvf(s, d), "q_id", "rnk")),
     "q1_sql" -> ((s, d) => present(q1Sql(s, d), "l_returnflag", "l_linestatus")),
@@ -153,7 +153,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => present(TextAnalysis.textTokens(s, d), "doc_id")),
     "text_quality" -> ((s, d) => present(TextAnalysis.textQuality(s, d), "doc_id")),
     "text_langid" -> ((s, d) => present(TextAnalysis.textLangId(s, d), "doc_id")),
-    "text_fingerprint" -> ((s, d) => present(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
+    "text_fingerprint" -> ((s, d) => presentScan(TextAnalysis.textFingerprint(s, d), "doc_id", "fp")),
     "text_tfidf" -> ((s, d) => present(TextAnalysis.textTfidf(s, d), "doc_id", "rnk")),
     "text_repetition" -> ((s, d) => present(TextAnalysis.textRepetition(s, d), "doc_id")),
     "text_boilerplate" -> ((s, d) => present(TextAnalysis.textBoilerplate(s, d), "doc_id")),
@@ -211,7 +211,7 @@ object SparkEntry {
       Multimodal.frameEnergy(Multimodal.mediaFromDocuments(s, d)).toDF(),
       "doc_id", "frame_idx")),
     "mm_audio_resample" -> ((s, d) => present(Multimodal.mmAudioResample(s, d), "doc_id")),
-    "mm_tile" -> ((s, d) => present(
+    "mm_tile" -> ((s, d) => presentScan(
       Multimodal.tilePlan(
         Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))).toDF(),
       "doc_id", "tile_y", "tile_x")),
@@ -231,9 +231,9 @@ object SparkEntry {
     "q_running_distinct" -> ((s, d) => present(Relational.qRunningDistinct(s, d), "day")),
     "docs_length_profile" -> ((s, d) => present(TextAnalysis.docsLengthProfile(s, d), "lang")),
     "text_len_hist" -> ((s, d) => present(TextAnalysis.textLenHist(s, d), "lang", "tok_len")),
-    "q_anomaly" -> ((s, d) => present(Relational.qAnomaly(s, d), "event_id")),
+    "q_anomaly" -> ((s, d) => presentScan(Relational.qAnomaly(s, d), "event_id")),
     "q_pareto" -> ((s, d) => present(Relational.qPareto(s, d), "decile")),
-    "q_attribution" -> ((s, d) => present(Relational.qAttribution(s, d), "event_id")),
+    "q_attribution" -> ((s, d) => presentScan(Relational.qAttribution(s, d), "event_id")),
     "docs_cooc_lift" -> ((s, d) => present(TextAnalysis.docsCoocLift(s, d), "a", "b")),
     "q_skew_profile" -> ((s, d) => present(Relational.qSkewProfile(s, d), "bucket")),
     "q_col_profile" -> ((s, d) => present(Relational.qColProfile(s, d), "col_name")),
@@ -244,8 +244,8 @@ object SparkEntry {
     "q_merge_intervals" -> ((s, d) => present(Relational.qMergeIntervals(s, d), "event_type", "span_id")),
     "q_merge_daily" -> ((s, d) => present(Relational.qMergeIntervalsDaily(s, d), "event_type", "span_id")),
     "q_distinct_rollup" -> ((s, d) => present(Relational.qDistinctRollup(s, d), "event_type", "day")),
-    "text_charclass" -> ((s, d) => present(TextAnalysis.textCharClass(s, d), "doc_id")),
-    "docs_pii_scrub" -> ((s, d) => present(TextAnalysis.piiScrub(s, d), "doc_id")),
+    "text_charclass" -> ((s, d) => presentScan(TextAnalysis.textCharClass(s, d), "doc_id")),
+    "docs_pii_scrub" -> ((s, d) => presentScan(TextAnalysis.piiScrub(s, d), "doc_id")),
     "docs_sample_fixed" -> ((s, d) => present(Sampling.docsSampleFixed(s, d), "lang", "rnk")),
     "docs_sample_fixed_2p" -> ((s, d) => present(Sampling.docsSampleFixed2Phase(s, d), "lang", "rnk")),
     "q_changepoint" -> ((s, d) => present(Relational.qChangepoint(s, d), "event_type")),
@@ -296,16 +296,18 @@ object SparkEntry {
     "mm_detector_venn" -> ((s, d) => present(Multimodal.mmDetectorVenn(s, d), "f_exact", "f_phash")),
   )
 
-  /** ANALYTIC-CORE renderings of the row-preserving heavies whose
-    * contract rendering is presentation-dominated at scale: identical
-    * operator output, NO `present` single-partition sort — the shape
-    * a 100 TB run actually executes (write-partitioned output, no
-    * global ordering). The round-9 sf100 soak measured q_anomaly at
-    * ×25/decade with LINEAR bytes (1.5 GB): the growth was 100 M rows
-    * through the one-partition presentation sort, not the engine.
-    * Bench swaps these in under SPARK_GRAFT_BENCH_CORE=1 so the soak
-    * can report the honest core wall next to the contract wall;
-    * Verify never reads this map, so the oracle contract is untouched.
+  /** ANALYTIC-CORE renderings of the row-preserving heavies:
+    * identical operator output, NO presentation sort — the shape a
+    * 100 TB run actually executes (write-partitioned output, no
+    * global ordering). Round 12 removed the HONESTY role this map
+    * used to carry: the contract rendering's single-partition funnel
+    * (the round-9/11 ×25-×130 decade on these queries) is gone —
+    * [[presentScan]] sorts in parallel, and the contract/core gap is
+    * now just the true cost of one extra map pass + a parallel
+    * global sort (mm_tile sf100: 444.8 s funnel → 67.1 s contract vs
+    * 3.4 s core). The map stays as the PURE-ENGINE measurement seam:
+    * Bench swaps these in under SPARK_GRAFT_BENCH_CORE=1; Verify
+    * never reads it, so the oracle contract is untouched.
     */
   def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anomaly" -> ((s, d) => Relational.qAnomaly(s, d)),
@@ -366,6 +368,24 @@ object SparkEntry {
 
   private def present(df: DataFrame, cols: String*): DataFrame =
     presentBy(df, cols.map(col): _*)
+
+  /** [[present]] for ROW-PRESERVING map-shaped results — NEVER
+    * detaches, in any context. The detach exists to protect an
+    * expensive-small child from the range sampler's re-execution;
+    * these queries are the opposite quadrant (output ≈ corpus-sized,
+    * child a cheap map pass — the coreQueries membership), where the
+    * sf100 A/B measured the checkpoint of the 100 M-row result as
+    * the dominant cost: mm_tile 200.4 s detached (2.2 GB spill via
+    * the MemoryStore, 346.8 s with SER blocks) vs **81.2 s** letting
+    * the sampler re-run the map scan (vs 444.8 s for the round-11
+    * single-partition funnel). Structural fact making the split
+    * complete: every expensive engine pass in the contract reduces
+    * to a SMALL output (pairs/groups/aggregates), so
+    * expensive-AND-large never occurs and the two present variants
+    * cover the whole surface.
+    */
+  private def presentScan(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(col): _*)
 
   private def withTsMs(df: DataFrame): DataFrame =
     df.withColumn("ts", unix_millis(col("ts"))).withColumnRenamed("ts", "ts_ms")

@@ -156,7 +156,7 @@ class Round12Spec extends SparkSpec {
     // the detached (Verify/Bench) and plain (spec/Explain) renderings
     // of the presentation sort must produce identical row sets — the
     // knob moves only WHERE the range sampling reads from
-    val name = "q_rank_family"
+    val name = "q_window"
     def run(): Array[String] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
     val plain = run()
