@@ -290,6 +290,8 @@ object SparkEntry {
     "docs_substr_dedup" -> ((s, d) => present(NearDup.docsSubstrDedup(s, d), "doc_id")),
     "text_vocab_coverage" -> ((s, d) => present(TextAnalysis.textVocabCoverage(s, d), "k")),
     "emb_graph_rank" -> ((s, d) => present(Ann.embGraphRank(s, d), "vec_id")),
+    "emb_knn_label_prop" -> ((s, d) => present(Ann.embKnnLabelProp(s, d), "vec_id")),
+    "emb_cluster_sample" -> ((s, d) => present(Ann.embClusterSample(s, d), "cid", "rnk")),
     "mm_audio_segments" -> ((s, d) => present(Multimodal.mmAudioSegments(s, d), "doc_id", "seg_id")),
     "q_yoy_growth" -> ((s, d) => present(Tpch.qYoyGrowth(s, d), "o_orderpriority", "yr")),
     "emb_cluster_quality" -> ((s, d) => present(Ann.embClusterQuality(s, d), "cid")),
@@ -629,6 +631,60 @@ object SparkEntry {
        |r AS (SELECT vec_id, n_id, sim,
        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rnk
        |      FROM p WHERE sim IS NOT NULL)""".stripMargin
+  }
+
+  /** emb_cluster_sample oracle: the annIvf trained-quantizer chain
+    * (seed + one rounded-mean Lloyd pass), flat argmax assignment
+    * (score DESC, cid DESC — greatest(struct) semantics), then the
+    * per-cell cap by the replayed identity hash (u asc, vec_id asc).
+    */
+  private def embClusterSampleOracleSql(perCluster: Int = 16): String =
+    s"""WITH $ivfC1Ctes,
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
+       |         FROM e v CROSS JOIN c1 c) WHERE rn = 1),
+       |hsh AS (SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+       |    (a, x) -> a * 16 + x) AS u
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(rn2 AS BIGINT) AS rnk FROM (
+       |  SELECT a1.vec_id, a1.cid,
+       |         row_number() OVER (PARTITION BY a1.cid ORDER BY hsh.u, a1.vec_id) AS rn2
+       |  FROM a1 JOIN hsh ON hsh.vec_id = a1.vec_id)
+       |WHERE rn2 <= $perCluster ORDER BY cid, rnk""".stripMargin
+
+  /** emb_knn_label_prop oracle: shared kNN-edge chain + the seed
+    * frame (20% split carrying the corpus label), then `rounds`
+    * unrolled majority-vote rounds (count DESC, label ASC; labeled
+    * nodes clamped, no-labeled-neighbor nodes stay null).
+    */
+  private def embKnnLabelPropOracleSql(k: Int = 3, rounds: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $knnEdgeCtes,
+       |ed AS (SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $k),
+       |l0 AS (SELECT n.vec_id,
+       |         CASE WHEN n.vec_id % 5 = 0 THEN CAST(emb.label AS BIGINT) END AS label,
+       |         CASE WHEN n.vec_id % 5 = 0 THEN CAST(0 AS BIGINT) END AS lr
+       |       FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id)""".stripMargin
+    for (rd <- 1 to rounds) {
+      val p = rd - 1
+      sb ++= s""",
+         |v$rd AS (SELECT ed.src, l.label AS nl, count(*) AS c
+         |        FROM ed JOIN l$p l ON l.vec_id = ed.dst WHERE l.label IS NOT NULL
+         |        GROUP BY 1, 2),
+         |w$rd AS (SELECT src, nl FROM (
+         |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
+         |         FROM v$rd) WHERE rn = 1),
+         |l$rd AS (SELECT l.vec_id, coalesce(l.label, w.nl) AS label,
+         |               coalesce(l.lr, CASE WHEN w.nl IS NOT NULL THEN CAST($rd AS BIGINT) END) AS lr
+         |        FROM l$p l LEFT JOIN w$rd w ON w.src = l.vec_id)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT vec_id, label, lr AS labeled_round FROM l$rounds ORDER BY vec_id""".stripMargin
+    sb.toString
   }
 
   /** Sampled-frame + routed-build CTE chain shared by the
@@ -2270,6 +2326,9 @@ object SparkEntry {
     // routed build / its beam navigation (round-12)
     "ann_recall_cells_s" -> annRecallCellsSampledOracleSql(),
     "ann_recall_graph_s" -> annRecallGraphSampledOracleSql(),
+    // graph label propagation + cluster-balanced sample (round 12)
+    "emb_knn_label_prop" -> embKnnLabelPropOracleSql(),
+    "emb_cluster_sample" -> embClusterSampleOracleSql(),
     "emb_semantic_routed" -> embSemanticRoutedOracleSql,
     // graph-ANN serving leg: unrolled fixed-round beam navigation +
     // its recall monitor vs the exact top-k over the sampled universe

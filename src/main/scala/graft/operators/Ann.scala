@@ -384,6 +384,44 @@ object Ann {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** CLUSTER-BALANCED deterministic sample — the semantic-DIVERSITY
+    * curation pass (the selection-side sibling of SemDeDup's
+    * removal side): assign every vector to its coarse cell under the
+    * shared trained quantizer ([[ivfCentroids]] — the annIvf model
+    * the oracle replays), then keep AT MOST `perCluster` vectors per
+    * cell, chosen by the engine's shared identity hash ((hash32,
+    * vec_id) ascending — rerun/layout-stable, replayable by any
+    * engine). Over-represented semantic regions are capped, sparse
+    * regions pass through whole — the cluster-proportional
+    * flattening a training-mix pipeline applies before token
+    * budgeting (the [[graft.operators.Sampling.docsMixSample]]
+    * family, keyed by LEARNED clusters instead of source labels).
+    *
+    * Scale shape: assignment is one map-only pass over the corpus
+    * (K-literal scored structs, or the folded broadcast array past
+    * [[literalKMax]] — no shuffle); selection is the two-phase
+    * fixed-size shape: a per-partition bounded-heap pre-pass
+    * ([[localTopKLong]] on the NEGATED hash — constant task state)
+    * reduces each partition to ≤ perCluster rows per cell BEFORE the
+    * exact per-cell window ranks the partitions·perCluster
+    * survivors, so K cells never serialize the corpus through K sort
+    * tasks. At 100 TB: train the quantizer on a sample
+    * ([[ivfCentroidsOn]]), assign map-only, cap per cell — linear.
+    */
+  def embClusterSample(spark: SparkSession, dir: String, clusters: Int = 16,
+                       iters: Int = 1, perCluster: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(e, clusters, iters)
+    val assigned = e.withColumn("cid", nearestCentroid(cents))
+      .select(col("cid").cast("long").as("cid"), col("vec_id"),
+        (-Sampling.hash32(col("vec_id"))).as("s"))
+    val w = Window.partitionBy("cid").orderBy(col("s").desc, col("vec_id"))
+    localTopKLong(assigned, perCluster)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perCluster)
+      .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-DIMENSION embedding statistics — mean, second moment, exact
     * min/max for each of the 64 coordinates. This is the whitening /
     * centering pre-pass of every embedding pipeline (mean-center
@@ -1896,6 +1934,71 @@ object Ann {
       chosen = handoff(chosen.union(next), r)
     }
     chosen.select("rnk", "vec_id", "min_dist")
+  }
+
+  /** Semi-supervised LABEL PROPAGATION over the kNN graph — the
+    * classifier-bootstrapping pass a curation pipeline runs when
+    * labels are scarce (a small seed set of quality/domain labels
+    * spread over the embedding neighborhood graph — the graph-based
+    * sibling of the [[graft.operators.TextAnalysis.textNbSources]]
+    * NB classifier, reaching docs whose TEXT features are
+    * uninformative but whose neighbors are labeled). Seeds are the
+    * deterministic 20% split (vec_id % 5 == 0 — the
+    * dedupIncremental arrival-date stand-in) carrying the corpus
+    * label column; each round, every still-unlabeled node takes the
+    * MAJORITY label among its k out-neighbors' current labels (ties
+    * → smallest label; no labeled neighbor → stays unlabeled this
+    * round), labeled nodes are clamped. All-integer, no RNG — the
+    * full trajectory replays in SQL.
+    *
+    * Scale shape: the edge frame is built once (exact build by
+    * contract — the [[embGraphRank]] convention; a scale run feeds
+    * [[labelPropOn]] the cell-routed edges) and checkpointed; each
+    * round is one equi-join on the partitioned dst axis + one
+    * map-combinable (src, label) count + a per-src window over ≤
+    * k·|labels| candidate rows (bounded per node, never a global
+    * funnel). State is one (vec_id, label, round) row per node.
+    */
+  def embKnnLabelProp(spark: SparkSession, dir: String, k: Int = 3,
+                      rate: Double = 0.1, rounds: Int = 2): DataFrame = {
+    val edges = embKnnGraph(spark, dir, k, rate)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(5L)) === 0, col("label").cast("long")).as("label"))
+    labelPropOn(edges, seeds, rounds)
+  }
+
+  /** The propagation loop over CALLER-SUPPLIED (src, dst) edges and
+    * (vec_id, label) seed frames (label null = unlabeled) — the
+    * quadratic-escape seam: feed it [[embKnnGraphCells]] edges and
+    * the loop costs O(edges) per round at any corpus size.
+    */
+  def labelPropOn(rawEdges: DataFrame, rawSeeds: DataFrame,
+                  rounds: Int = 2): DataFrame = {
+    val edges = rawEdges.localCheckpoint(eager = false)
+    var cur = rawSeeds
+      .select(col("vec_id"), col("label"),
+        when(col("label").isNotNull, lit(0L)).as("labeled_round"))
+      .localCheckpoint(eager = false)
+    for (r <- 1 to rounds) {
+      val votes = edges
+        .join(cur.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+        .filter(col("nl").isNotNull)
+        .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("nl"))
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("nl").as("wl"))
+      cur = cur.join(winner, cur("vec_id") === winner("src"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("wl")).as("label"),
+          coalesce(col("labeled_round"),
+            when(col("wl").isNotNull, lit(r.toLong))).as("labeled_round"))
+        .localCheckpoint(eager = false)
+    }
+    cur
   }
 
   /** Integer PageRank over the kNN graph — 2 power iterations of the

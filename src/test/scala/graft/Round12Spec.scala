@@ -152,6 +152,44 @@ class Round12Spec extends SparkSpec {
     assert(inc.count() > 0, "fixture produced no cross-split near-dups — spec is vacuous")
   }
 
+  test("label propagation: hand-computed majority, ties, clamping, unreachable nodes") {
+    import graft.operators.Ann
+    import spark.implicits._
+    // 1 -> {2,3} (tie between labels 7 and 9 -> smallest wins),
+    // 4 -> {2,5} (only one labeled neighbor), 5 has no out-edges
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(
+      (1L, None: Option[Long]), (2L, Some(7L)), (3L, Some(9L)),
+      (4L, None: Option[Long]), (5L, None: Option[Long])).toDF("vec_id", "label")
+    val out = Ann.labelPropOn(edges, seeds, rounds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out === Map(
+      1L -> (Some(7L), Some(1L)),  // tie 7 vs 9 -> smallest label
+      2L -> (Some(7L), Some(0L)),  // seed, clamped
+      3L -> (Some(9L), Some(0L)),
+      4L -> (Some(7L), Some(1L)),  // majority among labeled neighbors only
+      5L -> (None, None)))         // no out-edges: never labeled
+  }
+
+  test("cluster sample: per-cell cap, determinism, and min(n_k, cap) coverage") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val a = Ann.embClusterSample(spark, sf, perCluster = 8).localCheckpoint()
+    // cap respected and ranks dense from 1
+    val byCid = a.groupBy("cid").agg(count(lit(1)).as("n"), max("rnk").as("mx"),
+      min("rnk").as("mn"))
+    assert(byCid.filter(col("n") > 8 || col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // deterministic: a second run is row-identical
+    val b = Ann.embClusterSample(spark, sf, perCluster = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a larger cap keeps a superset of the smaller cap's selection
+    val big = Ann.embClusterSample(spark, sf, perCluster = 16).select("vec_id", "cid")
+    assert(a.select("vec_id", "cid").exceptAll(big).isEmpty,
+      "cap growth must only ADD rows per cell (nested hash-rank prefix)")
+  }
+
   test("present detach knob is execution-only: identical rows either way") {
     // the detached (Verify/Bench) and plain (spec/Explain) renderings
     // of the presentation sort must produce identical row sets — the
