@@ -23,7 +23,8 @@ object GraphBuildProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(1).getOrElse("both")
-    val knownModes = Set("exact", "routed", "recall", "recall_s", "both", "rank", "rank_exact")
+    val knownModes = Set("exact", "routed", "recall", "recall_s", "both",
+      "rank", "rank_exact", "labelprop")
     if (!knownModes(mode)) {
       // fail loudly: a typo'd mode would otherwise write a probe JSON
       // with no measurement fields and read as a silent success
@@ -74,6 +75,22 @@ object GraphBuildProbe {
           .select(col("vec_id").as("src"), col("n_id").as("dst")),
         k).count())
       parts += f""""rank_routed_sec":$t%.1f,"rank_routed_nodes":$n"""
+    }
+    if (mode == "labelprop") {
+      // label propagation fed by the ROUTED build — the linear scale
+      // rendering of emb_knn_label_prop (contract feeds the exact
+      // build and shares emb_knn_graph's dispositioned wall)
+      import org.apache.spark.sql.functions.{col, pmod, lit, when}
+      import graft.operators.Sampling
+      val edges = Ann.embKnnGraphCells(spark, dir, k, rate,
+          clusters, iters = 1, nprobe, gprobe, train)
+        .select(col("vec_id").as("src"), col("n_id").as("dst"))
+      val seeds = Tables.embeddings(spark, dir)
+        .filter(Sampling.hash32(col("vec_id")) < Sampling.rateThreshold(rate))
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(5L)) === 0, col("label").cast("long")).as("label"))
+      val (t, n) = timed(Ann.labelPropOn(edges, seeds).count())
+      parts += f""""labelprop_routed_sec":$t%.1f,"labelprop_nodes":$n"""
     }
     if (mode == "rank_exact") {
       val (t, n) = timed(Ann.embGraphRank(spark, dir, k).count())
