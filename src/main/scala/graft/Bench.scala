@@ -171,8 +171,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Stamp every artifact with the git SHA of the benched tree
+    // (VERDICT r12 #8: Bench overwrites a global /tmp path, and a
+    // stale artifact from a prior round is indistinguishable without
+    // provenance). Best-effort: "unknown" outside a git checkout.
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      if (p.waitFor() == 0 && s.matches("[0-9a-f]+")) s else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"core":$coreMode,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sha":"$sha","queries":$qs,"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"core":$coreMode,"sf":"$sfDir"}"""
     println(json)
     // The driver archives only the LAST 2000 chars of stdout, and the
     // per-query map alone exceeds that — so the full line above loses
@@ -181,7 +191,7 @@ object Bench {
     // map) so the archived tail always contains one complete,
     // parseable JSON record with the headline numbers.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"core":$coreMode,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sha":"$sha","n_queries":${names.size},"probe":$probeJson,"failed":${failed.mkString("[", ",", "]")},"core":$coreMode,"sf":"$sfDir"}"""
     println(compact)
     // stdout is wrapped in sbt [info] noise, so also write the bare
     // JSON where tooling can parse it without de-prefixing. The full
@@ -210,7 +220,7 @@ object Bench {
     val mvJson = movement.map { case (k, (r, w, s, i)) =>
       "\"" + k + "\":{\"shuffle_read_mb\":" + mb(r) + ",\"shuffle_write_mb\":" + mb(w) +
         ",\"spilled_mb\":" + mb(s) + ",\"input_mb\":" + mb(i) + "}"
-    }.mkString("{\"unit\":\"MB\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    }.mkString("{\"unit\":\"MB\",\"sha\":\"" + sha + "\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
     writeLine(movementOut, mvJson)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

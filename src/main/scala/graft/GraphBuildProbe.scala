@@ -10,12 +10,20 @@ import org.apache.spark.sql.SparkSession
   * time routed alone at the decade where it is not).
   *
   * Usage: runMain graft.GraphBuildProbe <sfDir> <mode>
-  *   mode ∈ exact | routed | recall | both | rank | rank_exact
+  *   mode ∈ exact | routed | recall | recall_s | nav_s | both |
+  *          rank | rank_exact | labelprop
   *   (`rank` = the [[graft.operators.Ann.embGraphRankOn]] loop fed
   *   by the ROUTED build — the scale rendering of emb_graph_rank;
-  *   `rank_exact` = the contract rendering, for the same-box ratio)
+  *   `rank_exact` = the contract rendering, for the same-box ratio;
+  *   `recall_s` = the sampled BUILD-recall monitor, linear at any
+  *   decade; `nav_s` = the sampled NAVIGATION monitor
+  *   (ann_recall_graph_s) with SPARK_GRAFT_GRAPH_SEED ∈ multi
+  *   (default) | single — the round-13 seeding A/B;
+  *   `labelprop` = [[graft.operators.Ann.labelPropOn]] fed by the
+  *   ROUTED build — the scale rendering of emb_knn_label_prop)
   * Env: SPARK_GRAFT_GRAPH_RATE (0.1), _K (3), _NPROBE (2),
   *      _GPROBE (2), _CLUSTERS (0 = auto-K), _TRAIN (131072),
+  *      _NQ (32, recall_s query-node count),
   *      SPARK_GRAFT_CPUS / _SHUFFLE_PARTITIONS as in Bench.
   * Output: one JSON line (edges counted so the build fully executes).
   */
@@ -23,8 +31,8 @@ object GraphBuildProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(1).getOrElse("both")
-    val knownModes = Set("exact", "routed", "recall", "recall_s", "both",
-      "rank", "rank_exact", "labelprop")
+    val knownModes = Set("exact", "routed", "recall", "recall_s", "nav_s",
+      "both", "rank", "rank_exact", "labelprop")
     if (!knownModes(mode)) {
       // fail loudly: a typo'd mode would otherwise write a probe JSON
       // with no measurement fields and read as a silent success
@@ -114,6 +122,25 @@ object GraphBuildProbe {
         clusters, iters = 1, nprobe, gprobe, train).head()
       val t = (System.nanoTime() - t0) / 1e9
       parts += f""""recall_s_sec":$t%.1f,"nq":$nQ,"n_exact":${row.getAs[Long]("n_exact")},"n_hit":${row.getAs[Long]("n_hit")},"recall":${row.getAs[Double]("recall")}"""
+    }
+    if (mode == "nav_s") {
+      // the sampled NAVIGATION monitor (ann_recall_graph_s) — the
+      // round-13 seeding A/B: SPARK_GRAFT_GRAPH_SEED=single replays
+      // the legacy one-global-entry beam, =multi (default) the
+      // per-query probed-cell entry roster; identical beam budget,
+      // so the recall delta isolates the seeding change
+      import org.apache.spark.sql.functions.{avg, count, lit, sum}
+      val nQ = env("SPARK_GRAFT_GRAPH_NQ", "32").toInt
+      val seedMode = env("SPARK_GRAFT_GRAPH_SEED", "multi")
+      System.gc()
+      val t0 = System.nanoTime()
+      val row = Ann.annRecallGraphSampled(spark, dir, nQ, rate = rate,
+          clusters = clusters, nprobe = nprobe, gprobe = gprobe,
+          trainSampleTarget = train, multiEntry = seedMode != "single")
+        .agg(count(lit(1)).as("nq"), sum("n_match").as("n_hit"),
+          avg("recall").as("recall")).head()
+      val t = (System.nanoTime() - t0) / 1e9
+      parts += f""""nav_s_sec":$t%.1f,"seed":"$seedMode","nq":${row.getAs[Long]("nq")},"n_hit":${row.getAs[Long]("n_hit")},"mean_recall":${row.getAs[Double]("recall")}%.4f"""
     }
     val json = s"""{"graph_probe":{"dir":"$dir","rate":$rate,"k":$k,"nprobe":$nprobe,"gprobe":$gprobe,"clusters":$clusters,"train":$train,${parts.result().mkString(",")}}}"""
     println(json)

@@ -296,6 +296,8 @@ object SparkEntry {
     "q_yoy_growth" -> ((s, d) => present(Tpch.qYoyGrowth(s, d), "o_orderpriority", "yr")),
     "emb_cluster_quality" -> ((s, d) => present(Ann.embClusterQuality(s, d), "cid")),
     "mm_detector_venn" -> ((s, d) => present(Multimodal.mmDetectorVenn(s, d), "f_exact", "f_phash")),
+    "emb_label_prop_converge" -> ((s, d) =>
+      present(Ann.labelPropConvergence(Ann.embKnnLabelProp(s, d)), "round")),
   )
 
   /** ANALYTIC-CORE renderings of the row-preserving heavies:
@@ -656,14 +658,17 @@ object SparkEntry {
        |  FROM a1 JOIN hsh ON hsh.vec_id = a1.vec_id)
        |WHERE rn2 <= $perCluster ORDER BY cid, rnk""".stripMargin
 
-  /** emb_knn_label_prop oracle: shared kNN-edge chain + the seed
-    * frame (20% split carrying the corpus label), then `rounds`
-    * unrolled majority-vote rounds (count DESC, label ASC; labeled
-    * nodes clamped, no-labeled-neighbor nodes stay null).
+  /** The label-propagation trajectory CTE chain shared by the
+    * emb_knn_label_prop oracle and its round-13 convergence monitor:
+    * shared kNN-edge chain + the seed frame (20% split carrying the
+    * corpus label), then `rounds` unrolled majority-vote rounds
+    * (count DESC, label ASC; labeled nodes clamped,
+    * no-labeled-neighbor nodes stay null). `l<rounds>` is the final
+    * (vec_id, label, lr) state.
     */
-  private def embKnnLabelPropOracleSql(k: Int = 3, rounds: Int = 2): String = {
+  private def labelPropCtes(k: Int = 3, rounds: Int = 2): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH $knnEdgeCtes,
+    sb ++= s"""$knnEdgeCtes,
        |ed AS (SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $k),
        |l0 AS (SELECT n.vec_id,
        |         CASE WHEN n.vec_id % 5 = 0 THEN CAST(emb.label AS BIGINT) END AS label,
@@ -682,10 +687,24 @@ object SparkEntry {
          |               coalesce(l.lr, CASE WHEN w.nl IS NOT NULL THEN CAST($rd AS BIGINT) END) AS lr
          |        FROM l$p l LEFT JOIN w$rd w ON w.src = l.vec_id)""".stripMargin
     }
-    sb ++= s"""
-       |SELECT vec_id, label, lr AS labeled_round FROM l$rounds ORDER BY vec_id""".stripMargin
     sb.toString
   }
+
+  private def embKnnLabelPropOracleSql(k: Int = 3, rounds: Int = 2): String =
+    s"""WITH ${labelPropCtes(k, rounds)}
+       |SELECT vec_id, label, lr AS labeled_round FROM l$rounds ORDER BY vec_id""".stripMargin
+
+  /** emb_label_prop_converge oracle: per-round newly-labeled counts
+    * over the same trajectory (round −1 = never labeled) + the exact
+    * ×10⁶-floored share of all nodes.
+    */
+  private def embLabelPropConvergeOracleSql(k: Int = 3, rounds: Int = 2): String =
+    s"""WITH ${labelPropCtes(k, rounds)},
+       |g AS (SELECT coalesce(lr, CAST(-1 AS BIGINT)) AS round, count(*) AS n_new
+       |      FROM l$rounds GROUP BY 1)
+       |SELECT round, n_new,
+       |       CAST((n_new * 1000000) // (SELECT sum(n_new) FROM g) AS BIGINT) AS frac_e6
+       |FROM g ORDER BY round""".stripMargin
 
   /** Sampled-frame + routed-build CTE chain shared by the
     * cell-routed graph oracle and its recall row: `smp` is the 10%
@@ -775,7 +794,10 @@ object SparkEntry {
   /** ann_recall_graph_s oracle: full unrolled replay of the beam
     * navigation over the CELL-ROUTED graph (gr edges), queries = the
     * qs node sample, exact side restricted to qs — every CTE shared
-    * with the cells/beam chains.
+    * with the cells/beam chains. Seeds (round-13 multi-entry): each
+    * query starts from the entry node (min member vec_id) of every
+    * cell its own routed assignment probed — `ra` restricted to qs
+    * joined to the per-cell minima.
     */
   private def annRecallGraphSampledOracleSql(nQ: Int = 32, k: Int = 5,
       beam: Int = 4, rounds: Int = 3, graphK: Int = 3): String =
@@ -785,7 +807,11 @@ object SparkEntry {
           s"SELECT vec_id AS src, n_id AS dst FROM gr WHERE rnk <= $graphK",
           "smp",
           "SELECT q.vec_id AS q_id, q.embedding, q.n2 FROM smp q JOIN qs ON qs.vec_id = q.vec_id",
-          beam, rounds)},
+          beam, rounds,
+          """SELECT DISTINCT ra.vec_id AS q_id, ent.vec_id
+            |       FROM ra JOIN qs ON qs.vec_id = ra.vec_id
+            |       JOIN (SELECT cid, min(vec_id) AS vec_id FROM ra GROUP BY cid) ent
+            |       USING (cid)""".stripMargin)},
        |ex AS (SELECT q_id, n_id FROM (
        |        SELECT q_id, n_id,
        |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
@@ -821,33 +847,54 @@ object SparkEntry {
 
   /** ann_graph_search oracle: full unrolled replay of the
     * bounded-beam navigation over the kNN graph — shared knnEdgeCtes
-    * edge set, entry = min sampled vec_id, then per round: top-beam
-    * of visited → neighbor expansion (NOT EXISTS dedup against
-    * visited) → exact-cosine scoring → UNION ALL. `v<rounds>` is the
-    * final visited set; consumers rank it (self excluded).
+    * edge set, MULTI-ENTRY seeds (round-13): the annIvf-trained flat
+    * quantizer (ivfC1CoreCtes, K=16 — `n` stays the sampled frame),
+    * per-cell entry = min sampled member vec_id under the argmax
+    * assignment (score DESC, cid DESC), per-query top-nprobe cells
+    * (score DESC, cid ASC — the annIvf probe convention); then per
+    * round: top-beam of visited → neighbor expansion (NOT EXISTS
+    * dedup against visited) → exact-cosine scoring → UNION ALL.
+    * `v<rounds>` is the final visited set; consumers rank it (self
+    * excluded).
     */
   private def graphSearchCtes(nQ: Int = 10, beam: Int = 4,
-                              rounds: Int = 3, graphK: Int = 3): String =
+                              rounds: Int = 3, graphK: Int = 3,
+                              nprobe: Int = 2): String =
     s"""$knnEdgeCtes,
+       |${ivfC1CoreCtes("16", "e")},
        |${beamSearchCtes(
           s"SELECT vec_id AS src, n_id AS dst FROM r WHERE rnk <= $graphK",
           "n",
           s"""SELECT vec_id AS q_id, embedding,
              |              list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
              |       FROM embeddings WHERE vec_id < $nQ""".stripMargin,
-          beam, rounds)}""".stripMargin
+          beam, rounds,
+          s"""SELECT DISTINCT qp.q_id, ent.vec_id FROM
+             |         (SELECT q_id, cid FROM (
+             |            SELECT q.q_id, c.cid,
+             |                   row_number() OVER (PARTITION BY q.q_id ORDER BY ${ivfScore("q", "c")} DESC, c.cid ASC) AS rn
+             |            FROM qv q CROSS JOIN c1 c) WHERE rn <= $nprobe) qp
+             |       JOIN
+             |         (SELECT cid, min(vec_id) AS vec_id FROM (
+             |            SELECT v.vec_id, c.cid,
+             |                   row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfScore("v", "c")} DESC, c.cid DESC) AS rn
+             |            FROM n v CROSS JOIN c1 c) WHERE rn = 1 GROUP BY cid) ent
+             |       USING (cid)""".stripMargin)}""".stripMargin
 
   /** The unrolled beam-navigation CTE block over a caller-supplied
-    * edge selector, node CTE (vec_id, embedding, n2), and query
-    * selector (q_id, embedding, n2) — the oracle seam mirroring
-    * `Ann.beamSearchOn`: entry = min node vec_id, per round top-beam
-    * of visited → neighbor expansion (NOT EXISTS dedup) →
-    * exact-cosine scoring → UNION ALL; `v<rounds>` is the final
-    * visited set. Instantiated by the exact-graph chain
+    * edge selector, node CTE (vec_id, embedding, n2), query selector
+    * (q_id, embedding, n2), and SEED selector (q_id, vec_id — the
+    * round-13 multi-entry start set; may reference `qv` and any CTE
+    * defined earlier in the caller's chain) — the oracle seam
+    * mirroring `Ann.beamSearchOn`: v0 scores the seed pairs, then
+    * per round: top-beam of visited → neighbor expansion (NOT EXISTS
+    * dedup) → exact-cosine scoring → UNION ALL; `v<rounds>` is the
+    * final visited set. Instantiated by the exact-graph chain
     * ([[graphSearchCtes]]) and the cell-routed sampled monitor.
     */
   private def beamSearchCtes(edgeSel: String, nodeCte: String,
-                             qvSel: String, beam: Int, rounds: Int): String = {
+                             qvSel: String, beam: Int, rounds: Int,
+                             seedSel: String): String = {
     val score =
       """list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
         |                 / nullif(sqrt(q.n2) * sqrt(v.n2), 0.0)""".stripMargin
@@ -859,9 +906,10 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++= s"""ed AS MATERIALIZED ($edgeSel),
        |qv AS MATERIALIZED ($qvSel),
-       |ent AS (SELECT min(vec_id) AS vec_id FROM $nodeCte),
+       |sd AS MATERIALIZED ($seedSel),
        |v0 AS MATERIALIZED (SELECT q.q_id, v.vec_id, $score AS sim
-       |       FROM qv q CROSS JOIN ent CROSS JOIN $nodeCte v WHERE v.vec_id = ent.vec_id)""".stripMargin
+       |       FROM sd JOIN $nodeCte v ON v.vec_id = sd.vec_id
+       |       JOIN qv q ON q.q_id = sd.q_id)""".stripMargin
     for (rd <- 1 to rounds) {
       val p = rd - 1
       sb ++= s""",
@@ -1124,7 +1172,14 @@ object SparkEntry {
     */
   private def ivfC1CtesOn(k: String, refine: String): String =
     s"""n AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings),
-       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |${ivfC1CoreCtes(k, refine)}""".stripMargin
+
+  /** [[ivfC1CtesOn]] WITHOUT the full-corpus `n` helper CTE — for
+    * chains that already bind `n` to something else (the exact-graph
+    * beam oracle, where `n` is the sampled node frame).
+    */
+  private def ivfC1CoreCtes(k: String, refine: String): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c FROM embeddings WHERE vec_id < ($k)),
        |a0 AS (SELECT vec_id, cid FROM (
        |         SELECT v.vec_id, c.cid,
@@ -2328,6 +2383,7 @@ object SparkEntry {
     "ann_recall_graph_s" -> annRecallGraphSampledOracleSql(),
     // graph label propagation + cluster-balanced sample (round 12)
     "emb_knn_label_prop" -> embKnnLabelPropOracleSql(),
+    "emb_label_prop_converge" -> embLabelPropConvergeOracleSql(),
     "emb_cluster_sample" -> embClusterSampleOracleSql(),
     "emb_semantic_routed" -> embSemanticRoutedOracleSql,
     // graph-ANN serving leg: unrolled fixed-round beam navigation +

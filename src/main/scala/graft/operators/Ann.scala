@@ -1066,7 +1066,20 @@ object Ann {
   def embKnnGraphCells(spark: SparkSession, dir: String, k: Int = 3,
                        rate: Double = 0.1, clusters: Int = 0, iters: Int = 1,
                        nprobe: Int = 2, gprobe: Int = 2,
-                       trainSampleTarget: Long = 0L): DataFrame = {
+                       trainSampleTarget: Long = 0L): DataFrame =
+    cellEdgesOn(spark, knnCellsAssign(spark, dir, rate, clusters, iters,
+      nprobe, gprobe, trainSampleTarget), k)
+
+  /** The routed (vec_id, cid, embedding, n2) assignment frame behind
+    * [[embKnnGraphCells]], factored out (round-13) so the sampled
+    * navigation monitor can reuse ONE assignment pass for edges,
+    * per-cell entry points, and per-query probed cells instead of
+    * re-running the quantizer per consumer.
+    */
+  private def knnCellsAssign(spark: SparkSession, dir: String,
+                             rate: Double, clusters: Int, iters: Int,
+                             nprobe: Int, gprobe: Int,
+                             trainSampleTarget: Long): DataFrame = {
     val sampled = knnSampleFrame(spark, dir, rate)
     val n = sampled.count()
     val kCells = if (clusters > 0) clusters else clustersFor(n)
@@ -1078,8 +1091,14 @@ object Ann {
     // convention; the hash-sampled node set usually lacks those ids),
     // refinement runs over the sampled/training frame
     val cents = ivfCentroidsOn(semanticFrame(spark, dir), trainE, kCells, iters)
-    val a = semanticAssignmentsRoutedFull(sampled, cents,
+    semanticAssignmentsRoutedFull(sampled, cents,
       math.min(nprobe, cents.size), gprobe)
+  }
+
+  /** In-cell top-k edge selection over a routed assignment frame —
+    * the candidate join + bounded-heap tail of [[embKnnGraphCells]].
+    */
+  private def cellEdgesOn(spark: SparkSession, a: DataFrame, k: Int): DataFrame = {
     val sim = V.cosineWithNorms(
       V.dot(col("a.embedding"), col("b.embedding")), col("a.n2"), col("b.n2"))
     val cand = a.as("a")
@@ -1184,7 +1203,9 @@ object Ann {
     */
   def annGraphSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
-                     rate: Double = 0.1, blocks: Int = 0): DataFrame = {
+                     rate: Double = 0.1, blocks: Int = 0,
+                     clusters: Int = 16, iters: Int = 1,
+                     nprobe: Int = 2): DataFrame = {
     // derive the block grid ONCE here (one count job) and hand the
     // concrete value down — blocks=0 inside embKnnGraph would rerun
     // the sampled count at every graph (re)construction in a caller's
@@ -1196,7 +1217,49 @@ object Ann {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         V.normSq(col("embedding")).as("q_n2"))
-    beamSearchOn(edges, nodes, q, k, beam, rounds)
+    // MULTI-ENTRY seeding (round-13): one global min-vec_id entry
+    // throttles recall at scale and hotspots the entry node's cell —
+    // each query instead seeds from the entry node of its top-nprobe
+    // coarse cells under the shared annIvf-trained flat quantizer.
+    // At nprobe >= clusters every cell is probed, so the seed set is
+    // the full per-cell entry roster and further nprobe is a no-op
+    // (spec-pinned equality).
+    val cents = ivfCentroids(semanticFrame(spark, dir), clusters, iters)
+    beamSearchOn(edges, nodes, q, k, beam, rounds,
+      Some(beamEntriesFlat(nodes, q, cents, nprobe)))
+  }
+
+  /** Per-query beam seed set under a TRAINED flat quantizer: every
+    * sampled node is argmax-assigned to its cell (score DESC, cid
+    * DESC — the [[embClusterSample]] assignment convention), each
+    * cell's ENTRY is its minimum member vec_id, and a query seeds
+    * from the entries of its top-`nprobe` cells (score DESC, cid ASC
+    * — the [[annIvf]] probe-rank convention). Deterministic and
+    * engine-replayable end-to-end. A probed cell with no sampled
+    * member contributes no seed (possible only at tiny n; the seed
+    * set is never empty while nprobe ≥ 1 and the sample is nonempty,
+    * since every nonempty cell has an entry and queries rank ALL
+    * cells). Cost: K-row broadcast against nodes (map-only) + a
+    * K-row aggregate — bounded, no quadratic term.
+    */
+  private def beamEntriesFlat(nodes: DataFrame, q: DataFrame,
+                              cents: Seq[(Int, Array[Double])],
+                              nprobe: Int): DataFrame = {
+    val entries = nodes.withColumn("cid", nearestCentroid(cents))
+      .groupBy("cid").agg(min("vec_id").as("vec_id"))
+    val centDf = q.sparkSession
+      .createDataFrame(cents.map { case (cid, c) => (cid, c) })
+      .toDF("cid", "cvec")
+    val qProbes = q.select(col("q_id"), col("q_emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score", graft.plans.VecDot(col("q_emb"), col("cvec")) -
+        graft.plans.VecDot(col("cvec"), col("cvec")) / 2.0)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("cid"))))
+      .filter(col("crnk") <= math.min(nprobe, cents.size))
+      .select(col("q_id"), col("cid"))
+    qProbes.join(broadcast(entries), "cid")
+      .select(col("q_id"), col("vec_id")).distinct()
   }
 
   /** The bounded-beam navigation loop over a CALLER-SUPPLIED (src,
@@ -1208,10 +1271,16 @@ object Ann {
     * [[annGraphSearch]]'s scaladoc verbatim; both input frames are
     * lazily checkpointed here (the beam, the anti-join, and the
     * union all re-read them every round).
+    *
+    * `entries` (round-13): optional per-query (q_id, vec_id) seed
+    * frame — the multi-entry navigation start
+    * ([[beamEntriesFlat]] / the routed assignment's probed cells).
+    * None keeps the original single global min-vec_id entry.
     */
   private def beamSearchOn(rawEdges: DataFrame, rawNodes: DataFrame,
                            q: DataFrame, k: Int, beam: Int,
-                           rounds: Int): DataFrame = {
+                           rounds: Int,
+                           entries: Option[DataFrame] = None): DataFrame = {
     val edges = rawEdges.localCheckpoint(eager = false)
     val nodes = rawNodes.localCheckpoint(eager = false)
     val entry = nodes.agg(min("vec_id").as("vec_id"))
@@ -1220,7 +1289,11 @@ object Ann {
       keys.join(nodes, "vec_id").join(broadcast(q), "q_id")
         .select(col("q_id"), col("vec_id"), sim.as("sim"))
     val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    var visited = scoreKeys(q.select("q_id").crossJoin(broadcast(entry)))
+    val seedKeys = entries match {
+      case Some(e) => e.select(col("q_id"), col("vec_id"))
+      case None => q.select("q_id").crossJoin(broadcast(entry))
+    }
+    var visited = scoreKeys(seedKeys)
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("rn", row_number().over(wB))
@@ -1284,21 +1357,42 @@ object Ann {
     * run actually serves, at a cost proportional to one corpus scan.
     * Same per-query (q_id, n_match, recall) output shape as the full
     * monitor, which stays as the small-sf equality anchor.
+    *
+    * `multiEntry = false` keeps the pre-round-13 single global
+    * min-vec_id seeding — the legacy control for the seeding A/B
+    * (GraphBuildProbe `recall_s` + SPARK_GRAFT_GRAPH_SEED=single),
+    * never the production path.
     */
   def annRecallGraphSampled(spark: SparkSession, dir: String, nQ: Int = 32,
                             k: Int = 5, beam: Int = 4, rounds: Int = 3,
                             graphK: Int = 3, rate: Double = 0.1,
                             clusters: Int = 0, iters: Int = 1,
                             nprobe: Int = 2, gprobe: Int = 2,
-                            trainSampleTarget: Long = 0L): DataFrame = {
+                            trainSampleTarget: Long = 0L,
+                            multiEntry: Boolean = true): DataFrame = {
     val nodes = knnSampleFrame(spark, dir, rate)
     val qs = knnQuerySample(nodes, nQ)
     val q = nodes.join(broadcast(qs), col("vec_id") === col("q_id"))
       .select(col("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val edges = embKnnGraphCells(spark, dir, graphK, rate, clusters, iters,
+    // ONE routed assignment pass feeds the edge build, the per-cell
+    // entry roster, and each query's probed-cell list (round-13
+    // multi-entry seeding: a query's beam starts from the entry node
+    // of every cell its routed assignment probed — the quantizer the
+    // graph itself was built with, so seeds land inside the query's
+    // own candidate neighborhoods)
+    val a = knnCellsAssign(spark, dir, rate, clusters, iters,
         nprobe, gprobe, trainSampleTarget)
+      .localCheckpoint(eager = false)
+    val edges = cellEdgesOn(spark, a, graphK)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
-    val approx = beamSearchOn(edges, nodes, q, k, beam, rounds)
+    val entries = a.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    val seeds =
+      if (!multiEntry) None
+      else Some(a.join(broadcast(qs), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("cid"))
+        .join(broadcast(entries), "cid")
+        .select(col("q_id"), col("vec_id")).distinct())
+    val approx = beamSearchOn(edges, nodes, q, k, beam, rounds, seeds)
       .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
     val sim = V.cosineWithNorms(
       V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
@@ -2000,6 +2094,28 @@ object Ann {
     }
     cur
   }
+
+  /** CONVERGENCE monitor over a [[labelPropOn]] trajectory — the
+    * loop's stopping signal at scale (round-12 verdict #7): how many
+    * nodes were newly labeled in each round, and what fraction of
+    * the node set that is. A production run watches n_new collapse
+    * toward 0 and stops iterating (or flags a graph whose frontier
+    * never drains). Consumes the propagation OUTPUT frame (vec_id,
+    * label, labeled_round), so it costs one map-combinable aggregate
+    * on top of whichever trajectory — exact contract feed or the
+    * routed scale feed — already ran; `round` −1 collects the
+    * never-labeled remainder (seeds are round 0). frac_e6 is the
+    * exact ×10⁶-floored share of all nodes — integer end-to-end, so
+    * any engine reproduces it bit-for-bit. The aggregate has ≤
+    * rounds + 2 groups; the unpartitioned total window runs over
+    * those few rows, never the corpus.
+    */
+  def labelPropConvergence(trajectory: DataFrame): DataFrame =
+    trajectory
+      .groupBy(coalesce(col("labeled_round"), lit(-1L)).as("round"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("frac_e6",
+        expr("(n_new * 1000000) div (sum(n_new) over ())"))
 
   /** Integer PageRank over the kNN graph — 2 power iterations of the
     * canonical iterative equi-join + aggregate shape (the plan every

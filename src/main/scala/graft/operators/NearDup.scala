@@ -272,7 +272,7 @@ object NearDup {
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledDocs(Tables.documents(spark, dir))
 
-  private def shingledDocs(documents: DataFrame): DataFrame =
+  private[graft] def shingledDocs(documents: DataFrame): DataFrame =
     documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), T.wordShingles(col("text"), SHINGLE_K).as("shingles"))
@@ -1413,8 +1413,11 @@ object NearDup {
     * stand-in. NOTE: the manifest write + candidate materialization
     * run at plan-BUILD time (the [[phase1Banded]] pattern — the
     * returned frame must outlive the dropped temp table), so
-    * constructing this query executes jobs; a production caller
-    * holds the manifest as a permanent table instead.
+    * constructing this query executes jobs; plan-only consumers and
+    * production callers use the LAZY seams instead (round-13):
+    * [[writeBandManifest]] creates/appends the permanent table once,
+    * [[neardupAgainstManifest]] probes it with nothing executing
+    * until an action.
     */
   def neardupIncremental(spark: SparkSession, dir: String,
                          threshold: Double = 0.5,
@@ -1425,23 +1428,82 @@ object NearDup {
     val docs = shingled(spark, dir).localCheckpoint(eager = false)
     val isBatch = pmod(col("doc_id"), lit(5L)) === 0
     val table = s"graft_nd_manifest_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
-    graft.sinks.GraftSink.writeBucketed(
-      minhashBandKeys(minhashSignatures(docs.filter(!isBatch))), table, "bh",
-      buckets = spark.sessionState.conf.numShufflePartitions)
+    writeBandManifest(spark, bandManifestKeys(docs.filter(!isBatch)), table)
     val cand =
-      try {
-        val manifest = spark.table(table)
-          .select(col("doc_id").as("b_id"), col("band").as("h_band"), col("bh"))
-        minhashBandKeys(minhashSignatures(docs.filter(isBatch)))
-          .join(manifest, "bh")
-          .filter(col("band") === col("h_band"))
-          .select(col("doc_id").as("a_id"), col("b_id"))
-          .distinct()
-          .localCheckpoint() // eager: candidates must outlive the DROP below
-      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      try manifestCandidates(spark, docs.filter(isBatch), table)
+        .localCheckpoint() // eager: candidates must outlive the DROP below
+      finally spark.sql(s"DROP TABLE IF EXISTS $table")
     verifiedJaccard(cand, docs, threshold, vb)
       .select(col("a_id").as("doc_id"), col("b_id").as("hist_id"), col("jaccard"))
   }
+
+  /** The MANIFEST PAYLOAD for a shingled corpus slice — one (doc_id,
+    * band, bh) row per (document, LSH band), the exact key frame
+    * [[minhashLshPairs]] buckets on. Lazy: nothing executes until a
+    * write or probe consumes it.
+    */
+  def bandManifestKeys(shingledDocs: DataFrame): DataFrame =
+    minhashBandKeys(minhashSignatures(shingledDocs))
+
+  /** Create (`append = false`) or MAINTAIN (`append = true`) the
+    * persisted bh-bucketed band-key manifest — the round-13
+    * write-back seam closing [[neardupIncremental]]'s production
+    * N+1 loop: after a batch is near-dup-checked and ACCEPTED, its
+    * band keys are APPENDED to the manifest (one bounded bucketed
+    * write, batch-sized), so the next batch probes history ∪ batch
+    * without the full-history rebuild each probe used to pay.
+    * Equivalence is structural: the manifest is a plain row set
+    * keyed on bh, and bucketed append preserves the layout contract
+    * ([[graft.sinks.GraftSink.appendBucketed]]), so probe(manifest₀
+    * ++ append(keys(b₁)), b₂) ≡ probe(rebuild(h ∪ b₁), b₂) — the
+    * two-batch equality Round13Spec pins. `buckets` must match the
+    * existing table on append (0 = the session shuffle-partition
+    * default, the [[neardupIncremental]] convention).
+    */
+  def writeBandManifest(spark: SparkSession, keys: DataFrame,
+                        table: String, append: Boolean = false,
+                        buckets: Int = 0): Unit = {
+    val b = if (buckets > 0) buckets
+            else spark.sessionState.conf.numShufflePartitions
+    if (append) graft.sinks.GraftSink.appendBucketed(keys, table, "bh", b)
+    else graft.sinks.GraftSink.writeBucketed(keys, table, "bh", b)
+  }
+
+  /** Banding-bounded candidate pairs of a shingled batch against a
+    * persisted manifest table: equi-join on the single bucket key
+    * `bh` (manifest side exchange-free over the bucketed scan), the
+    * band-equality residual as a post-filter, distinct-ed. Lazy —
+    * the caller decides whether to materialize (the contract query
+    * must, before dropping its temp manifest) or compose further
+    * (the production probe, whose manifest is permanent).
+    */
+  def manifestCandidates(spark: SparkSession, batchShingled: DataFrame,
+                         table: String): DataFrame = {
+    val manifest = spark.table(table)
+      .select(col("doc_id").as("b_id"), col("band").as("h_band"), col("bh"))
+    bandManifestKeys(batchShingled)
+      .join(manifest, "bh")
+      .filter(col("band") === col("h_band"))
+      .select(col("doc_id").as("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** The PRODUCTION probe: verified near-dup pairs of a shingled
+    * batch against a PERMANENT manifest table — [[neardupIncremental]]
+    * without the per-call manifest rebuild (ADVICE round-12: the
+    * contract query builds and drops a temp manifest at plan time;
+    * a real N+1 loop holds the table across runs, probes it here,
+    * and on accept appends the batch's keys via
+    * [[writeBandManifest]]). `verifyDocs` supplies shingle payloads
+    * for every candidate id (batch ∪ history). Fully lazy.
+    */
+  def neardupAgainstManifest(spark: SparkSession, batchShingled: DataFrame,
+                             table: String, verifyDocs: DataFrame,
+                             threshold: Double = 0.5,
+                             verifyBands: Int = 1): DataFrame =
+    verifiedJaccard(manifestCandidates(spark, batchShingled, table),
+        verifyDocs, threshold, verifyBands)
+      .select(col("a_id").as("doc_id"), col("b_id").as("hist_id"), col("jaccard"))
 
   /** Corpus-wide EXACT-SUBSTRING dedup — the Lee et al. 2022
     * "ExactSubstr" ACTION: remove every token span of length ≥ `k`

@@ -26,7 +26,7 @@ object Sampling {
     * sample) so every sampling decision in the engine replays from
     * the same identity hash.
     */
-  private[operators] def hash32(id: Column): Column =
+  private[graft] def hash32(id: Column): Column =
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Exact integer threshold for a sampling rate. */

@@ -59,6 +59,24 @@ object GraftSink {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** APPEND into an existing bucketed table — the maintenance write
+    * a rolling pipeline owes its manifests (round-12 verdict #6: an
+    * accepted batch's keys join the persisted LSH band-key manifest
+    * WITHOUT rebuilding it from history). The bucket spec must match
+    * the table's (Spark validates and fails loudly on mismatch), so
+    * the layout contract survives every append: each append adds one
+    * sorted file per populated bucket, and joins on `key` stay
+    * exchange-free. File count grows by ≤ buckets per append —
+    * schedule [[compact]] when the per-bucket file list gets long.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Append-mode streaming file sink with checkpointing — the
     * file-based analog of the reference's Pulsar producer (each
     * micro-batch's primes land as new parquet files; the checkpoint

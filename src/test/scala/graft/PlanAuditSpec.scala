@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
         "(q_merge_daily) is the scale rendering — documented trade"),
     "q_sessionize" ->
       ("lag over per-user ordered events WITHIN user partitions only " +
-        "(partitioned; listed defensively for the derived global rank)"))
+        "(partitioned; listed defensively for the derived global rank)"),
+    "emb_label_prop_converge" ->
+      ("total-nodes window over the per-round convergence counts: " +
+        "<= rounds + 2 rows by construction"))
 
   test("no unpartitioned window over an unbounded axis in any contract query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
