@@ -503,6 +503,130 @@ object DedupStream {
       }
   }
 
+  /** One LRU-cache arrival against entry map `m` (content key →
+    * (primeTsMs, lastAccessSeq)) — THE definition of Guava
+    * `maximumSize` + `expireAfterWrite` cache semantics
+    * (Deduplicator.java:37-40), shared by [[LruDedupProcessor]] and
+    * the spec's in-memory replay so the algorithm cannot drift from
+    * its test. Returns true for a prime. Semantics, each the Guava
+    * behavior the reference observes:
+    *  - present within ttl → DUPLICATE; the access refreshes
+    *    RECENCY (getIfPresent moves the entry in the access queue)
+    *    but never the write time (expireAfterWrite; cache.put only
+    *    on miss, Deduplicator.java:51);
+    *  - present but older than ttl → expired-on-read: re-admitted
+    *    as a PRIME (new write time);
+    *  - absent → PRIME, inserted; over `cap`, expired entries are
+    *    dropped first (Guava's maintenance sweep), then the
+    *    least-recently-ACCESSED entry is evicted — true size-LRU,
+    *    not a hash-collision slot drop.
+    */
+  def lruDedupStep(m: scala.collection.mutable.HashMap[String, (Long, Long)],
+                   key: String, tsMs: Long, ttlMs: Long, cap: Int, seq: Long,
+                   onRemove: String => Unit = _ => ()): Boolean =
+    m.get(key) match {
+      case Some((p, _)) if tsMs - p <= ttlMs =>
+        m(key) = (p, seq) // recency refresh only
+        false
+      case _ =>
+        m(key) = (tsMs, seq)
+        if (m.size > cap) {
+          val expired = m.iterator
+            .collect { case (k2, (p2, _)) if k2 != key && tsMs - p2 > ttlMs => k2 }
+            .toSeq
+          expired.foreach { k2 => m.remove(k2); onRemove(k2) }
+          while (m.size > cap) {
+            val (lk, _) = m.minBy { case (_, (_, s)) => s }
+            m.remove(lk); onRemove(lk)
+          }
+        }
+        true
+    }
+
+  /** [[dedupBounded]]'s bound with GUAVA-FAITHFUL eviction — the
+    * round-13 closure of the one documented fidelity gap: where
+    * dedupBounded forgets on hash-slot COLLISION, this forgets the
+    * least-recently-accessed entry of a full segment, exactly the
+    * `CacheBuilder.maximumSize(250000)` behavior
+    * (Deduplicator.java:37-40). The sharding is not a fidelity
+    * loss: Guava's LocalCache IS segmented (maximumSize is divided
+    * across concurrencyLevel segments, each running its own access
+    * queue), so "hash-sharded groups, per-shard cap, per-shard LRU"
+    * is the reference cache's literal shape — here with shards as
+    * Spark state keys and the access queue as a per-entry sequence
+    * number in MapState. State ≤ cap·shards ≈ maxEntries entries BY
+    * CONSTRUCTION at any key churn.
+    *
+    * On `transformWithState` (RocksDB store — the 100 TB
+    * deployment's store): per-shard MapState(contentKey →
+    * (primeTsMs, lastAccessSeq)) + a ValueState access clock. Each
+    * micro-batch loads the shard's entries once, folds the slice in
+    * memory through [[lruDedupStep]], and writes back one delta —
+    * not one store round-trip per row (the SpaceSaving pattern).
+    * Per-shard capacity = ceil(maxEntries / shards); like Guava, a
+    * skewed segment can evict before the GLOBAL count reaches
+    * maxEntries, never after.
+    */
+  final class LruDedupProcessor(ttlMs: Long, cap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Ev] {
+    @transient private var entries:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+    @transient private var clock: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val E = org.apache.spark.sql.Encoders
+      entries = getHandle.getMapState("lru", E.STRING,
+        E.tuple(E.scalaLong, E.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      clock = getHandle.getValueState("clock", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Ev] = {
+      val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      entries.iterator().foreach { case (k, v) => m(k) = v }
+      var seq = if (clock.exists()) clock.get() else 0L
+      val out = Seq.newBuilder[Ev]
+      // one shard's slice of ONE micro-batch, (ts, event_id) ordered
+      // — the deterministic arrival order every dedup rendering pins
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        seq += 1
+        if (lruDedupStep(m, contentKeyOf(e), e.ts.getTime, ttlMs, cap, seq,
+            removed => entries.removeKey(removed)))
+          out += e
+      }
+      m.foreach { case (k, v) => entries.updateValue(k, v) }
+      clock.update(seq)
+      out.result().iterator
+    }
+  }
+
+  /** Size-bounded streaming TTL dedup with FAITHFUL Guava eviction
+    * (least-recently-accessed per segment) — see
+    * [[LruDedupProcessor]]. `maxEntries` is the reference's 250000;
+    * `shards` is the concurrencyLevel analog (state parallelism:
+    * each shard's walk serializes, so size shards ≈ cluster
+    * parallelism). [[dedupBounded]] remains the
+    * flatMapGroupsWithState rendering for deployments on the
+    * default HDFS-backed store; the two agree wherever neither
+    * evicts (spec-pinned) and differ only in WHICH entry a full
+    * cache forgets.
+    */
+  def dedupBoundedLru(events: Dataset[Ev], ttlMs: Long, maxEntries: Int,
+                      shards: Int = 32,
+                      watermark: String = "10 minutes"): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    val cap = math.max(1, (maxEntries + shards - 1) / shards)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => math.floorMod(contentKeyHash(e), shards.toLong))
+      .transformWithState(new LruDedupProcessor(ttlMs, cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** Streaming dedup analytics (Analytics.java:47-79): per 1-minute
     * event-time window — primes, duplicates, ratio, mean dup delay.
     * The stateful pass annotates each event (is_dup, delay vs the

@@ -624,6 +624,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBoundedLru: least-recently-accessed eviction, readmit after evict, " +
+    "state bound, replay equality (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // one segment (shards=1), capacity 2 — the smallest cache where
+      // LRU order is observable: A=user1, B=user2, C=user3
+      val batch1 = Seq(
+        ev(1, base),             // A prime
+        ev(2, base + 1000, user = 2), // B prime
+        ev(3, base + 2000),      // A dup — refreshes A's RECENCY
+        ev(4, base + 3000, user = 3)) // C prime: full → evicts B (LRU), NOT A
+      val batch2 = Seq(
+        ev(5, base + 4000),      // A dup still (proves A survived the evict) + recency
+        ev(6, base + 5000, user = 2)) // B readmitted as prime (was evicted); evicts C (A refreshed by e5)
+      val input = MemoryStream[Ev]
+      val out = DedupStream.dedupBoundedLru(input.toDS(),
+        ttlMs = 600000L, maxEntries = 2, shards = 1)
+      val q = out.writeStream.format("memory").queryName("lru_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+        val got = spark.table("lru_out").collect().map(_.getLong(0)).toSet
+        // the shared-step in-memory replay over the same arrival order
+        // — the spec and the processor drive ONE lruDedupStep
+        val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        var seq = 0L
+        val expect = (batch1 ++ batch2).sortBy(e => (e.ts.getTime, e.event_id))
+          .flatMap { e =>
+            seq += 1
+            if (DedupStream.lruDedupStep(m, DedupStream.contentKeyOf(e),
+                e.ts.getTime, 600000L, 2, seq)) Some(e.event_id) else None
+          }.toSet
+        assert(got === expect)
+        // the hand-computed truth: slot-hash dedupBounded could not
+        // produce this set (B evicted by RECENCY, A kept through it)
+        assert(got === Set(1L, 2L, 4L, 6L))
+        val maxState = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+        assert(maxState.nonEmpty && maxState.max <= 2 + 1, // +1: the clock ValueState row
+          s"state exceeded the maxEntries bound: ${maxState.toSeq}")
+      } finally q.stop()
+
+      // ample capacity (never evicts): LRU rendering ≡ the exact
+      // ttl-chain semantics per content key
+      val mixed = Seq(ev(10, base), ev(11, base + 1000),
+        ev(12, base + 30000), ev(13, base + 700000),
+        ev(14, base + 2000, user = 2), ev(15, base + 3000, user = 2))
+      val in2 = MemoryStream[Ev]
+      val q2 = DedupStream.dedupBoundedLru(in2.toDS(),
+          ttlMs = 60000L, maxEntries = 64, shards = 2)
+        .writeStream.format("memory").queryName("lru_ample")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in2.addData(mixed.take(3): _*); q2.processAllAvailable()
+        in2.addData(mixed.drop(3): _*); q2.processAllAvailable()
+        val got2 = spark.table("lru_ample").collect().map(_.getLong(0)).toSet
+        val expect2 = mixed.groupBy(DedupStream.contentKeyOf).values
+          .flatMap(g => DedupStream.chainPrimes(
+            g.sortBy(e => (e.ts.getTime, e.event_id)), 60000L, None)._1.map(_.event_id))
+          .toSet
+        assert(got2 === expect2)
+      } finally q2.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming session windows merge within gap and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
