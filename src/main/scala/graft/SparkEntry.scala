@@ -332,6 +332,12 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.qScd2(s, d)),
     "q_scalar_subq" -> ((s, d) => Relational.qScalarSubquery(s, d)),
     "q_corr_subq" -> ((s, d) => Relational.qCorrSubquery(s, d)),
+    // round-13 re-measure: the winnowed-fingerprint flatMap is
+    // map-only and shuffle-free; the contract row's 1.2 GB shuffle +
+    // 2.7 GB spill at sf100 is ENTIRELY the parallel presentation
+    // sort of the ~100 M-row (doc_id, fp) output (82.5 s contract —
+    // already 3.7x down from r11's single-partition funnel)
+    "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(s, d)),
   )
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -130,4 +130,76 @@ object NearDupStream {
           out.result().iterator
       }
   }
+
+  /** The streaming PRODUCTION N+1 near-dup ingest loop — the
+    * round-13 composition of the manifest seams
+    * ([[NearDup.writeBandManifest]] / [[NearDup.neardupAgainstManifest]])
+    * into one running pipeline: each micro-batch of raw documents is
+    * shingled, probed against the PERSISTED bh-bucketed band-key
+    * manifest (banding-bounded candidates, batch×history oriented
+    * like the batch contract — in-batch pairs are a separate bounded
+    * [[minhashCandidates]]/minhashLshPairs pass if wanted;
+    * exact-Jaccard verify payloads come from the batch frame ∪ the
+    * persisted shingle corpus), the verified
+    * pairs land under `pairsDir/batch=<id>`, and the batch's own
+    * band keys + shingle payloads are APPENDED so batch N+1 probes
+    * history ∪ batch N. History is never re-sketched or re-paired —
+    * per-batch work is O(batch) sketches + banding-bounded verifies
+    * at ANY history size, which is what makes this the 100 TB
+    * rolling-ingest shape.
+    *
+    * Failure/replay semantics (foreachBatch is at-least-once): the
+    * pair output is IDEMPOTENT (overwrite of the batch's own
+    * subdirectory), and a replayed manifest/corpus append only
+    * duplicates rows whose candidates the probe's `distinct()`
+    * collapses and whose verify is unchanged — wasted bytes, never
+    * wrong pairs. A deployment that must not pay the bytes fences
+    * the append on `batchId` (a committed-batch marker table); the
+    * correctness story here deliberately does not depend on it.
+    *
+    * `docs` is a STREAMING (doc_id, text) frame; both tables must
+    * exist before the first batch (create them from ingested history
+    * via [[NearDup.writeBandManifest]] append=false + a bucketed
+    * shingle write — [[seedManifestTables]]). Probes and appends both
+    * run on foreachBatch's session, so batch N+1 always sees batch
+    * N's keys; a DIFFERENT session reading the tables concurrently
+    * refreshes its cached file listing first
+    * (`spark.catalog.refreshTable`).
+    */
+  def startManifestLoop(docs: DataFrame, manifestTable: String,
+                        corpusTable: String, pairsDir: String,
+                        checkpoint: String, threshold: Double = 0.5,
+                        verifyBands: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // shingle ONCE; the frame feeds probe + verify + two appends
+        val b = NearDup.shingledDocs(batch).localCheckpoint()
+        val verify = b.unionByName(spark.table(corpusTable))
+        NearDup.neardupAgainstManifest(spark, b, manifestTable, verify,
+            threshold, verifyBands)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        NearDup.writeBandManifest(spark, NearDup.bandManifestKeys(b),
+          manifestTable, append = true)
+        graft.sinks.GraftSink.appendBucketed(b, corpusTable, "doc_id",
+          spark.sessionState.conf.numShufflePartitions)
+        ()
+      }
+      .start()
+
+  /** Seed the manifest-loop tables from ingested HISTORY: the
+    * band-key manifest (bh-bucketed) and the shingle corpus
+    * (doc_id-bucketed) the loop appends to. One-time setup; the
+    * bucket counts pin the layout every append must match.
+    */
+  def seedManifestTables(history: DataFrame, manifestTable: String,
+                         corpusTable: String): Unit = {
+    val spark = history.sparkSession
+    val h = NearDup.shingledDocs(history).localCheckpoint(eager = false)
+    NearDup.writeBandManifest(spark, NearDup.bandManifestKeys(h), manifestTable)
+    graft.sinks.GraftSink.writeBucketed(h, corpusTable, "doc_id",
+      spark.sessionState.conf.numShufflePartitions)
+  }
 }

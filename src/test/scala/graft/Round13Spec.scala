@@ -45,6 +45,68 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("streaming manifest loop: two micro-batches equal the batch N+1 replay " +
+    "and the tables grow by exactly the accepted batches") {
+    import graft.operators.NearDup
+    import graft.streaming.NearDupStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val h = docs.filter(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5L)) === 1L)
+      .as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .as[(Long, String)].collect().toSeq
+    val tM = "graft_r13_loop_manifest"; val tC = "graft_r13_loop_corpus"
+    val tCtl = "graft_r13_loop_ctl" // batch-replay control manifests
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r13_loop")
+    val pairsDir = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    try {
+      NearDupStream.seedManifestTables(h, tM, tC)
+      val m0 = spark.table(tM).count(); val c0 = spark.table(tC).count()
+      val input = MemoryStream[(Long, String)]
+      val q = NearDupStream.startManifestLoop(
+        input.toDF().toDF("doc_id", "text"), tM, tC, pairsDir, ckpt)
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$pairsDir/batch=0", s"$pairsDir/batch=1")
+        .select("doc_id", "hist_id", "jaccard").localCheckpoint()
+      // batch-seam replay: probe(b1, h) then probe(b2, h ∪ b1)
+      val hs = NearDup.shingledDocs(h).localCheckpoint()
+      val b1s = NearDup.shingledDocs(b1.toDF("doc_id", "text")).localCheckpoint()
+      val b2s = NearDup.shingledDocs(b2.toDF("doc_id", "text")).localCheckpoint()
+      NearDup.writeBandManifest(spark, NearDup.bandManifestKeys(hs), tCtl)
+      val e1 = NearDup.neardupAgainstManifest(spark, b1s, tCtl,
+        b1s.unionByName(hs)).localCheckpoint()
+      NearDup.writeBandManifest(spark, NearDup.bandManifestKeys(b1s), tCtl,
+        append = true)
+      val e2 = NearDup.neardupAgainstManifest(spark, b2s, tCtl,
+        b2s.unionByName(hs).unionByName(b1s)).localCheckpoint()
+      val expect = e1.unionByName(e2)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "streamed pair set must equal the batch N+1 replay")
+      assert(got.count() > 0, "fixture produced no pairs — spec is vacuous")
+      // batch₂ really probed batch₁'s appended keys (not just seeded
+      // history) — the N+1 loop's defining property
+      assert(got.filter(pmod(col("hist_id"), lit(5L)) === 1L).count() > 0,
+        "no batch2-vs-batch1 pair — the append path went untested")
+      // write-back really happened: manifest grew by b1+b2's band keys,
+      // corpus by b1+b2's docs. The appends ran on foreachBatch's
+      // cloned session — refresh THIS session's cached file listing
+      spark.catalog.refreshTable(tM); spark.catalog.refreshTable(tC)
+      val keysAdded = NearDup.bandManifestKeys(b1s).count() +
+        NearDup.bandManifestKeys(b2s).count()
+      assert(spark.table(tM).count() === m0 + keysAdded)
+      assert(spark.table(tC).count() === c0 + b1.size + b2.size)
+    } finally {
+      Seq(tM, tC, tCtl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      TestSpark.deleteRecursively(tmp)
+    }
+  }
+
   test("label-prop convergence monitor: hand-computed rounds on the tiny fixture") {
     import graft.operators.Ann
     import spark.implicits._
