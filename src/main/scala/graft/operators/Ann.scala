@@ -2072,27 +2072,75 @@ object Ann {
   def labelPropOn(rawEdges: DataFrame, rawSeeds: DataFrame,
                   rounds: Int = 2): DataFrame = {
     val edges = rawEdges.localCheckpoint(eager = false)
-    var cur = rawSeeds
+    var cur = labelPropInit(rawSeeds)
+    for (r <- 1 to rounds)
+      cur = labelPropRound(edges, cur, r).localCheckpoint(eager = false)
+    cur
+  }
+
+  /** Trajectory frame at round 0: seeds carry labeled_round 0. */
+  private def labelPropInit(rawSeeds: DataFrame): DataFrame =
+    rawSeeds
       .select(col("vec_id"), col("label"),
         when(col("label").isNotNull, lit(0L)).as("labeled_round"))
       .localCheckpoint(eager = false)
-    for (r <- 1 to rounds) {
-      val votes = edges
-        .join(cur.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
-        .filter(col("nl").isNotNull)
-        .groupBy("src", "nl").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("src").orderBy(col("c").desc, col("nl"))
-      val winner = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src"), col("nl").as("wl"))
-      cur = cur.join(winner, cur("vec_id") === winner("src"), "left")
-        .select(col("vec_id"),
-          coalesce(col("label"), col("wl")).as("label"),
-          coalesce(col("labeled_round"),
-            when(col("wl").isNotNull, lit(r.toLong))).as("labeled_round"))
+
+  /** ONE majority-vote round — the step both the fixed-round
+    * unrolled rendering ([[labelPropOn]]) and the early-stop driver
+    * ([[labelPropUntilConverged]]) execute, so the two cannot drift:
+    * each still-unlabeled node takes the majority label of its
+    * labeled out-neighbors (count DESC, label ASC ties; labeled
+    * nodes clamped), newly labeled nodes stamped with round `r`.
+    */
+  private def labelPropRound(edges: DataFrame, cur: DataFrame,
+                             r: Int): DataFrame = {
+    val votes = edges
+      .join(cur.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+      .filter(col("nl").isNotNull)
+      .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("src").orderBy(col("c").desc, col("nl"))
+    val winner = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("nl").as("wl"))
+    cur.join(winner, cur("vec_id") === winner("src"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("wl")).as("label"),
+        coalesce(col("labeled_round"),
+          when(col("wl").isNotNull, lit(r.toLong))).as("labeled_round"))
+  }
+
+  /** Label propagation iterated UNTIL CONVERGED — the production
+    * driver the convergence monitor's stopping signal exists for
+    * (round-13): one [[labelPropRound]] per iteration, each
+    * materialized through a lazy localCheckpoint by the SAME count
+    * that reads its newly-labeled total (one action per round, no
+    * separate monitor pass), stopping at the first round that labels
+    * nothing new or at `maxRounds` (the runaway bound for a graph
+    * whose frontier never drains — e.g. long label-free chains).
+    * Returns (trajectory, roundsRun) where roundsRun is the last
+    * PRODUCTIVE round; the trajectory is bit-identical to
+    * `labelPropOn(edges, seeds, rounds = R)` for EVERY R ≥ roundsRun
+    * (an empty round is a fixpoint: no vote set changes afterwards),
+    * so downstream consumers — [[labelPropConvergence]] included —
+    * cannot tell the early stop happened. Cost: the unrolled
+    * rendering's per-round join + aggregate, minus every round past
+    * convergence; at 100 TB the saved rounds are corpus-sized joins,
+    * bought for one ≤ maxRounds driver loop of cached-plan counts.
+    */
+  def labelPropUntilConverged(rawEdges: DataFrame, rawSeeds: DataFrame,
+                              maxRounds: Int = 10): (DataFrame, Int) = {
+    val edges = rawEdges.localCheckpoint(eager = false)
+    var cur = labelPropInit(rawSeeds)
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = labelPropRound(edges, cur, r + 1)
         .localCheckpoint(eager = false)
+      if (next.filter(col("labeled_round") === (r + 1).toLong).isEmpty)
+        converged = true
+      else { r += 1; cur = next }
     }
-    cur
+    (cur, r)
   }
 
   /** CONVERGENCE monitor over a [[labelPropOn]] trajectory — the

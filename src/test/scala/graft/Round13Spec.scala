@@ -125,6 +125,26 @@ class Round13Spec extends SparkSpec {
       1L -> (2L, 400000L)))  // nodes 1 and 4; round 2 converged (absent)
   }
 
+  test("labelPropUntilConverged stops at the fixpoint and equals every longer unroll") {
+    import graft.operators.Ann
+    import spark.implicits._
+    // chain 1→2→3→4 with the only seed label at 4: labels walk one
+    // hop per round (3 @ r1, 2 @ r2, 1 @ r3), round 4 is empty
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq((1L, None: Option[Long]), (2L, None: Option[Long]),
+      (3L, None: Option[Long]), (4L, Some(7L))).toDF("vec_id", "label")
+    val (traj, rounds) = Ann.labelPropUntilConverged(edges, seeds, maxRounds = 10)
+    assert(rounds === 3, "chain of length 3 must converge in exactly 3 rounds")
+    val fixed = Ann.labelPropOn(edges, seeds, rounds = 7)
+    assert(traj.exceptAll(fixed).isEmpty && fixed.exceptAll(traj).isEmpty,
+      "converged trajectory must equal any longer fixed unroll")
+    // maxRounds is a hard bound: capped run equals the same-length unroll
+    val (capped, ran) = Ann.labelPropUntilConverged(edges, seeds, maxRounds = 2)
+    assert(ran === 2)
+    val fixed2 = Ann.labelPropOn(edges, seeds, rounds = 2)
+    assert(capped.exceptAll(fixed2).isEmpty && fixed2.exceptAll(capped).isEmpty)
+  }
+
   test("convergence monitor totals the trajectory exactly") {
     import graft.operators.Ann
     val traj = Ann.embKnnLabelProp(spark, sf).localCheckpoint()
