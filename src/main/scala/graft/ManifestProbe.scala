@@ -34,8 +34,10 @@ object ManifestProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.NearDup
 
+    // deliberately NOT checkpointed: materializing the full shingled
+    // corpus into the MemoryStore OOMs at sf100 (10 M deserialized
+    // shingle rows); re-shingling per consumer is a cheap map pass
     val sliced = NearDup.shingledDocs(Tables.documents(spark, dir))
-      .localCheckpoint(eager = false)
     val h = sliced.filter(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L))
     val b1 = sliced.filter(pmod(col("doc_id"), lit(5L)) === 1L)
     val b2 = sliced.filter(pmod(col("doc_id"), lit(5L)) === 0L)
@@ -47,6 +49,16 @@ object ManifestProbe {
     }
     val tMaint = "graft_probe_manifest_maint"
     val tRebuild = "graft_probe_manifest_rebuild"
+    // a crashed prior run can leave the warehouse DIRECTORY behind
+    // with no catalog entry (in-memory metastore dies with the JVM;
+    // the location does not) — clear both before creating
+    Seq(tMaint, tRebuild).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     try {
       val tBuild = timed(
         NearDup.writeBandManifest(spark, NearDup.bandManifestKeys(h), tMaint))

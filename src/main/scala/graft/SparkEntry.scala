@@ -298,6 +298,8 @@ object SparkEntry {
     "mm_detector_venn" -> ((s, d) => present(Multimodal.mmDetectorVenn(s, d), "f_exact", "f_phash")),
     "emb_label_prop_converge" -> ((s, d) =>
       present(Ann.labelPropConvergence(Ann.embKnnLabelProp(s, d)), "round")),
+    "emb_semantic_incremental" -> ((s, d) =>
+      present(Ann.embSemanticIncremental(s, d), "vec_id", "hist_id")),
   )
 
   /** ANALYTIC-CORE renderings of the row-preserving heavies:
@@ -845,6 +847,50 @@ object SparkEntry {
        |       JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id)
        |SELECT DISTINCT a_id, b_id, round(sim, 6) AS sim
        |FROM rp WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
+  /** emb_semantic_incremental oracle: full replay of the
+    * HISTORY-trained quantizer (seeds = history ids < 16, one Lloyd
+    * pass over history only — the index exists before the batch),
+    * frozen-centroid argmax assignment of both sides (score DESC,
+    * cid DESC), batch×history in-cell pairs, exact-cosine verified
+    * at the 0.4 semantic threshold.
+    */
+  private def embSemanticIncrementalOracleSql: String = {
+    def score(v: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> $v.embedding[i]::DOUBLE * c.c[i]))
+         |                   - list_sum(list_transform(c.c, x -> x*x)) / 2""".stripMargin
+    s"""WITH hist AS (SELECT vec_id, embedding,
+       |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+       |       FROM embeddings WHERE vec_id % 5 <> 0),
+       |bat AS (SELECT vec_id, embedding,
+       |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2
+       |       FROM embeddings WHERE vec_id % 5 = 0),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
+       |       FROM embeddings WHERE vec_id < 16 AND vec_id % 5 <> 0),
+       |a0 AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v")} DESC, c.cid DESC) AS rn
+       |         FROM hist v CROSS JOIN c0 c) WHERE rn = 1),
+       |m AS (SELECT a0.cid, i, round(avg(v.embedding[i]::DOUBLE), 4) AS mv
+       |      FROM a0 JOIN hist v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+       |c1m AS (SELECT cid, list(mv ORDER BY i) AS c FROM m GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(c1m.c, c0.c) AS c FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid),
+       |ah AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v")} DESC, c.cid DESC) AS rn
+       |         FROM hist v CROSS JOIN c1 c) WHERE rn = 1),
+       |ab AS (SELECT vec_id, cid FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${score("v")} DESC, c.cid DESC) AS rn
+       |         FROM bat v CROSS JOIN c1 c) WHERE rn = 1),
+       |ip AS (SELECT b.vec_id, h.vec_id AS hist_id,
+       |         list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+       |           / nullif(sqrt(x.n2) * sqrt(y.n2), 0.0) AS sim
+       |       FROM ab b JOIN ah h ON b.cid = h.cid
+       |       JOIN bat x ON x.vec_id = b.vec_id JOIN hist y ON y.vec_id = h.vec_id)
+       |SELECT DISTINCT vec_id, hist_id, round(sim, 6) AS sim
+       |FROM ip WHERE sim >= 0.4 ORDER BY vec_id, hist_id""".stripMargin
+  }
 
   private def embKnnGraphOracleSql: String =
     s"""WITH $knnEdgeCtes
@@ -2392,6 +2438,7 @@ object SparkEntry {
     "emb_label_prop_converge" -> embLabelPropConvergeOracleSql(),
     "emb_cluster_sample" -> embClusterSampleOracleSql(),
     "emb_semantic_routed" -> embSemanticRoutedOracleSql,
+    "emb_semantic_incremental" -> embSemanticIncrementalOracleSql,
     // graph-ANN serving leg: unrolled fixed-round beam navigation +
     // its recall monitor vs the exact top-k over the sampled universe
     "ann_graph_search" -> annGraphSearchOracleSql(),

@@ -1594,8 +1594,19 @@ object Ann {
     * shape at 2.7 GB where this one moves ~0.1 GB).
     */
   private[graft] def semanticAssignmentsFull(e: DataFrame, k: Int,
-                                             iters: Int, nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(e, k, iters)
+                                             iters: Int, nprobe: Int): DataFrame =
+    assignTopN(e, ivfCentroids(e, k, iters), nprobe)
+
+  /** Top-`nprobe` cell assignment of a (vec_id, embedding, n2) frame
+    * under a GIVEN trained centroid model (map-only: K-constant
+    * broadcast, no corpus self-join) — factored out of
+    * [[semanticAssignmentsFull]] (round-13) so the incremental path
+    * can assign a batch under FROZEN history-trained centroids.
+    * Ties score DESC, cid DESC — the sort_array struct order every
+    * oracle replays.
+    */
+  private def assignTopN(e: DataFrame, cents: Seq[(Int, Array[Double])],
+                         nprobe: Int): DataFrame = {
     if (cents.size <= literalKMax) {
       val scored = cents.map { case (cid, c) =>
         struct(
@@ -1816,6 +1827,50 @@ object Ann {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
+  /** Embedding-side INCREMENTAL semantic dedup — the batch-vs-history
+    * rendering that completes the incremental detector symmetry
+    * (exact hashes: docs_dedup_incremental; minhash bands:
+    * docs_neardup_incremental; cosine/semantic: THIS). The persisted
+    * index is the HISTORY-trained flat quantizer (seeds AND Lloyd
+    * refinement read history only — the index exists before the
+    * batch, so ingesting a batch never perturbs it) plus history's
+    * argmax cell assignment; a new batch (doc-family split
+    * convention: vec_id ≡ 0 mod 5) is assigned under the FROZEN
+    * centroids (map-only K-row broadcast), probes its top-`nprobe`
+    * cells' HISTORY members only (batch×history candidate orientation
+    * — never history×history re-pairing, never batch self-pairs),
+    * and exact-cosine verifies in-join before anything shuffles.
+    * Per-batch work at scale: O(batch·K) assignment multiplies +
+    * Σ(batch-cell × history-cell) verifies — history is never
+    * re-trained, re-assigned, or re-paired; a production loop holds
+    * (centroids, history assignment) as its persisted index and
+    * appends the accepted batch's assignment rows, the
+    * [[graft.operators.NearDup.writeBandManifest]] maintenance shape
+    * with (cid, vec_id, embedding, n2) rows instead of band keys.
+    * `nprobe` is the recall lever (multi-assigning the BATCH side
+    * only — candidates stay batch×history); nprobe ≥ effective K
+    * probes every cell, so the pair set saturates at the full
+    * threshold-filtered batch×history bipartite graph.
+    */
+  def embSemanticIncremental(spark: SparkSession, dir: String,
+                             threshold: Double = 0.4, clusters: Int = 16,
+                             iters: Int = 1, nprobe: Int = 1): DataFrame = {
+    val e = semanticFrame(spark, dir)
+    val isBatch = pmod(col("vec_id"), lit(5L)) === 0
+    val hist = e.filter(!isBatch)
+    val cents = ivfCentroidsOn(hist, hist, clusters, iters)
+    val aH = assignTopN(hist, cents, 1)
+    val aB = assignTopN(e.filter(isBatch), cents, math.min(nprobe, cents.size))
+    val sim = V.cosineWithNorms(
+      V.dot(col("b.embedding"), col("h.embedding")), col("b.n2"), col("h.n2"))
+    aB.as("b").join(aH.as("h"), col("b.cid") === col("h.cid"))
+      .select(col("b.vec_id").as("vec_id"), col("h.vec_id").as("hist_id"),
+        sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id"), col("hist_id"), round(col("sim"), 6).as("sim"))
       .distinct()
   }
 
