@@ -529,14 +529,17 @@ object Ann {
     * nearest codeword packs into one exact int64
     * (Σ cid_m · 16^m).
     *
-    * Unlike IVF's K·64 driver-constant centroids, the codebooks here
-    * stay DISTRIBUTED end-to-end: subvectors explode to (vec_id, m)
-    * rows, the 128-row codebook broadcasts into an equi-join on m,
-    * and the per-(vec_id, m) argmax is a map-combinable
-    * `max_by(cid, (score, cid))` aggregate — no window sort of the
-    * ×K-scored rows, no collect. Two Lloyd passes = two such joins +
-    * one rounded-mean aggregate over 128 keys. Everything after the
-    * scan is bounded by n·M narrow rows.
+    * Like IVF's K·64 driver-constant centroids, the M·K = 128-row
+    * codebook is a COLLECTED bounded model constant (round-13: the
+    * DataFrame-side training re-inlined the seed/means lineage into
+    * every consumer plan — emb_rq_adc reached 184 Exchanges — and
+    * shuffled n·M scored rows per assignment). Assignment is a
+    * broadcast join on m + a per-row argmax fold over the 16
+    * codewords (the scoredFoldArr rendering — struct comparison
+    * keeps the max_by (score, cid) tie semantics) — map-only, no
+    * shuffle. Two Lloyd passes = two such folds + one rounded-mean
+    * aggregate over 128 keys. Everything after the scan is bounded
+    * by n·M narrow rows.
     */
   val PQ_M = 8
   val PQ_K = 16
@@ -558,32 +561,55 @@ object Ann {
     */
   private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sub = pqSub(spark, dir)
-    val seeds = sub.filter(col("vec_id") < PQ_K)
-      .select(col("m"), col("vec_id").cast("int").as("cid"), col("s").as("c"))
-
+    // seed codewords COLLECTED as bounded model constants (M·K = 128
+    // rows of PQ_SUB doubles — the annIvf/ivfCentroids recipe).
+    // Round-13 optimization: the previous DataFrame-side training
+    // re-inlined the whole seed/means lineage into every consumer
+    // plan (emb_rq_adc reached 184 Exchanges) and shuffled n·M
+    // scored rows per assignment; with the codebook a driver
+    // constant, assignment is one broadcast join + a per-row argmax
+    // fold — map-only, no shuffle, no plan-tree duplication.
+    val seeds: Seq[(Int, Int, Array[Double])] =
+      sub.filter(col("vec_id") < PQ_K)
+        .select(col("m"), col("vec_id").cast("int").as("cid"), col("s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .toSeq.sortBy(t => (t._1, t._2))
+    // per-m centroid fold (the centFold rendering): cs = cid-sorted
+    // array of (cid, cvec, h) with h = ‖c‖²/2 summed on the driver
+    // exactly like the executor's VecDot(c, c)/2 (same left-to-right
+    // order), so scores are bit-identical to the former join path
+    def folded(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
+      spark.createDataFrame(cb.map { case (m, cid, c) =>
+          (m, cid, c.toSeq, c.map(x => x * x).sum / 2.0) })
+        .toDF("m", "cid", "cvec", "h")
+        .groupBy("m")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cvec"), col("h")))).as("cs"))
     // nearest codeword per (vec_id, m): argmax of dot − ‖c‖²/2 with
     // the (score, cid) lexicographic tie-break (ties take the larger
-    // cid — annIvf's greatest(struct) convention); max_by keeps the
-    // aggregate map-combinable where a row_number window would sort
-    // all K scored rows per key
-    def assign(cents: DataFrame): DataFrame = {
-      val score = graft.plans.VecDot(col("s"), col("c")) -
-        graft.plans.VecDot(col("c"), col("c")) / 2.0
-      sub.join(broadcast(cents), "m")
-        .select(col("vec_id"), col("m"), col("s"), col("cid"), score.as("score"))
-        .groupBy("vec_id", "m")
-        .agg(max_by(col("cid"), struct(col("score"), col("cid"))).as("cid"),
-          first(col("s")).as("s"))
-    }
+    // cid — annIvf's greatest(struct) convention, here as the
+    // scoredFoldArr array_max fold; struct comparison ≡ max_by)
+    def assign(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
+      sub.join(broadcast(folded(cb)), "m")
+        .withColumn("cid", array_max(transform(col("cs"), cc => struct(
+          (graft.plans.VecDot(col("s"), cc.getField("cvec")) - cc.getField("h")).as("s"),
+          cc.getField("cid").as("cid")))).getField("cid"))
+        .select(col("vec_id"), col("m"), col("cid"), col("s"))
 
+    // one refinement: means ROUNDED to 4 decimals (merge-order pin),
+    // empty clusters keep their seed — collected like the seeds
     val means = assign(seeds)
       .groupBy("m", "cid")
       .agg(array((0 until PQ_SUB).map(i =>
         round(avg(element_at(col("s"), i + 1)), 4)): _*).as("mc"))
-    val cents1 = seeds.join(means, Seq("m", "cid"), "left")
-      .select(col("m"), col("cid"), coalesce(col("mc"), col("c")).as("c"))
-
-    (cents1, assign(cents1).select(col("vec_id"), col("m"), col("cid")))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val cents1 = seeds.map { case (m, cid, c) =>
+      (m, cid, means.getOrElse((m, cid), c)) }
+    val codebook = spark.createDataFrame(
+        cents1.map { case (m, cid, c) => (m, cid, c.toSeq) })
+      .toDF("m", "cid", "c")
+    (codebook, assign(cents1).select(col("vec_id"), col("m"), col("cid")))
   }
 
   def embPq(spark: SparkSession, dir: String): DataFrame =
@@ -671,14 +697,14 @@ object Ann {
     * seed, assignment ties take the larger cid via
     * `max_by(cid, struct(score, cid))`).
     *
-    * Plan shape: each assign is a crossJoin against a BROADCAST
-    * ≤K-row codebook (the annIvf adjudication) folded by a
-    * map-combinable max_by — no window over the ×K-scored rows; the
-    * residual subtraction is one zip_with over columns already on
-    * the row (no extra join — cid1 rides the stage-2 frame as a
-    * passthrough aggregate). `err_x1e4` = floor(10⁴·‖x−c₁−c₂‖²) is
-    * a fixed-order per-row fold of deterministic doubles, so it
-    * replays exactly on any engine.
+    * Plan shape (round-13): each assign is the K-literal argmax
+    * projection over the COLLECTED ≤K-row codebook (the annIvf
+    * adjudication/tie semantics, map-only — no crossJoin, no
+    * re-aggregation shuffle); the residual subtraction is one
+    * zip_with against a literal codeword lookup (no join — cid1
+    * rides the frame as a plain column). `err_x1e4` =
+    * floor(10⁴·‖x−c₁−c₂‖²) is a fixed-order per-row fold of
+    * deterministic doubles, so it replays exactly on any engine.
     */
   val RQ_K = 16
 
@@ -691,43 +717,54 @@ object Ann {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("x"))
 
-    // argmax_c ⟨v, c⟩ − ‖c‖²/2 over a broadcast codebook, keeping the
-    // vector and any passthrough columns on the aggregated row
-    def assign(vecs: DataFrame, vcol: String, cents: DataFrame,
-               extras: Seq[String]): DataFrame = {
-      val score = graft.plans.VecDot(col(vcol), col("c")) -
-        graft.plans.VecDot(col("c"), col("c")) / 2.0
-      val keep = (first(col(vcol)).as(vcol) +:
-        extras.map(c => first(col(c)).as(c))) :+
-        max_by(col("cid"), struct(col("score"), col("cid"))).as("cid")
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("score", score)
-        .groupBy("vec_id")
-        .agg(keep.head, keep.tail: _*)
-    }
+    // Round-13 optimization: both codebooks are COLLECTED bounded
+    // model constants (K = 16 rows of 64 doubles each — the
+    // annIvf/ivfCentroids recipe). The previous DataFrame-side
+    // training embedded the stage-1 seed/means lineage inside the
+    // stage-2 frames and re-inlined it at every broadcast use —
+    // emb_rq_adc's plan reached 184 Exchanges / 2615 lines — and
+    // every assignment paid a crossJoin + n-row re-aggregation
+    // shuffle. Assignment is now the K-literal argmax projection
+    // (nearestCentroid's greatest(struct) rendering, identical
+    // (score, cid) tie semantics, h = ‖c‖²/2 summed on the driver in
+    // the same left-to-right order as the executor's VecDot(c, c)/2
+    // — the centFold bit-identity argument), so the per-vector code
+    // path is map-only: no shuffle, no plan-tree duplication.
+    def nearest(v: org.apache.spark.sql.Column,
+                cs: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column =
+      greatest(cs.map { case (cid, c) =>
+        struct((graft.plans.VecDot(v, typedlit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0)).as("s"), lit(cid).as("cid"))
+      }: _*).getField("cid")
 
-    // one deterministic-Lloyd round: seed → assign → rounded means →
-    // reassign; returns (codebook, assignment incl. vector + extras)
-    def train(vecs: DataFrame, vcol: String,
-              extras: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    // one deterministic-Lloyd round: seed (vec_id < K, collected) →
+    // assign → means ROUNDED to 4 decimals (merge-order pin) →
+    // empty clusters keep their seed; returns the refined codebook
+    def train(vecs: DataFrame, vcol: String): Seq[(Long, Array[Double])] = {
       val seeds = vecs.filter(col("vec_id") < RQ_K)
-        .select(col("vec_id").as("cid"), col(vcol).as("c"))
-      val a0 = assign(vecs, vcol, seeds, Nil)
-      val means = a0.groupBy("cid")
+        .select(col("vec_id"), col(vcol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+      val means = vecs.withColumn("cid", nearest(col(vcol), seeds))
+        .groupBy("cid")
         .agg(array((0 until DIM).map(i =>
           round(avg(element_at(col(vcol), i + 1)), 4)): _*).as("mc"))
-      val cents = seeds.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mc"), col("c")).as("c"))
-      (cents, assign(vecs, vcol, cents, extras))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      seeds.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
     }
 
-    val (c1, a1) = train(e, "x")
-    val resid = a1.withColumnRenamed("cid", "cid1")
-      .join(broadcast(c1.withColumnRenamed("cid", "cid1")), "cid1")
+    val c1 = train(e, "x")
+    // residual r = x − c₁(cid1): literal map lookup (same doubles the
+    // former broadcast join attached), keeping the frame map-only
+    val c1Map = typedlit(c1.map { case (cid, c) => cid -> c.toSeq }.toMap)
+    val resid = e.withColumn("cid1", nearest(col("x"), c1))
       .select(col("vec_id"), col("cid1"),
-        zip_with(col("x"), col("c"), (p, q) => p - q).as("r"))
-    val (c2, b1) = train(resid, "r", Seq("cid1"))
-    (c1, c2, b1)
+        zip_with(col("x"), element_at(c1Map, col("cid1")), (p, q) => p - q).as("r"))
+    val c2 = train(resid, "r")
+    val b1 = resid.withColumn("cid", nearest(col("r"), c2))
+    def cbDf(cs: Seq[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(cs.map { case (cid, c) => (cid, c.toSeq) })
+        .toDF("cid", "c")
+    (cbDf(c1), cbDf(c2), b1)
   }
 
   def embRq(spark: SparkSession, dir: String): DataFrame = {
