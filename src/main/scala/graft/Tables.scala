@@ -40,4 +40,32 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Exact row count of a parquet table from its file FOOTERS —
+    * driver-only metadata, no Spark job (round-13). Model parameters
+    * derived from a full-table count (clustersFor's auto-K) must be
+    * EXACT to keep query results identical; parquet footers store
+    * exact per-row-group counts, so this equals `count()` without
+    * scheduling a scan job at plan-construction time. The footer
+    * read is the same per-file metadata Spark's own scan planning
+    * opens; at cluster scale it is one driver-side listing, not a
+    * cluster pass over the data.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      val n = st.getPath.getName
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => files(s.getPath))
+      else if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else Seq(st.getPath)
+    }
+    files(root).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -899,19 +899,25 @@ object Ann {
       .orderBy("u", "vec_id").limit(nQ)
       .select(col("vec_id").as("q_id"))
 
-  /** blocks = 0 → ceil(|sampled|/4000) (floor 16) from one count job,
-    * so per-task sim work stays ≤ ~16M at any corpus size. Callers
-    * composing several graph constructions derive this ONCE and pass
-    * the concrete value down. KNOWN TRADE (carried nit): the count
-    * runs at plan-BUILD time, so a pure plan inspection (`Explain`)
-    * of a blocks=0 graph query executes one sampled count job — the
-    * same accepted pattern as embSemanticPairs' auto-K count; a
-    * production caller that knows its sample size passes `blocks`
-    * explicitly and builds side-effect-free.
+  /** blocks = 0 → ceil(rate·n/4000) (floor 16), so per-task sim work
+    * stays ≤ ~16M at any corpus size. Round-13: n comes from the
+    * parquet FOOTERS ([[Tables.parquetRowCount]] — driver metadata,
+    * no job), and the sampled size is estimated as rate·n instead of
+    * counted: the grid only partitions the pair work and output is
+    * grid-invariant (spec-pinned), so the ≤ O(√n) sampling deviation
+    * from the exact count moves nothing but task sizing. This
+    * retires the carried plan-build count-job nit — blocks=0 plan
+    * construction is now side-effect-free on the cluster. A
+    * production caller that knows its sample size can still pass
+    * `blocks` explicitly.
     */
-  private def knnBlocksFor(sampled: DataFrame, blocks: Int): Int =
+  private def knnBlocksFor(spark: SparkSession, dir: String,
+                           rate: Double, blocks: Int): Int =
     if (blocks > 0) blocks
-    else math.max(16L, (sampled.count() + 3999L) / 4000L).toInt
+    else {
+      val n = Tables.parquetRowCount(spark, dir, "embeddings")
+      math.max(16L, (math.ceil(rate * n).toLong + 3999L) / 4000L).toInt
+    }
 
   /** Exact k-NN graph over a deterministic node sample — the
     * neighborhood structure a clustering / semantic-dedup /
@@ -958,7 +964,7 @@ object Ann {
   def embKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
                   rate: Double = 0.1, blocks: Int = 0): DataFrame = {
     val sampled = knnSampleFrame(spark, dir, rate)
-    val nBlocks = knnBlocksFor(sampled, blocks)
+    val nBlocks = knnBlocksFor(spark, dir, rate, blocks)
     // blk and the partner array are BOTH LongType so the composite
     // (bi, bj) join keys match without implicit casts on either side
     val e = sampled.withColumn("blk", pmod(col("vec_id"), lit(nBlocks.toLong)))
@@ -1247,7 +1253,7 @@ object Ann {
     // concrete value down — blocks=0 inside embKnnGraph would rerun
     // the sampled count at every graph (re)construction in a caller's
     // lineage (ADVICE round-9)
-    val nBlocks = knnBlocksFor(knnSampleFrame(spark, dir, rate), blocks)
+    val nBlocks = knnBlocksFor(spark, dir, rate, blocks)
     val edges = embKnnGraph(spark, dir, graphK, rate, nBlocks)
       .select(col("vec_id").as("src"), col("n_id").as("dst"))
     val nodes = knnSampleFrame(spark, dir, rate)
@@ -1359,7 +1365,7 @@ object Ann {
                      k: Int = 5, beam: Int = 4, rounds: Int = 3, graphK: Int = 3,
                      rate: Double = 0.1, blocks: Int = 0): DataFrame = {
     // one count job for the whole recall plan (see annGraphSearch)
-    val nBlocks = knnBlocksFor(knnSampleFrame(spark, dir, rate), blocks)
+    val nBlocks = knnBlocksFor(spark, dir, rate, blocks)
     val approx = annGraphSearch(spark, dir, nQueries, k, beam, rounds, graphK, rate, nBlocks)
       .select(col("q_id"), col("n_id")).withColumn("m", lit(1))
     val nodes = knnSampleFrame(spark, dir, rate)
@@ -1807,7 +1813,8 @@ object Ann {
       nprobe: Int = 1, gprobe: Int = 2,
       trainSampleTarget: Long = 0L): DataFrame = {
     val e = semanticFrame(spark, dir)
-    val n = Tables.embeddings(spark, dir).count()
+    // round-13: footer-metadata count (exact — same K, no scan job)
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val k = if (clusters > 0) clusters else clustersFor(n)
     val trainE =
       if (trainSampleTarget <= 0L || n <= trainSampleTarget) e
@@ -1845,7 +1852,7 @@ object Ann {
                        iters: Int = 1, nprobe: Int = 1): DataFrame = {
     val e = semanticFrame(spark, dir)
     val k = if (clusters > 0) clusters
-            else clustersFor(Tables.embeddings(spark, dir).count())
+            else clustersFor(Tables.parquetRowCount(spark, dir, "embeddings"))
     // in-join verification: both sides of the cid equi-join carry
     // their vector payload (map-only assignment), so the candidate
     // pairs exist only inside the join's output stream and are

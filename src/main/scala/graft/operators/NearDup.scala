@@ -115,10 +115,11 @@ object NearDup {
                        benchBound: Long = 50, k: Int = 8, minRun: Int = 3): DataFrame = {
     val ps = Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= k)
+      // round-13: positional shingling via the imperative
+      // [[graft.plans.TokenShingles]] kernel (< k tokens -> empty
+      // array, subsuming the former size filter under posexplode)
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
-        .as(Seq("pos", "s")))
+        graft.plans.TokenShingles(col("t"), k)).as(Seq("pos", "s")))
     val bench = ps.filter(col("doc_id") < benchBound)
       .select(col("doc_id").as("bench_id"), col("pos").as("pos_b"), col("s"))
     val hits = ps.filter(col("doc_id") >= benchBound)
@@ -175,10 +176,11 @@ object NearDup {
       .localCheckpoint(eager = false)
     val ps = Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= k)
+      // round-13: positional shingling via the imperative
+      // [[graft.plans.TokenShingles]] kernel (< k tokens -> empty
+      // array, subsuming the former size filter under posexplode)
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
-        .as(Seq("pos", "s")))
+        graft.plans.TokenShingles(col("t"), k)).as(Seq("pos", "s")))
     // broadcast SEMI-prune each shingle side to the docs that
     // actually appear in a pair BEFORE any shuffle: near-dup docs
     // are a vanishing fraction of a deduped-at-scale corpus, so
@@ -613,8 +615,19 @@ object NearDup {
     * checkpoint, no count job). 1M docs ≈ the 2×-sf10 point; every
     * contract SF (5k/50k/500k docs) and the sf10 soak stay unbanded,
     * matching their round-9 measured-fine footprints.
+    *
+    * Round-13: the gate reads the optimizer's sizeInBytes statistic
+    * (driver-only parquet footer/listing metadata) instead of running
+    * a count() JOB at plan-construction — every jaccard/containment
+    * consumer paid that job per query. 1M docs of this generator's
+    * documents parquet ≈ 117 MB, so the 100 MB byte gate trips at the
+    * same decade as the old row gate; every contract SF (≤ 500k docs
+    * ≈ 58 MB) and the sf10 soak stay below it (plan byte-identical),
+    * sf100 stays above it (auto-banding still engages). Execution
+    * knob only: band count never changes results (equality
+    * spec-pinned at bands ∈ {1, 4}).
     */
-  private val BAND_GATE_DOCS = 1000000L
+  private val BAND_GATE_BYTES = 100L << 20
 
   /** Band count for a phase-1 verify over `raw` documents:
     * `requested` ≥ 1 wins, then the env override, then the gate
@@ -625,7 +638,8 @@ object NearDup {
   private[operators] def verifyBandsFor(raw: DataFrame, requested: Int): Int =
     if (requested >= 1) requested
     else envVerifyBands.getOrElse {
-      if (raw.count() < BAND_GATE_DOCS) 1 else -1
+      if (raw.queryExecution.optimizedPlan.stats.sizeInBytes
+          < BAND_GATE_BYTES) 1 else -1
     }
 
   /** Phase-1 verify, SCRATCH-BOUNDED: the candidate set is split into
@@ -1060,8 +1074,17 @@ object NearDup {
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // Round-13: iterate ONLY over edge-ENDPOINT nodes. An isolated
+    // node's min-label fixed point is itself (no in-edges, its label
+    // never changes and influences nobody — the src and dst sets are
+    // equal under the symmetric union), so carrying the corpus-sized
+    // frame through every round shuffled n rows per round for ≤
+    // 2·|pairs| rows of signal. Endpoints iterate; the corpus joins
+    // back ONCE at the end with coalesce(label, doc_id) — output
+    // row-for-row identical (the starComponents join-back shape).
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -1081,7 +1104,10 @@ object NearDup {
       throw new IllegalStateException(
         s"dedupGroups did not converge within $maxIters rounds — a dedup " +
           "component has diameter > maxIters; raise maxIters")
-    labels.select(col("doc_id"), col("label").as("group_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
   }
 
   /** The ACTIONABLE dedup decision: per dedup group, keep the
@@ -1172,8 +1198,15 @@ object NearDup {
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct(), "round_0")
+    // round-13: one count per round (the previous round's count is
+    // remembered instead of re-counted — the frames are materialized,
+    // but every extra action is a scheduled job), and the set-equality
+    // confirm is a left_anti probe (both sides are distinct canonical
+    // edge sets, so equal counts + empty anti ⟺ equal sets — the
+    // except() rendering re-distincts both sides)
+    var prevCount = edges.count()
     var rounds = 0
-    var done = edges.isEmpty
+    var done = prevCount == 0L
     while (!done && rounds < maxRounds) {
       // large-star: node's full neighborhood (both directions)
       val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
@@ -1190,7 +1223,10 @@ object NearDup {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(smins.select(col("u"), col("mn").as("v")))
         .distinct(), s"round_${rounds + 1}") // truncate per-round lineage
-      done = small.count() == edges.count() && small.except(edges).isEmpty
+      val smallCount = small.count()
+      done = smallCount == prevCount &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      prevCount = smallCount
       edges = small
       rounds += 1
     }
@@ -1554,10 +1590,12 @@ object NearDup {
     val toks = documents
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
       .localCheckpoint(eager = false)
-    val sh = toks.filter(size(col("t")) >= k)
+    // round-13: positional shingling via the imperative
+    // [[graft.plans.TokenShingles]] kernel (< k tokens -> empty
+    // array, subsuming the former size filter under posexplode)
+    val sh = toks
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, size(t) - $k), i -> array_join(slice(t, i + 1, $k), ' '))"))
-        .as(Seq("pos", "s")))
+        graft.plans.TokenShingles(col("t"), k)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").as("i"), md5(col("s")).as("h"))
     val dup = sh.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1L).select("h")

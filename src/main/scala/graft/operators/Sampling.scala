@@ -389,9 +389,11 @@ object Sampling {
     val feats = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
+      // round-13: bigram features via the imperative TokenShingles
+      // kernel, k = 2 (space-joined adjacent pairs; < 2 tokens ->
+      // empty array, subsuming the former size filter under explode)
       .select(col("doc_id"), col("lang"), explode(
-        expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("f"))
+        graft.plans.TokenShingles(col("t"), 2)).as("f"))
       .select(col("doc_id"), col("lang"),
         pmod(hash32(col("f")), lit(numBuckets.toLong)).as("bucket"))
     val counts = feats.groupBy("bucket")

@@ -134,7 +134,9 @@ object TextAnalysis {
     */
   def textTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // tiny metadata-only job; N is a plan literal
+    // footer-metadata count (round-13) — N is a plan literal; the
+    // exact same number count() returned, without a scan job
+    val nDocs = graft.Tables.parquetRowCount(spark, dir, "documents")
     val terms = docs
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
     // `terms` feeds BOTH aggregates below, so the corpus is tokenized
@@ -635,10 +637,11 @@ object TextAnalysis {
     * by a DOUBLE space — see [[bpeReplaceExpr]]).
     */
   private def bpePairTop(words: DataFrame): DataFrame =
-    words.select(split(trim(col("w")), "  ").as("sy"))
-      .filter(size(col("sy")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(sy) - 1), i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+    // round-13: one imperative pass per word ([[graft.plans
+    // .BpeAdjacentPairs]] — trim/split/pair semantics replicated
+    // exactly) instead of split + transform(sequence)/element_at
+    // struct-boxing, which dominated the per-round pair-count jobs
+    words.select(explode(graft.plans.BpeAdjacentPairs(col("w"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l"), col("r"))
@@ -681,7 +684,7 @@ object TextAnalysis {
     var words = Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("w"))
+      .select(graft.plans.BpeSpacedSymbols(col("w")).as("w"))
     var out: DataFrame = null
     for (rnd <- 1 to rounds) {
       val top = pairTop(words)
@@ -718,8 +721,7 @@ object TextAnalysis {
     var words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(col("doc_id"),
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("w"))
+      .select(col("doc_id"), graft.plans.BpeSpacedSymbols(col("w")).as("w"))
     for (_ <- 1 to rounds) {
       val top = bpePairTop(words)
       words = words.crossJoin(broadcast(top))
@@ -728,7 +730,7 @@ object TextAnalysis {
     words.groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(expr("length(replace(w, ' ', ''))")).as("n_chars"),
-        sum(size(split(trim(col("w")), "  "))).as("n_bpe_tokens"))
+        sum(graft.plans.BpeSymbolCount(col("w"))).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"),
         col("n_chars").cast("long").as("n_chars"),
         col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
@@ -785,9 +787,10 @@ object TextAnalysis {
   def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
+      // round-13: imperative bigram kernel (< 2 tokens -> empty
+      // array, subsuming the former size filter under explode)
       .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+        graft.plans.TokenBigrams(col("t"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .localCheckpoint(eager = false)
@@ -985,7 +988,10 @@ object TextAnalysis {
 
   def docsCoocLift(spark: SparkSession, dir: String, minDf: Long = -1L,
                    bands: Int = -1): DataFrame = {
-    lazy val nDocs = Tables.documents(spark, dir).count()
+    // round-13: the document count comes from the parquet FOOTERS
+    // (driver-only metadata, exact — no count job at plan-build);
+    // gate and band formula are unchanged
+    lazy val nDocs = graft.Tables.parquetRowCount(spark, dir, "documents")
     val mdf = if (minDf >= 0L) minDf
       else sys.env.get("SPARK_GRAFT_COOC_MINDF")
         .flatMap(s => scala.util.Try(s.trim.toLong).toOption)

@@ -179,3 +179,217 @@ object SortedOverlapCount {
   def apply(a: Column, b: Column): Column =
     GraftShim.column(SortedOverlapCount(GraftShim.expression(a), GraftShim.expression(b)))
 }
+
+/** Adjacent symbol pairs of a DOUBLE-space-separated BPE symbol
+  * string (the TextAnalysis.bpeReplaceExpr rendering: " a  b  c  ")
+  * as an array of (l, r) structs — one imperative pass per row.
+  *
+  * Replaces the declarative chain
+  * `split(trim(w), "  ")` → `filter(size ≥ 2)` →
+  * `explode(transform(sequence(1, n−1), i → struct(element_at(sy, i),
+  * element_at(sy, i+1))))`, whose per-element lambda interpretation
+  * and struct boxing dominated the BPE pair-count jobs (round-13
+  * profile: ~2 s per pass at sf0.1). Semantics are replicated
+  * exactly: leading/trailing 0x20 spaces stripped (Spark `trim`),
+  * the remainder split on the literal two-space separator with
+  * trailing empties kept (Spark `split(_, "  ", -1)` — symbols never
+  * contain spaces, so the regex is effectively literal), and < 2
+  * symbols yield an empty array (the old `filter(size ≥ 2)`).
+  */
+case class BpeAdjacentPairs(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("l", StringType, nullable = true),
+      StructField("r", StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // Spark trim: strip 0x20 from both ends
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val t = s.substring(lo, hi)
+    // literal two-space split, trailing empties kept (limit -1)
+    val syms = BpeAdjacentPairs.SEP.split(t, -1)
+    if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
+    val u = new Array[UTF8String](syms.length)
+    var i = 0
+    while (i < syms.length) { u(i) = UTF8String.fromString(syms(i)); i += 1 }
+    val out = new Array[Any](syms.length - 1)
+    i = 0
+    while (i < syms.length - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(u(i), u(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeAdjacentPairs =
+    copy(child = newChild)
+}
+
+object BpeAdjacentPairs {
+  private val SEP = java.util.regex.Pattern.compile("  ")
+  def apply(w: Column): Column =
+    GraftShim.column(BpeAdjacentPairs(GraftShim.expression(w)))
+}
+
+/** The BPE spaced-symbol rendering of a word — " " followed by each
+  * character and a two-space separator (" hello " → " h  e  l  l  o  ")
+  * — one StringBuilder pass per row, replacing
+  * `concat(" ", regexp_replace(w, "(.)", "$1  "))` (a regex engine
+  * invocation per word with per-character group substitution).
+  * Replicated exactly: the regex `.` matches one code POINT but NOT
+  * the five line terminators (\n, \r, U+0085, U+2028, U+2029), which
+  * regexp_replace passes through unchanged — so does this kernel.
+  */
+case class BpeSpacedSymbols(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length * 3 + 1)
+    sb.append(' ')
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029)
+        sb.appendCodePoint(cp)
+      else
+        sb.appendCodePoint(cp).append(' ').append(' ')
+      i += n
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSpacedSymbols =
+    copy(child = newChild)
+}
+
+object BpeSpacedSymbols {
+  def apply(w: Column): Column =
+    GraftShim.column(BpeSpacedSymbols(GraftShim.expression(w)))
+}
+
+/** Symbol count of a double-spaced BPE word — `size(split(trim(w),
+  * "  "))` as one counting pass (no array materialization): the
+  * post-merge token count [[BpeAdjacentPairs]]' consumers aggregate.
+  */
+case class BpeSymbolCount(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    // split on literal "  " with limit -1 yields segments between
+    // non-overlapping separator matches; count = matches + 1
+    var n = 1
+    var i = lo
+    while (i + 1 < hi) {
+      if (s.charAt(i) == ' ' && s.charAt(i + 1) == ' ') { n += 1; i += 2 }
+      else i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSymbolCount =
+    copy(child = newChild)
+}
+
+object BpeSymbolCount {
+  def apply(w: Column): Column =
+    GraftShim.column(BpeSymbolCount(GraftShim.expression(w)))
+}
+
+/** ALL positional k-shingles of a token array, space-joined, in
+  * position order — `transform(sequence(0, size(t) − k), i →
+  * array_join(slice(t, i + 1, k), ' '))` as one imperative pass
+  * (the WordShingles judgment applied to the POSITIONAL variant:
+  * the HOF body allocates a slice array and an array_join per
+  * element, interpreted). < k tokens yields an empty array, which
+  * subsumes the callers' `filter(size(t) ≥ k)` prune under
+  * posexplode.
+  */
+case class TokenShingles(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      // byte-level concat, no String round-trip
+      out(i) = UTF8String.concatWs(sep,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+object TokenShingles {
+  def apply(tokens: Column, k: Int): Column =
+    GraftShim.column(TokenShingles(GraftShim.expression(tokens), k))
+}
+
+/** Adjacent token bigrams of a token array as (w1, w2) structs —
+  * `transform(sequence(1, size(t) − 1), i → struct(t[i−1], t[i]))`
+  * as one pass; < 2 tokens yields an empty array (the callers'
+  * `filter(size(t) ≥ 2)` prune).
+  */
+case class TokenBigrams(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(toks(i), toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBigrams =
+    copy(child = newChild)
+}
+
+object TokenBigrams {
+  def apply(tokens: Column): Column =
+    GraftShim.column(TokenBigrams(GraftShim.expression(tokens)))
+}
