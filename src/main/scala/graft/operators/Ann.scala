@@ -1341,10 +1341,18 @@ object Ann {
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beam).select("q_id", "vec_id")
+      // round-13: the former distinct() + left_anti(visited) prune
+      // before scoring is folded into ONE dedup aggregate after the
+      // union — scoring is a deterministic function of (q_id,
+      // vec_id), so every duplicate (in-round or vs visited) carries
+      // the IDENTICAL sim and max() reproduces the single-scored
+      // value exactly; the re-scored keys are bounded (≤ Q·beam·k a
+      // round). Two bounded-frame exchanges per round become one.
       val newKeys = beamDf.join(edges, col("vec_id") === col("src"))
-        .select(col("q_id"), col("dst").as("vec_id")).distinct()
-        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-      visited = visited.unionByName(scoreKeys(newKeys)).localCheckpoint(eager = false)
+        .select(col("q_id"), col("dst").as("vec_id"))
+      visited = visited.unionByName(scoreKeys(newKeys))
+        .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
+        .localCheckpoint(eager = false)
     }
     visited.filter(col("q_id") =!= col("vec_id"))
       .withColumn("rnk", row_number().over(wB))

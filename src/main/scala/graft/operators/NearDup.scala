@@ -1212,10 +1212,15 @@ object NearDup {
       val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
         .union(edges.select(col("v").as("node"), col("u").as("nbr")))
       val mins = adj.groupBy("node").agg(min("nbr").as("mn"))
+      // round-13: no intermediate distinct — the min aggregate below
+      // is duplicate-insensitive and the join fan-out re-distincts in
+      // `small`, so the hash(u,v) exchange the dedup cost bought
+      // nothing (both consumers re-exchange by u and share THAT
+      // exchange); duplicate inflation through the join is bounded by
+      // per-node degree and collapses in the final distinct
       val large = adj.join(mins, "node")
         .filter(col("nbr") > col("node"))
         .select(col("nbr").as("u"), least(col("mn"), col("node")).as("v"))
-        .distinct()
       // small-star: canonical edges already point large→small
       val smins = large.groupBy("u").agg(min("v").as("mn"))
       val small = handoff(large.join(smins, "u")
