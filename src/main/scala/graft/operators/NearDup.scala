@@ -245,10 +245,25 @@ object NearDup {
     // eager localCheckpoint pins one RDD instance, halving the
     // dominant jaccard join. Callers passing precomputed frames (the
     // family seam) have already materialized them.
-    val jacFrame = jacPairs.getOrElse(
-      jaccardPairs(spark, dir, threshold).select("a_id", "b_id").localCheckpoint())
-    val simFrame = simPairs.getOrElse(
-      simhashPairs(spark, dir, maxHamming).select("a_id", "b_id").localCheckpoint())
+    // round-13 (guide §2.6 — overlap independent jobs): the two
+    // detector pair sets are INDEPENDENT eager materializations, so
+    // they run on two driver threads and the wall is max(jaccard,
+    // simhash) instead of the sum; Spark's scheduler interleaves the
+    // two job DAGs and the tail of one back-fills the other's idle
+    // cores. Precomputed frames resolve instantly on their thread.
+    val (jacFrame, simFrame) = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val jf = Future(jacPairs.getOrElse(
+          jaccardPairs(spark, dir, threshold).select("a_id", "b_id").localCheckpoint()))
+        val sf = Future(simPairs.getOrElse(
+          simhashPairs(spark, dir, maxHamming).select("a_id", "b_id").localCheckpoint()))
+        (Await.result(jf, Duration.Inf), Await.result(sf, Duration.Inf))
+      } finally pool.shutdown()
+    }
     val jac = endpoints(jacFrame, "a_id", "b_id")
       .withColumn("f_jaccard", lit(true))
     val sim = endpoints(simFrame, "a_id", "b_id")
