@@ -1310,20 +1310,143 @@ object Ann {
     * q_emb, q_n2) query frame — the seam that lets the same serving
     * leg navigate the exact build ([[annGraphSearch]]) or the
     * cell-routed one ([[annRecallGraphSampled]]'s linear monitor).
-    * Semantics, determinism contract, and scale shape are
-    * [[annGraphSearch]]'s scaladoc verbatim; both input frames are
-    * lazily checkpointed here (the beam, the anti-join, and the
-    * union all re-read them every round).
+    * Semantics and determinism contract are [[annGraphSearch]]'s
+    * scaladoc verbatim.
     *
     * `entries` (round-13): optional per-query (q_id, vec_id) seed
     * frame — the multi-entry navigation start
     * ([[beamEntriesFlat]] / the routed assignment's probed cells).
     * None keeps the original single global min-vec_id entry.
+    *
+    * DRIVER-FRONTIER rendering (round-14, guide §2.4/§5): the beam
+    * state is BOUNDED by construction (≤ Q·beam·degree new keys a
+    * round, Q the fixed query sample), so the per-round window /
+    * anti-join / dedup-aggregate bookkeeping that cost 6–10
+    * scheduled jobs and 2 bounded exchanges a round in the unrolled
+    * plan ([[beamSearchOnUnrolled]], kept as the equality anchor)
+    * moves to the driver: each round is exactly TWO map-only jobs —
+    * (1) neighbor expansion, a broadcast semi-join of the ≤ Q·beam
+    * frontier against the edge frame, and (2) scoring, a broadcast
+    * join of the fresh (q_id, vec_id, q_emb, q_n2) keys against the
+    * node frame evaluating the IDENTICAL cosine expression on
+    * executors (all float→double math stays in the same Catalyst
+    * kernels — the driver only sorts/dedups exact doubles it
+    * collected, with Spark's own NULLS-LAST / NaN-greatest /
+    * -0.0 = 0.0 comparison semantics). Rounds after the frontier
+    * stops producing unseen keys are skipped — a fixed point: the
+    * unrolled rendering would rescore identical keys into identical
+    * max() values, changing nothing (spec-pinned). At 100 TB each
+    * round is rounds × two linear scans with NO exchange, and the
+    * driver holds only the visited key set — the bounded-collect
+    * frontier pattern.
     */
-  private def beamSearchOn(rawEdges: DataFrame, rawNodes: DataFrame,
-                           q: DataFrame, k: Int, beam: Int,
-                           rounds: Int,
-                           entries: Option[DataFrame] = None): DataFrame = {
+  private[graft] def beamSearchOn(rawEdges: DataFrame, rawNodes: DataFrame,
+                                  q: DataFrame, k: Int, beam: Int,
+                                  rounds: Int,
+                                  entries: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = rawNodes.sparkSession
+    val edges = rawEdges.localCheckpoint(eager = false)
+    val nodes = rawNodes.localCheckpoint(eager = false)
+    // Spark's DoubleType total order (SQLOrderingUtil): -0.0 == 0.0,
+    // NaN greatest; sim DESC with NULLS LAST, vec_id ASC tiebreak —
+    // the exact orderBy(sim.desc, vec_id) the unrolled window used.
+    def cmpDescSim(a: java.lang.Double, b: java.lang.Double): Int =
+      if (a == null && b == null) 0
+      else if (a == null) 1
+      else if (b == null) -1
+      else -org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(a.doubleValue(), b.doubleValue())
+    val entryOrd = new Ordering[(Long, java.lang.Double)] {
+      def compare(x: (Long, java.lang.Double), y: (Long, java.lang.Double)): Int = {
+        val c = cmpDescSim(x._2, y._2)
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+    }
+    // bounded collect: the fixed query sample (id, embedding, ‖q‖²)
+    val qRows = q.select(col("q_id"), col("q_emb"), col("q_n2")).collect()
+    val qMap: Map[Long, Row] = qRows.iterator.map(r => r.getLong(0) -> r).toMap
+    val keySchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("vec_id", LongType),
+      StructField("q_emb", ArrayType(FloatType)), StructField("q_n2", DoubleType)))
+    val simCol = V.cosineWithNorms(
+      V.dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+    // job (2): score fresh keys on executors — broadcast keys, scan nodes
+    def score(keys: Seq[(Long, Long)]): Array[Row] =
+      if (keys.isEmpty) Array.empty
+      else {
+        val litRows = keys.iterator.collect { case (qid, vid) if qMap.contains(qid) =>
+          val qr = qMap(qid); Row(qid, vid, qr.get(1), qr.get(2))
+        }.toSeq
+        spark.createDataFrame(litRows.asJava, keySchema)
+          .hint("broadcast").join(nodes, "vec_id")
+          .select(col("q_id"), col("vec_id"), simCol.as("sim"))
+          .collect()
+      }
+    // job (1): neighbors of the distinct frontier — broadcast srcs, scan edges
+    def expand(srcs: Seq[Long]): Map[Long, Array[Long]] =
+      if (srcs.isEmpty) Map.empty
+      else {
+        val sdf = spark.createDataFrame(
+          srcs.map(Row(_)).asJava, StructType(Seq(StructField("src", LongType))))
+        edges.join(sdf.hint("broadcast"), "src")
+          .select(col("src"), col("dst")).collect()
+          .groupMap(_.getLong(0))(_.getLong(1))
+      }
+    val seedKeys: Seq[(Long, Long)] = entries match {
+      case Some(e) => e.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      case None =>
+        val m = nodes.agg(min("vec_id").as("vec_id")).collect()(0)
+        if (m.isNullAt(0)) Seq.empty
+        else qRows.map(r => (r.getLong(0), m.getLong(0))).toSeq
+    }
+    val visited = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashMap[Long, java.lang.Double]]
+    def merge(scored: Array[Row]): Unit = scored.foreach { r =>
+      // duplicates carry the identical sim (deterministic function of
+      // the key) — max() merge ≡ keep-first
+      visited.getOrElseUpdate(r.getLong(0), scala.collection.mutable.HashMap.empty)
+        .getOrElseUpdate(r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))
+    }
+    merge(score(seedKeys.distinct))
+    var fixedPoint = false
+    for (_ <- 1 to rounds if !fixedPoint) {
+      val beamKeys: Seq[(Long, Long)] = visited.iterator.flatMap { case (qid, m) =>
+        m.toSeq.sorted(entryOrd).iterator.take(beam).map(e => (qid, e._1))
+      }.toSeq
+      val nbr = expand(beamKeys.map(_._2).distinct)
+      val fresh = beamKeys.iterator.flatMap { case (qid, src) =>
+        nbr.getOrElse(src, Array.empty[Long]).iterator
+          .filterNot(visited(qid).contains).map(dst => (qid, dst))
+      }.toSeq.distinct
+      if (fresh.isEmpty) fixedPoint = true // unseen-key-free round ⇒ no
+      // future round can change visited (beam is a function of it)
+      else merge(score(fresh))
+    }
+    val outSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("rnk", LongType),
+      StructField("n_id", LongType), StructField("sim", DoubleType)))
+    val outRows = visited.toSeq.sortBy(_._1).flatMap { case (qid, m) =>
+      m.toSeq.filter(_._1 != qid).sorted(entryOrd).take(k).zipWithIndex
+        .map { case ((vid, s), i) => Row(qid, (i + 1).toLong, vid, s) }
+    }
+    spark.createDataFrame(outRows.asJava, outSchema)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** The pre-round-14 fully-plan-side rendering of [[beamSearchOn]]
+    * — every round a window + edge join + dedup aggregate over lazy
+    * checkpoints. Kept as the equality anchor the driver-frontier
+    * spec pins against (Round14OptSpec): identical output rows for
+    * every (k, beam, rounds, entries) shape.
+    */
+  private[graft] def beamSearchOnUnrolled(rawEdges: DataFrame, rawNodes: DataFrame,
+                                          q: DataFrame, k: Int, beam: Int,
+                                          rounds: Int,
+                                          entries: Option[DataFrame] = None): DataFrame = {
     val edges = rawEdges.localCheckpoint(eager = false)
     val nodes = rawNodes.localCheckpoint(eager = false)
     val entry = nodes.agg(min("vec_id").as("vec_id"))
@@ -2241,9 +2364,17 @@ object Ann {
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
+      // round-14: the newly-labeled count rides the round's own
+      // materialization as an `observe` metric (one action per
+      // round); the old rendering paid a separate filter+isEmpty
+      // scan, which on the converged round read the whole frame
+      // anyway (no row matches, no short-circuit).
+      val obs = org.apache.spark.sql.Observation()
       val next = labelPropRound(edges, cur, r + 1)
-        .localCheckpoint(eager = false)
-      if (next.filter(col("labeled_round") === (r + 1).toLong).isEmpty)
+        .observe(obs, count(when(col("labeled_round") === (r + 1).toLong, 1))
+          .as("n_new"))
+        .localCheckpoint()
+      if (obs.get.apply("n_new").asInstanceOf[Long] == 0L)
         converged = true
       else { r += 1; cur = next }
     }

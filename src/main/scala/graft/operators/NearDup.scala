@@ -1104,15 +1104,27 @@ object NearDup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // round-14 (guide §2.4/§5 — one action per round): the old
+      // convergence probe was a next ⋈ labels join (two exchanges +
+      // its own job) AFTER each round. The previous label now rides
+      // the round's own aggregate — `labels` carries exactly one row
+      // per doc_id (groupBy invariant, key set constant: viaEdges
+      // dsts ⊆ the endpoint set labels started as), so
+      // max(label WHERE own) IS the previous label, and the
+      // changed-row count rides the checkpoint materialization as an
+      // `observe` metric: one scheduled action per round, no
+      // convergence join, no second scan.
+      val obs = org.apache.spark.sql.Observation()
       val viaEdges = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.union(viaEdges)
-        .groupBy("doc_id").agg(min("label").as("label"))
+        .select(col("dst").as("doc_id"), col("label"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("prev"))
+        .observe(obs, count(when(col("label") =!= col("prev"), 1)).as("changed"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = obs.get.apply("changed").asInstanceOf[Long] == 0L
+      labels = next.select("doc_id", "label")
       i += 1
     }
     if (!converged)
@@ -1200,53 +1212,69 @@ object NearDup {
   def starComponents(nodes: DataFrame, pairs: DataFrame,
                      maxRounds: Int = 30,
                      checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    def handoff(df: DataFrame, tag: String): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint()
-      case Some(d) =>
-        val path = s"$d/$tag"
-        df.write.mode("overwrite").parquet(path)
-        df.sparkSession.read.parquet(path)
+    import org.apache.spark.sql.Observation
+    // round-14 (guide §2.4/§5 — one action per round): the per-round
+    // count and an order-independent XOR fingerprint of the edge set
+    // ride the handoff materialization as an `observe` metric, so a
+    // round is exactly ONE scheduled action (the checkpoint/write) —
+    // the separate count() job is gone. The fingerprint is a pure
+    // NEGATIVE filter for the convergence probe: sets equal ⇒
+    // (count, xor) equal, so the left_anti set-equality CONFIRM only
+    // runs when both match — i.e. once, at the true fixed point
+    // (spurious count-equal rounds no longer pay a join). Equality is
+    // still PROVEN by the anti probe, never by the hash.
+    def handoff(df: DataFrame, tag: String): (DataFrame, Long, Long) = {
+      val obs = Observation()
+      val o = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("fp"))
+      val out = checkpointDir match {
+        case None => o.localCheckpoint()
+        case Some(d) =>
+          val path = s"$d/$tag"
+          o.write.mode("overwrite").parquet(path)
+          df.sparkSession.read.parquet(path)
+      }
+      val m = obs.get
+      (out, m("n").asInstanceOf[Long], m("fp").asInstanceOf[Long])
     }
     val Seq(srcCol, dstCol) = pairs.columns.toSeq.take(2)
-    var edges = handoff(pairs
+    var (edges, prevCount, prevFp) = handoff(pairs
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct(), "round_0")
-    // round-13: one count per round (the previous round's count is
-    // remembered instead of re-counted — the frames are materialized,
-    // but every extra action is a scheduled job), and the set-equality
-    // confirm is a left_anti probe (both sides are distinct canonical
-    // edge sets, so equal counts + empty anti ⟺ equal sets — the
-    // except() rendering re-distincts both sides)
-    var prevCount = edges.count()
     var rounds = 0
     var done = prevCount == 0L
     while (!done && rounds < maxRounds) {
-      // large-star: node's full neighborhood (both directions)
+      // large-star: node's full neighborhood (both directions).
+      // round-14: the neighborhood minimum is a WINDOW over the same
+      // hash(node) partitioning the old groupBy+join pair needed —
+      // one exchange of adj instead of two plus a join (guide §2.4:
+      // two operations keyed the same way share one exchange). Row
+      // multiset is identical: mins was unique per node, so the 1:1
+      // join-back ≡ the window projection.
       val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
         .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      val mins = adj.groupBy("node").agg(min("nbr").as("mn"))
-      // round-13: no intermediate distinct — the min aggregate below
-      // is duplicate-insensitive and the join fan-out re-distincts in
-      // `small`, so the hash(u,v) exchange the dedup cost bought
-      // nothing (both consumers re-exchange by u and share THAT
-      // exchange); duplicate inflation through the join is bounded by
-      // per-node degree and collapses in the final distinct
-      val large = adj.join(mins, "node")
+      val large = adj
+        .withColumn("mn", min("nbr").over(Window.partitionBy("node")))
         .filter(col("nbr") > col("node"))
         .select(col("nbr").as("u"), least(col("mn"), col("node")).as("v"))
-      // small-star: canonical edges already point large→small
-      val smins = large.groupBy("u").agg(min("v").as("mn"))
-      val small = handoff(large.join(smins, "u")
+      // small-star: canonical edges already point large→small; same
+      // window fold (min over u). The per-u (u, mn) star branch is
+      // emitted PER ROW instead of per key — the trailing distinct
+      // collapses the duplicates, so the set is unchanged and the
+      // groupBy+join pair becomes one window over one exchange.
+      val withSmin = large
+        .withColumn("mn", min("v").over(Window.partitionBy("u")))
+      val (small, smallCount, smallFp) = handoff(withSmin
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
-        .union(smins.select(col("u"), col("mn").as("v")))
+        .union(withSmin.select(col("u"), col("mn").as("v")))
         .distinct(), s"round_${rounds + 1}") // truncate per-round lineage
-      val smallCount = small.count()
-      done = smallCount == prevCount &&
+      done = smallCount == prevCount && smallFp == prevFp &&
         small.join(edges, Seq("u", "v"), "left_anti").isEmpty
       prevCount = smallCount
+      prevFp = smallFp
       edges = small
       rounds += 1
     }
