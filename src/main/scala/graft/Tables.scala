@@ -58,8 +58,14 @@ object Tables {
     def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.getFileStatus(p)
       val n = st.getPath.getName
-      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => files(s.getPath))
-      else if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      // hidden ('_'/'.') names are skipped for DIRECTORIES too (ADVICE
+      // round-13): Spark's file index prunes hidden dirs at every
+      // level, so a _temporary remnant under the table root must not
+      // count — this value is a plan literal (IDF N, auto-K) and has
+      // to equal count() exactly. The root itself (documents.parquet)
+      // is exempt: only children can be metadata remnants.
+      if ((n.startsWith("_") || n.startsWith(".")) && p != root) Seq.empty
+      else if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => files(s.getPath))
       else Seq(st.getPath)
     }
     files(root).map { f =>

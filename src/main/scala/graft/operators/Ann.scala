@@ -248,6 +248,11 @@ object Ann {
     * (dot - ||c||²/2) for fixed vector norm.
     */
   private def nearestCentroid(cs: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    // greatest() requires ≥ 2 args — a 1-centroid quantizer assigns
+    // everything to it (ADVICE round-13; same guard as rqModel)
+    if (cs.isEmpty) throw new IllegalArgumentException(
+      "quantizer training produced no centroids")
+    if (cs.size == 1) return lit(cs.head._1)
     val scored = cs.map { case (cid, c) =>
       val score = graft.plans.VecDot(col("embedding"), typedlit(c.toSeq)) -
         lit(c.map(x => x * x).sum / 2.0)
@@ -730,9 +735,15 @@ object Ann {
     // the same left-to-right order as the executor's VecDot(c, c)/2
     // — the centFold bit-identity argument), so the per-vector code
     // path is map-only: no shuffle, no plan-tree duplication.
+    // greatest() requires ≥ 2 args (ADVICE round-13): a degenerate
+    // corpus with a single seed codeword assigns everything to it —
+    // the same graceful shape the former crossJoin+max_by path had.
     def nearest(v: org.apache.spark.sql.Column,
                 cs: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column =
-      greatest(cs.map { case (cid, c) =>
+      if (cs.isEmpty) throw new IllegalArgumentException(
+        "RQ training needs at least one seed vector (vec_id < RQ_K)")
+      else if (cs.size == 1) lit(cs.head._1)
+      else greatest(cs.map { case (cid, c) =>
         struct((graft.plans.VecDot(v, typedlit(c.toSeq)) -
           lit(c.map(x => x * x).sum / 2.0)).as("s"), lit(cid).as("cid"))
       }: _*).getField("cid")

@@ -512,15 +512,34 @@ object Multimodal {
     // AND fed the per-doc pair join below. Both legs stream.
     val media = plantedMedia(spark, dir)
     val d = media.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val exact = d.join(
-      d.groupBy("h").agg(count(lit(1)).as("c")), "h")
-      .select(col("doc_id"), (col("c") > 1).as("f_exact"))
-    // the COLLAPSED components path (phashGroupsOf): the planted
-    // corpus is dup-heavy by construction, so per-doc pair
-    // enumeration is Σ m_fp² — the sf100 solo wrote ~60 GB of pair
-    // exchange into ENOSPC before this leg switched to
-    // distinct-fingerprint components (result-identical, spec-pinned)
-    val pg = phashGroupsOf(media, maxDist, maxRounds)
+    // round-14 (guide §2.6 — overlap independent jobs, the
+    // docsDetectorVenn treatment): the exact-hash leg is independent
+    // of the phash star rounds, so it materializes on a second driver
+    // thread (a NARROW (doc_id, bool) checkpoint — the wide text
+    // frame stays unmaterialized per the note above) while the
+    // grouping rounds run on this one; wall = max, not sum. Both
+    // sides settle before either failure is rethrown, so an error on
+    // one leg never leaks the other's running jobs past the exit.
+    val (exact, pg) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val ef = Future(d.join(
+        d.groupBy("h").agg(count(lit(1)).as("c")), "h")
+        .select(col("doc_id"), (col("c") > 1).as("f_exact"))
+        .localCheckpoint())
+      // the COLLAPSED components path (phashGroupsOf): the planted
+      // corpus is dup-heavy by construction, so per-doc pair
+      // enumeration is Σ m_fp² — the sf100 solo wrote ~60 GB of pair
+      // exchange into ENOSPC before this leg switched to
+      // distinct-fingerprint components (result-identical, spec-pinned)
+      val pgTry = Try(phashGroupsOf(media, maxDist, maxRounds))
+      val exTry = Try(Await.result(ef, Duration.Inf))
+      pool.shutdown()
+      (exTry.get, pgTry.get)
+    }
     val phash = pg.join(
       pg.groupBy("group_id").agg(count(lit(1)).as("gsz")), "group_id")
       .select(col("doc_id"), (col("gsz") > 1).as("f_phash"))

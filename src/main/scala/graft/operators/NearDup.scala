@@ -254,15 +254,20 @@ object NearDup {
     val (jacFrame, simFrame) = {
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
+      import scala.util.Try
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try {
-        val jf = Future(jacPairs.getOrElse(
-          jaccardPairs(spark, dir, threshold).select("a_id", "b_id").localCheckpoint()))
-        val sf = Future(simPairs.getOrElse(
-          simhashPairs(spark, dir, maxHamming).select("a_id", "b_id").localCheckpoint()))
-        (Await.result(jf, Duration.Inf), Await.result(sf, Duration.Inf))
-      } finally pool.shutdown()
+      val jf = Future(jacPairs.getOrElse(
+        jaccardPairs(spark, dir, threshold).select("a_id", "b_id").localCheckpoint()))
+      val sf = Future(simPairs.getOrElse(
+        simhashPairs(spark, dir, maxHamming).select("a_id", "b_id").localCheckpoint()))
+      // round-14 (ADVICE): settle BOTH futures before rethrowing
+      // either failure — an early rethrow on one leg left the other
+      // leg's in-flight Spark jobs running past the exception.
+      val jTry = Try(Await.result(jf, Duration.Inf))
+      val sTry = Try(Await.result(sf, Duration.Inf))
+      pool.shutdown()
+      (jTry.get, sTry.get)
     }
     val jac = endpoints(jacFrame, "a_id", "b_id")
       .withColumn("f_jaccard", lit(true))
@@ -641,6 +646,17 @@ object NearDup {
     * sf100 stays above it (auto-banding still engages). Execution
     * knob only: band count never changes results (equality
     * spec-pinned at bands ∈ {1, 4}).
+    *
+    * CALIBRATION CAVEATS (ADVICE round-13): sizeInBytes is on-disk
+    * COMPRESSED bytes for parquet scans but an uncompressed row-size
+    * estimate for in-memory frames (a LocalRelation/synthetic seam
+    * caller can trip the gate an order of magnitude earlier per row),
+    * and the parquet figure is codec-dependent — the documented sf100
+    * flow switches to zstd, which shifts the gate decade vs the lz4
+    * 117 MB/1M-doc calibration above. Both shifts are execution-only
+    * (banding never changes results); read an unexpected banding flip
+    * in a soak as this, not as a regression, and pass an explicit
+    * bands count for synthetic-frame callers that need pinned plans.
     */
   private val BAND_GATE_BYTES = 100L << 20
 
@@ -754,6 +770,21 @@ object NearDup {
     */
   private def verifiedJaccard(cand: DataFrame, docs: DataFrame,
                               threshold: Double, bands: Int = 1): DataFrame = {
+    val jac = graft.plans.JaccardSim(col("sa"), col("sb"))
+    verifiedJaccardSets(cand, docs, threshold, bands)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+  }
+
+  /** [[verifiedJaccard]] with the verified pairs' shingle sets KEPT
+    * on the output row (a_id, b_id, sa, sb) — the round-14 seam the
+    * estimator family consumes: phase 2 has already joined both
+    * string shingle arrays to compute the exact verify, so a consumer
+    * needing per-pair set arithmetic (intersection/union sizes) reads
+    * them here instead of re-instantiating the shingle lineage twice
+    * for a third and fourth corpus re-shingle + two wide-array joins.
+    */
+  private def verifiedJaccardSets(cand: DataFrame, docs: DataFrame,
+                                  threshold: Double, bands: Int = 1): DataFrame = {
     val hv = hashedVerifySets(docs)
     val o = graft.plans.SortedOverlapCount(col("ha"), col("hb")).cast("double")
     // phase 1 is banded ([[phase1Banded]]); phase 2 runs ONCE over the
@@ -772,9 +803,7 @@ object NearDup {
       .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
     val jac = graft.plans.JaccardSim(col("sa"), col("sb"))
-    withSets
-      .filter(jac >= threshold)
-      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+    withSets.filter(jac >= threshold)
   }
 
   /** MinHash signatures: each shingle hashed once (xxhash64), then a
@@ -852,12 +881,20 @@ object NearDup {
   def minhashEstimate(spark: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
     import graft.functions.MinHashSig
+    // round-14 (guide §2.4): the pair set arrives WITH both shingle
+    // arrays already attached (the [[verifiedJaccardSets]] seam —
+    // phase 2 joined them to verify), so the two re-joins onto a
+    // freshly re-shingled corpus are gone: two fewer wide-array
+    // exchanges and two fewer corpus re-shingles per estimate plan.
+    // The signature frame is consumed by BOTH pair sides — one lazy
+    // checkpoint of the narrow (doc_id, 16-long sig) frame replaces
+    // a second shingle-explode + aggregate lineage.
     val docs = shingled(spark, dir)
-    val pairs = minhashLshPairs(spark, dir, threshold).select("a_id", "b_id")
-    val sigs = modPSignatures(spark, dir)
+    val vb = verifyBandsFor(Tables.documents(spark, dir), 0)
+    val cand = minhashLshCandidates(docs)
+    val pairs = verifiedJaccardSets(cand, docs, threshold, vb)
+    val sigs = modPSignatures(spark, dir).localCheckpoint(eager = false)
     pairs
-      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("uni",
         size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
@@ -916,13 +953,20 @@ object NearDup {
                       verifyBands: Int = 0): DataFrame = {
     val vb = verifyBandsFor(Tables.documents(spark, dir), verifyBands)
     val docs = shingled(spark, dir)
+    verifiedJaccard(minhashLshCandidates(docs), docs, threshold, vb)
+  }
+
+  /** The LSH band-bucket candidate self-join of [[minhashLshPairs]],
+    * over a caller-supplied shingled frame — shared with the
+    * estimator family so one plan derives candidates once.
+    */
+  private def minhashLshCandidates(docs: DataFrame): DataFrame = {
     val bands = minhashBandKeys(minhashSignatures(docs))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifiedJaccard(cand, docs, threshold, vb)
   }
 
   /** The corpus's production (wrapping-family) minhash signatures —

@@ -68,8 +68,15 @@ object Pipeline {
     */
   def docsPipelineStrip(spark: SparkSession, dir: String, budget: Int = 256,
                         lineTokens: Int = 10, maxOcc: Int = 2): DataFrame = {
+    // round-14: `gated` has two consumers (the strip input and the
+    // lang join-back), so the whole quality-gate lineage doubled in
+    // the physical plan. The checkpointed frame is the doc_id KEEP
+    // SET only — the gated text frame itself stays unmaterialized
+    // (each consumer re-reads the columnar scan; the mmDetectorVenn
+    // wide-frame rule), but the gate now runs once.
     val keep = TextAnalysis.docsQualityFilter(spark, dir)
       .filter(col("keep")).select("doc_id")
+      .localCheckpoint(eager = false)
     val gated = Tables.documents(spark, dir)
       .join(keep, "doc_id")
       .select(col("doc_id"), col("lang"), col("text"))
@@ -104,14 +111,26 @@ object Pipeline {
     * itself moves twice.
     */
   def docsYieldReport(spark: SparkSession, dir: String): DataFrame = {
+    // round-14 (guide §2.4 — Catalyst plans self-referenced subtrees
+    // as separate physical copies): the three NARROW intermediates
+    // each had 2-3 consumers, so the corpus was tokenized three times
+    // for `src`, the whole quality-gate lineage (boilerplate top-k
+    // included) ran twice under `kept`, and the plan carried 26
+    // parquet scans / 38 exchanges. Lazy localCheckpoints pin one
+    // instance of each — (doc_id, source, n_tok), (doc_id), and
+    // (doc_id, ch) rows only, never document text (the mmDetectorVenn
+    // wide-frame rule).
     val src = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .localCheckpoint(eager = false)
     val keep = TextAnalysis.docsQualityFilter(spark, dir)
       .filter(col("keep")).select("doc_id")
+      .localCheckpoint(eager = false)
     val kept = Tables.documents(spark, dir)
       .join(keep, "doc_id")
       .select(col("doc_id"), md5(col("text")).as("ch"))
+      .localCheckpoint(eager = false)
     val sv = kept
       .withColumn("rn", row_number().over(Window.partitionBy("ch").orderBy("doc_id")))
       .filter(col("rn") === 1).select("doc_id")
